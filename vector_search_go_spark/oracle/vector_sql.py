@@ -1,0 +1,60 @@
+"""DuckDB-SQL builders that mirror the Spark metric expressions
+bit-for-bit (same elementwise casts, same left-to-right fold starting at
+0.0). Used by ``__spark_entry__.oracle_sql`` so the driver's DuckDB
+comparison hashes match exactly — no float tolerance needed.
+
+Keep in lock-step with ``vector_search_go_spark.functions.metrics``.
+"""
+
+from __future__ import annotations
+
+TOL = 1e-6
+
+
+def sql_fold_sum(list_expr: str) -> str:
+    """Left fold (+) with double accumulator, identical order to Spark's
+    ``aggregate(arr, 0.0, (acc, v) -> acc + v)``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {list_expr}), "
+        f"(_acc, _v) -> _acc + _v)"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    pairs = (
+        f"list_transform(list_zip({a}, {b}), "
+        f"_t -> CAST(_t[1] AS DOUBLE) * CAST(_t[2] AS DOUBLE))"
+    )
+    return sql_fold_sum(pairs)
+
+
+def sql_l2_norm(a: str) -> str:
+    sq = f"list_transform({a}, _x -> CAST(_x AS DOUBLE) * CAST(_x AS DOUBLE))"
+    return f"sqrt({sql_fold_sum(sq)})"
+
+
+def sql_l2_dist(a: str, b: str) -> str:
+    diffsq = (
+        f"list_transform(list_zip({a}, {b}), "
+        f"_t -> (CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE)) * "
+        f"(CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE)))"
+    )
+    return f"sqrt({sql_fold_sum(diffsq)})"
+
+
+def sql_cosine_dist(a: str, b: str) -> str:
+    na, nb = sql_l2_norm(a), sql_l2_norm(b)
+    raw = f"(CAST(1 AS DOUBLE) - {sql_dot(a, b)} / ({na} * {nb}))"
+    return (
+        f"CASE WHEN {na} <= {TOL} OR {nb} <= {TOL} THEN CAST(1 AS DOUBLE) "
+        f"WHEN {raw} < {TOL} THEN CAST(0 AS DOUBLE) "
+        f"ELSE {raw} END"
+    )
+
+
+def sql_metric_dist(metric: str, a: str, b: str) -> str:
+    if metric == "l2":
+        return sql_l2_dist(a, b)
+    if metric in ("cosine", "angular"):
+        return sql_cosine_dist(a, b)
+    raise ValueError(f"unknown metric {metric!r}")
