@@ -10,6 +10,7 @@ operator stays in the DataFrame API.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,6 +29,13 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's converter
+        # rejects; read nanos as long and truncate to micro timestamps
+        # (matching DuckDB's ns -> us truncation of the same file).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
