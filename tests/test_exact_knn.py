@@ -1,0 +1,76 @@
+"""Exact-KNN vs a numpy brute-force oracle (reference NNMock,
+annbench/annbench.go:56-125)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.operators.exact_knn import (
+    embeddings_split,
+    exact_knn_join,
+)
+from vector_search_go_spark.operators.recall import (
+    distance_based_precision_recall,
+    mean_precision_recall,
+    precision_recall,
+)
+
+
+def test_exact_knn_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(80, 6))
+    Q = rng.normal(size=(4, 6))
+    corpus = spark.createDataFrame(
+        [(i, list(map(float, C[i]))) for i in range(len(C))],
+        "id bigint, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(j, list(map(float, Q[j]))) for j in range(len(Q))],
+        "query_id bigint, qvec array<double>",
+    )
+    got = exact_knn_join(queries, corpus, metric="l2", k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["id"], r["dist"]))
+    for j in range(len(Q)):
+        dists = np.linalg.norm(C - Q[j], axis=1)
+        order = np.lexsort((np.arange(len(C)), dists))[:5]
+        want = [(rank + 1, int(order[rank]), float(dists[order[rank]])) for rank in range(5)]
+        got_j = sorted(by_q[j])
+        assert [(a, b) for a, b, _ in got_j] == [(a, b) for a, b, _ in want]
+        assert np.allclose([d for _, _, d in got_j], [d for _, _, d in want])
+
+
+def test_threshold_filter(spark):
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 0.0])],
+        "id bigint, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id bigint, qvec array<double>"
+    )
+    rows = exact_knn_join(queries, corpus, metric="l2", k=10, threshold=2.0).collect()
+    assert {r["id"] for r in rows} == {0, 1}
+
+
+def test_recall_identity(spark, sf_dir):
+    queries, corpus = embeddings_split(spark, sf_dir)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=5)
+    pr = precision_recall(truth, truth)
+    p, r = mean_precision_recall(pr)
+    assert p == 1.0 and r == 1.0
+    prd = distance_based_precision_recall(truth, truth, epsilon=0.0)
+    p, r = mean_precision_recall(prd)
+    assert p == 1.0 and r == 1.0
+
+
+def test_distance_based_recall_catches_misses(spark):
+    truth = spark.createDataFrame(
+        [(0, 1, 1.0, 1), (0, 2, 2.0, 2)], "query_id bigint, id bigint, dist double, rn int"
+    )
+    pred = spark.createDataFrame(
+        [(0, 1, 1.0, 1), (0, 9, 9.0, 2)], "query_id bigint, id bigint, dist double, rn int"
+    )
+    p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
+    assert p == 0.5 and r == 0.5

@@ -1,0 +1,80 @@
+"""End-to-end tiny ANN test (reference lsh/lsh_test.go:281-341,
+FIXTURES.md A1): 6 hand-placed 2-D points in two clusters; searching
+from a cluster member returns 3-4 neighbors (range assertion — the
+index is randomized) for both metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.config import LshConfig
+from vector_search_go_spark.lsh.index import LshIndex
+from vector_search_go_spark.lsh.search import lsh_search
+
+POINTS = [
+    (0, [0.1, 0.1]),
+    (1, [0.1, 0.08]),
+    (2, [0.11, 0.09]),
+    (3, [0.09, 0.11]),
+    (4, [-0.1, 0.1]),
+    (5, [-0.1, 0.08]),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(POINTS, "id bigint, vec array<double>")
+
+
+def _search(spark, corpus, metric, threshold):
+    cfg = LshConfig(dims=2, n_trees=10, k_min_vecs=2, is_angular=(metric != "l2"))
+    idx = LshIndex.train(spark, corpus, cfg)
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.1])], "query_id bigint, qvec array<double>"
+    )
+    return lsh_search(idx, queries, metric=metric, k=4, threshold=threshold).collect()
+
+
+def test_lsh_l2(spark, corpus):
+    # L2, maxNN=4, thresh=0.02 (lsh_test.go:321-341)
+    rows = _search(spark, corpus, "l2", 0.02)
+    assert 3 <= len(rows) <= 4
+    ids = {r["id"] for r in rows}
+    assert ids <= {0, 1, 2, 3}  # same-cluster only
+    assert rows[0]["id"] == 0 and rows[0]["dist"] == 0.0  # self is nearest
+
+
+def test_lsh_cosine(spark, corpus):
+    # cosine, maxNN=4, thresh=0.2 (lsh_test.go:297-319)
+    rows = _search(spark, corpus, "cosine", 0.2)
+    assert 3 <= len(rows) <= 4
+    assert {r["id"] for r in rows} <= {0, 1, 2, 3}
+
+
+def test_index_save_load(spark, corpus, tmp_path):
+    cfg = LshConfig(dims=2, n_trees=5, k_min_vecs=2)
+    idx = LshIndex.train(spark, corpus, cfg)
+    path = str(tmp_path / "lsh_index")
+    idx.save(path)
+    idx2 = LshIndex.load(spark, path)
+    assert idx2.config.n_trees == 5
+    before = {(r["tree"], r["hash"], r["id"]) for r in idx.buckets.collect()}
+    after = {(r["tree"], r["hash"], r["id"]) for r in idx2.buckets.collect()}
+    assert before == after
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.1])], "query_id bigint, qvec array<double>"
+    )
+    r1 = lsh_search(idx, queries, metric="l2", k=3).collect()
+    r2 = lsh_search(idx2, queries, metric="l2", k=3).collect()
+    assert [(r["id"], r["dist"]) for r in r1] == [(r["id"], r["dist"]) for r in r2]
+
+
+def test_max_candidates_cap(spark, corpus):
+    cfg = LshConfig(dims=2, n_trees=10, k_min_vecs=2, max_candidates=2)
+    idx = LshIndex.train(spark, corpus, cfg)
+    queries = spark.createDataFrame(
+        [(0, [0.1, 0.1])], "query_id bigint, qvec array<double>"
+    )
+    rows = lsh_search(idx, queries, metric="l2", k=4).collect()
+    assert len(rows) <= 2

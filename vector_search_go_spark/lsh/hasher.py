@@ -1,0 +1,222 @@
+"""Annoy-style random binary tree hasher (driver-side model).
+
+Behavioral parity with the reference hasher (lsh/hasher.go):
+  - plane through the midpoint of two random points, normal pointing at
+    the larger-norm point: center = (p0+p1)/2, n = p1 - center,
+    d = center . n                          (planeByPoints, hasher.go:87-98)
+  - the two sampled points are ordered by ascending norm and, for the
+    angular metric, L2-normalized first     (getRandomPlane, hasher.go:100-134)
+  - sign test: dot(v, n) - d < 0 => bit set at this depth, descend left;
+    else descend right                      (getProductSign hasher.go:25-29,
+                                             traverse hasher.go:38-57)
+  - growth stops when depth exceeds the hash width or fewer than 2
+    vectors remain; a child is grown only when its side holds more than
+    KMinVecs vectors                        (growTree, hasher.go:137-161)
+  - the query vector is L2-normalized before hashing iff angular
+                                            (getHashes, hasher.go:191-219)
+
+Deliberate deviations (SURVEY.md section 7 "hard parts"):
+  - deterministic seeding (the reference seeds from the wall clock,
+    hasher.go:165) — per-tree rng = default_rng(seed + tree_index);
+  - max depth 62, not 63, so hashes stay in non-negative int64
+    (Spark LongType has no uint64);
+  - point sampling uses choice-without-replacement instead of the
+    reference's retry loop (<= 3N tries, hasher.go:106-117) — same
+    distributional intent, deterministic;
+  - tree build runs on a bounded sample, not the full dataset — at
+    100 TB a full driver-side collect is impossible; quality is
+    sample-tolerant because only split planes come from the data.
+
+The model is a small driver-side object, broadcast to executors for
+hashing; per-batch hashing is fully vectorized numpy (one matvec per
+tree level over the rows that reach that node).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vector_search_go_spark.config import MAX_DEPTH, TOL, LshConfig
+
+
+@dataclass
+class Plane:
+    n: np.ndarray  # normal vector, float64
+    d: float  # offset: dot(center, n)
+
+
+@dataclass
+class TreeNode:
+    plane: Plane | None = None
+    left: TreeNode | None = None
+    right: TreeNode | None = None
+
+
+@dataclass
+class Forest:
+    """NTrees independent random binary trees + the config they were
+    built with (reference Hasher, hasher.go:59-78)."""
+
+    config: LshConfig
+    trees: list[TreeNode] = field(default_factory=list)
+
+    # ------------------------------------------------------------------
+    # Build (reference build/buildTree/growTree, hasher.go:137-188)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(cls, vecs: np.ndarray, config: LshConfig) -> Forest:
+        X = np.asarray(vecs, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != config.dims:
+            raise ValueError(f"expected (n, {config.dims}) matrix, got {X.shape}")
+        trees = []
+        for t in range(config.n_trees):
+            rng = np.random.default_rng(config.seed + t)
+            trees.append(_grow_tree(X, np.arange(len(X)), 0, config, rng))
+        return cls(config=config, trees=trees)
+
+    # ------------------------------------------------------------------
+    # Hashing (reference getHash/getHashes, hasher.go:38-57,191-219)
+    # ------------------------------------------------------------------
+
+    def hash_batch(self, X: np.ndarray) -> np.ndarray:
+        """Hash a (n, dims) batch through every tree -> (n, n_trees) int64."""
+        X = np.asarray(X, dtype=np.float64)
+        if self.config.is_angular:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            X = np.where(norms > TOL, X / np.where(norms == 0, 1.0, norms), X)
+        out = np.zeros((len(X), len(self.trees)), dtype=np.int64)
+        for t, tree in enumerate(self.trees):
+            _hash_tree(tree, X, np.arange(len(X)), 0, out[:, t])
+        return out
+
+    def probe_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Multiprobe neighbor hash per (row, tree): flip the most
+        significant set bit (reference Search, lsh/lsh.go:146-151 —
+        neighborPos = floor(log2(hash)), 0 when hash == 0)."""
+        h = np.asarray(hashes, dtype=np.int64)
+        # Exact integer msb (floor(log2(h)) for h > 0, else 0) — float
+        # log2 would be off-by-one at hashes >= 2^53.
+        msb = np.zeros_like(h)
+        v = h.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            ge = v >= (np.int64(1) << shift)
+            msb[ge] += shift
+            v[ge] >>= shift
+        return h ^ (np.int64(1) << msb)
+
+    # ------------------------------------------------------------------
+    # Serialization (reference dump/load, hasher.go:222-251 — gob is
+    # Go-only; our wire format is JSON, SURVEY.md section 2 O26)
+    # ------------------------------------------------------------------
+
+    def to_json(self) -> str:
+        def enc(node: TreeNode | None):
+            if node is None:
+                return None
+            return {
+                "p": None
+                if node.plane is None
+                else [list(map(float, node.plane.n)), float(node.plane.d)],
+                "l": enc(node.left),
+                "r": enc(node.right),
+            }
+
+        return json.dumps(
+            {
+                "config": {
+                    "dims": self.config.dims,
+                    "n_trees": self.config.n_trees,
+                    "k_min_vecs": self.config.k_min_vecs,
+                    "is_angular": self.config.is_angular,
+                    "seed": self.config.seed,
+                    "sample_size": self.config.sample_size,
+                },
+                "trees": [enc(t) for t in self.trees],
+            }
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> Forest:
+        obj = json.loads(payload)
+
+        def dec(node) -> TreeNode | None:
+            if node is None:
+                return None
+            plane = None
+            if node["p"] is not None:
+                plane = Plane(n=np.asarray(node["p"][0], dtype=np.float64), d=node["p"][1])
+            return TreeNode(plane=plane, left=dec(node["l"]), right=dec(node["r"]))
+
+        cfg = LshConfig(**obj["config"])
+        return cls(config=cfg, trees=[dec(t) for t in obj["trees"]])
+
+
+# --------------------------------------------------------------------------
+# Internals
+# --------------------------------------------------------------------------
+
+
+def plane_by_points(p0: np.ndarray, p1: np.ndarray) -> Plane:
+    """Mid-plane between two points (reference planeByPoints,
+    hasher.go:87-98): center = (p0+p1)/2, n = p1 - center, d = center.n."""
+    center = 0.5 * (p0 + p1)
+    n = p1 - center
+    return Plane(n=n, d=float(center @ n))
+
+
+def random_plane(X: np.ndarray, idx: np.ndarray, is_angular: bool, rng) -> Plane:
+    """Random mid-plane from two distinct sampled points, ordered by
+    ascending norm; angular => points L2-normalized first (reference
+    getRandomPlane, hasher.go:100-134)."""
+    pick = rng.choice(len(idx), size=2, replace=False)
+    p0, p1 = X[idx[pick[0]]].copy(), X[idx[pick[1]]].copy()
+    n0, n1 = np.linalg.norm(p0), np.linalg.norm(p1)
+    if n0 > n1:
+        p0, p1 = p1, p0
+        n0, n1 = n1, n0
+    if is_angular:
+        p0 = p0 / n0 if n0 > TOL else np.zeros_like(p0)
+        p1 = p1 / n1 if n1 > TOL else np.zeros_like(p1)
+    return plane_by_points(p0, p1)
+
+
+def _grow_tree(
+    X: np.ndarray, idx: np.ndarray, depth: int, config: LshConfig, rng
+) -> TreeNode | None:
+    # Reference growTree guard (hasher.go:138): stop past the hash width
+    # or with fewer than 2 points (plane needs 2 distinct samples).
+    if depth > MAX_DEPTH or len(idx) < 2:
+        return None
+    plane = random_plane(X, idx, config.is_angular, rng)
+    node = TreeNode(plane=plane)
+    neg = (X[idx] @ plane.n - plane.d) < 0
+    left_idx, right_idx = idx[neg], idx[~neg]
+    # Children grown only past the KMinVecs threshold (hasher.go:153-160).
+    if len(right_idx) > config.k_min_vecs:
+        node.right = _grow_tree(X, right_idx, depth + 1, config, rng)
+    if len(left_idx) > config.k_min_vecs:
+        node.left = _grow_tree(X, left_idx, depth + 1, config, rng)
+    return node
+
+
+def _hash_tree(
+    node: TreeNode | None,
+    X: np.ndarray,
+    idx: np.ndarray,
+    depth: int,
+    out: np.ndarray,
+) -> None:
+    """Vectorized traversal: one (rows-at-node x dims) matvec per level.
+    Negative side sets the depth bit and goes left (traverse,
+    hasher.go:38-57)."""
+    if node is None or node.plane is None or len(idx) == 0:
+        return
+    neg = (X[idx] @ node.plane.n - node.plane.d) < 0
+    left_idx, right_idx = idx[neg], idx[~neg]
+    out[left_idx] |= np.int64(1) << depth
+    _hash_tree(node.left, X, left_idx, depth + 1, out)
+    _hash_tree(node.right, X, right_idx, depth + 1, out)

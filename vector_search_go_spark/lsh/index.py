@@ -1,0 +1,127 @@
+"""LSH index: train (bucket build) and persistence.
+
+Parity target: reference ``Train`` (lsh/lsh.go:106-134) — clear store,
+build tree forest, hash every vector, write one bucket entry per tree —
+and the KV store it writes into (store/kv/store.go:16-101).
+
+Spark shape (SURVEY.md section 3.1): the KV store becomes two
+DataFrames —
+
+  vectors(id BIGINT, vec ARRAY<DOUBLE-compatible>)   [SetVector]
+  buckets(tree INT, hash BIGINT, id BIGINT)          [SetHash]
+
+The tree forest is built driver-side from a bounded sample, broadcast,
+and applied as ONE Arrow-batched pandas UDF projection + posexplode —
+no per-row Python, no goroutine batching (the reference's BatchSize
+concurrency, lsh.go:114-131, is replaced by Spark partitions).
+
+Scale design: buckets are written partitioned by ``tree`` and sorted by
+``hash`` within files so a (tree, hash) equi-join prunes partitions and
+row groups; the model itself is tiny (KBs-MBs) and rides the broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from vector_search_go_spark.config import LshConfig
+from vector_search_go_spark.lsh.hasher import Forest
+
+
+def _hash_probe_udf(spark: SparkSession, forest: Forest, with_probes: bool):
+    """Arrow-batched UDF: vec -> array of n_trees hashes (train) or
+    2*n_trees [hashes..., probes...] (search, reference multiprobe
+    lsh/lsh.go:146-155). The forest is broadcast once per job."""
+    bc = spark.sparkContext.broadcast(forest.to_json())
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def hash_vec(batch: pd.Series) -> pd.Series:
+        forest_local = Forest.from_json(bc.value)
+        X = np.vstack(batch.to_numpy())
+        hashes = forest_local.hash_batch(X)
+        if with_probes:
+            probes = forest_local.probe_batch(hashes)
+            hashes = np.concatenate([hashes, probes], axis=1)
+        return pd.Series(list(hashes))
+
+    return hash_vec
+
+
+class LshIndex:
+    """Facade wiring config + forest + the two store DataFrames
+    (reference NewLsh/LSHIndex, lsh/lsh.go:85-103)."""
+
+    def __init__(self, config: LshConfig, forest: Forest, vectors: DataFrame, buckets: DataFrame):
+        self.config = config
+        self.forest = forest
+        self.vectors = vectors  # (id, vec)
+        self.buckets = buckets  # (tree, hash, id)
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        config: LshConfig,
+        id_col: str = "id",
+        vec_col: str = "vec",
+    ) -> "LshIndex":
+        """Build the index over df(id_col, vec_col).
+
+        Reference Train (lsh/lsh.go:106-134); the store-clear step is
+        implicit (fresh DataFrames). Tree build uses a deterministic
+        bounded sample — `limit(sample_size)` after a seeded shuffle-free
+        sample when the input is larger.
+        """
+        vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        sample_rows = (
+            vectors.select("vec").limit(config.sample_size).toPandas()["vec"].to_numpy()
+        )
+        X = np.vstack(sample_rows).astype(np.float64)
+        forest = Forest.build(X, config)
+        buckets = cls._bucketize(spark, vectors, forest)
+        return cls(config, forest, vectors, buckets)
+
+    @staticmethod
+    def _bucketize(spark: SparkSession, vectors: DataFrame, forest: Forest) -> DataFrame:
+        hash_vec = _hash_probe_udf(spark, forest, with_probes=False)
+        return (
+            vectors.select("id", F.posexplode(hash_vec("vec")).alias("tree", "hash"))
+            .select(F.col("tree").cast("int"), "hash", "id")
+        )
+
+    # ------------------------------------------------------------------
+    # Persistence (reference DumpHasher/LoadHasher, lsh/lsh.go:200-207;
+    # store Clear == overwrite mode)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        spark = self.vectors.sparkSession
+        spark.createDataFrame(
+            [(self.forest.to_json(),)], "model_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/model")
+        (
+            self.buckets.repartition("tree")
+            .sortWithinPartitions("hash")
+            .write.mode("overwrite")
+            .partitionBy("tree")
+            .parquet(f"{path}/buckets")
+        )
+        self.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LshIndex":
+        model_json = spark.read.json(f"{path}/model").collect()[0]["model_json"]
+        forest = Forest.from_json(model_json)
+        buckets = spark.read.parquet(f"{path}/buckets").select(
+            F.col("tree").cast("int"), "hash", "id"
+        )
+        vectors = spark.read.parquet(f"{path}/vectors")
+        return cls(forest.config, forest, vectors, buckets)

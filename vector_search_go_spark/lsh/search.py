@@ -1,0 +1,90 @@
+"""LSH batch search (reference Search, lsh/lsh.go:137-197).
+
+Pipeline (SURVEY.md section 2 O11-O13 mapping):
+
+  queries --hash UDF--> (query_id, tree, hash) incl. flipped-MSB probe
+          --equi-join--> buckets(tree, hash, id)      [bucket pruning]
+          --dropDuplicates(query_id, id)              [dedup, lsh.go:169-171]
+          --join vectors--> distance(metric)          [lsh.go:172-176]
+          --filter dist <= threshold                  [lsh.go:177]
+          --row_number window top-k, (dist, id) ties  [heap pop, lsh.go:192-196]
+
+Deterministic semantics: the reference truncates candidates at
+MaxCandidates in Go-map iteration order — nondeterministic (SURVEY.md
+section 3.2). We compute the global top-k of all in-threshold
+candidates (== reference with MaxCandidates=inf, which is how its
+benchmarks are tuned). ``max_candidates`` survives as an optional
+per-query candidate cap applied deterministically by (dist, id) order.
+
+Scale notes: the query-hash side is queries x 2*n_trees rows — small —
+so it broadcasts into the bucket join; the corpus never shuffles. The
+only wide exchange is the final per-query top-k window, whose input is
+already candidate-pruned (the whole point of the index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.functions.metrics import metric_dist
+from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
+from vector_search_go_spark.operators.topk import topk_per_group
+
+
+def lsh_search(
+    index: LshIndex,
+    queries: DataFrame,
+    metric: str,
+    k: int = 10,
+    threshold: float | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """queries(query_id, qvec) -> (query_id, id, dist, rn)."""
+    spark = queries.sparkSession
+    n_trees = index.config.n_trees
+    hash_vec = _hash_probe_udf(spark, index.forest, with_probes=True)
+
+    qhash = (
+        queries.select("query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash"))
+        .select(
+            "query_id",
+            (F.col("pos") % n_trees).cast("int").alias("tree"),
+            "hash",
+        )
+        # own + probe bucket may collide for degenerate trees; and the
+        # same (tree, hash) must not double-count a bucket per query
+        .dropDuplicates(["query_id", "tree", "hash"])
+    )
+    if broadcast_queries:
+        qhash = F.broadcast(qhash)
+
+    cand = (
+        index.buckets.join(qhash, on=["tree", "hash"])
+        .select("query_id", "id")
+        .dropDuplicates(["query_id", "id"])
+    )
+
+    qvecs = queries
+    if broadcast_queries:
+        qvecs = F.broadcast(qvecs)
+    scored = (
+        cand.join(index.vectors, on="id")
+        .join(qvecs, on="query_id")
+        .withColumn("dist", metric_dist(metric, F.col("qvec"), F.col("vec")))
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("dist") <= F.lit(float(threshold)))
+    if index.config.max_candidates is not None:
+        # Deterministic stand-in for the reference's candidate cap
+        # (lsh.go:143,162): keep the max_candidates best by (dist, id).
+        scored = topk_per_group(
+            scored,
+            ["query_id"],
+            "dist",
+            index.config.max_candidates,
+            tiebreak_cols=["id"],
+            rank_name="_cand_rank",
+        ).drop("_cand_rank")
+    top = topk_per_group(scored, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")

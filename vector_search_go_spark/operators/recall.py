@@ -1,0 +1,80 @@
+"""Precision/recall harness (reference annbench/annbench.go:144-187).
+
+Two variants, both as DataFrame aggregations over (prediction,
+ground-truth) result sets keyed by query_id:
+
+  - set-based:  |pred n truth| / |pred| and / |truth|
+    (PrecisionRecall, annbench.go:144-162)
+  - epsilon-approximate (ann-benchmarks, arXiv:1807.05614): a predicted
+    neighbor counts iff its distance <= (1+eps) * true k-th... the
+    reference's variant checks pred in truth-set AND
+    dist_i <= (1+eps) * trueDist_i positionally
+    (DistanceBasedPrecisionRecall, annbench.go:165-187).
+
+Inputs are the outputs of lsh_search / exact_knn_join:
+(query_id, id, dist, rn).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def precision_recall(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-query set precision/recall -> (query_id, precision, recall)."""
+    p = pred.select("query_id", "id")
+    t = truth.select("query_id", "id")
+    hits = (
+        p.join(t, on=["query_id", "id"], how="inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    np_ = p.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        np_.join(nt, "query_id", "full")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_pred")).alias("precision"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_truth")).alias("recall"),
+        )
+    )
+
+
+def distance_based_precision_recall(
+    pred: DataFrame, truth: DataFrame, epsilon: float = 0.05
+) -> DataFrame:
+    """Positional epsilon-approximate P/R (annbench.go:165-187): the
+    rank-i prediction is valid iff its id is in the truth set AND its
+    distance <= (1+eps) * the rank-i true distance."""
+    t_set = truth.select("query_id", "id")
+    t_pos = truth.select("query_id", F.col("rn").alias("rn"), F.col("dist").alias("true_dist"))
+    p = pred.select("query_id", "id", "dist", "rn")
+    valid = (
+        p.join(t_set.withColumn("_in_truth", F.lit(1)), ["query_id", "id"], "left")
+        .join(t_pos, ["query_id", "rn"], "left")
+        .withColumn(
+            "_valid",
+            (
+                F.col("_in_truth").isNotNull()
+                & F.col("true_dist").isNotNull()
+                & (F.col("dist") <= (1.0 + epsilon) * F.col("true_dist"))
+            ).cast("int"),
+        )
+    )
+    n_valid = valid.groupBy("query_id").agg(
+        F.sum("_valid").alias("n_valid"), F.count(F.lit(1)).alias("n_pred")
+    )
+    nt = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return n_valid.join(nt, "query_id").select(
+        "query_id",
+        (F.col("n_valid") / F.col("n_pred")).alias("precision"),
+        (F.col("n_valid") / F.col("n_truth")).alias("recall"),
+    )
+
+
+def mean_precision_recall(pr: DataFrame) -> tuple[float, float]:
+    row = pr.agg(F.avg("precision").alias("p"), F.avg("recall").alias("r")).collect()[0]
+    return float(row["p"]), float(row["r"])

@@ -1,0 +1,88 @@
+"""LSH query-pack entries (SURVEY.md section 2 O2-O13, O21-O22).
+
+These are deterministic (seeded forest, (dist, id) tie-breaks) but NOT
+SQL-expressible — the bucket structure depends on our random trees — so
+they are registered without oracle SQL and get the driver's rows-only
+check; correctness is enforced instead by:
+  - tests/test_lsh_e2e.py (reference fixtures, lsh/lsh_test.go:281-341)
+  - the epsilon-recall gate vs the exact-KNN oracle (lsh_recall_*),
+    mirroring the reference's annbench harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.config import LshConfig
+from vector_search_go_spark.lsh.index import LshIndex
+from vector_search_go_spark.lsh.search import lsh_search
+from vector_search_go_spark.operators.exact_knn import embeddings_split, exact_knn_join
+from vector_search_go_spark.operators.recall import distance_based_precision_recall
+from vector_search_go_spark.registry import register
+
+# 40 trees / kmin 10 lands the sf0.01 64-d embeddings at ~0.95/0.95
+# epsilon-recall vs exact — the reference's Euclidean band (BASELINE.md).
+_CFG = dict(dims=64, n_trees=40, k_min_vecs=10, seed=42)
+
+
+def _index(spark: SparkSession, sf_dir: str, metric: str) -> tuple[LshIndex, DataFrame, DataFrame]:
+    queries, corpus = embeddings_split(spark, sf_dir)
+    cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)
+    idx = LshIndex.train(spark, corpus, cfg, id_col="id", vec_col="vec")
+    return idx, queries, corpus
+
+
+@register("lsh_knn_l2")
+def lsh_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + batch ANN search, L2 (reference Train lsh.go:106-134 +
+    Search lsh.go:137-197), k=10 over the held-out embeddings split."""
+    idx, queries, _ = _index(spark, sf_dir, "l2")
+    return lsh_search(idx, queries, metric="l2", k=10)
+
+
+@register("lsh_knn_cosine")
+def lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline under the angular metric (normalized hashing,
+    reference hasher.go:198-205)."""
+    idx, queries, _ = _index(spark, sf_dir, "cosine")
+    return lsh_search(idx, queries, metric="cosine", k=10)
+
+
+@register("lsh_recall_l2")
+def lsh_recall_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon=0.05 distance-based precision/recall of LSH vs the exact
+    oracle (reference DistanceBasedPrecisionRecall, annbench.go:165-187)."""
+    idx, queries, corpus = _index(spark, sf_dir, "l2")
+    pred = lsh_search(idx, queries, metric="l2", k=10)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    return distance_based_precision_recall(pred, truth, epsilon=0.05)
+
+
+@register("lsh_bucket_profile")
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution per tree — the observability view of the
+    (tree, hash, id) store (reference KVStore, store/kv/store.go:16-101)."""
+    idx, _, _ = _index(spark, sf_dir, "l2")
+    sizes = idx.buckets.groupBy("tree", "hash").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("tree").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        F.avg("sz").alias("avg_sz"),
+    )
+
+
+@register("lsh_model_hashes")
+def lsh_model_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialization round-trip probe: hash the corpus, save/load the
+    model as JSON (reference DumpHasher/LoadHasher, lsh/lsh.go:200-207),
+    re-hash, return ids whose hashes disagree — MUST be empty plus a
+    sentinel count row. Registered rows-only (expected exactly 1 row)."""
+    from vector_search_go_spark.lsh.hasher import Forest
+
+    idx, _, corpus = _index(spark, sf_dir, "l2")
+    reloaded = Forest.from_json(idx.forest.to_json())
+    b2 = LshIndex._bucketize(spark, corpus, reloaded)
+    diff = idx.buckets.exceptAll(b2).union(b2.exceptAll(idx.buckets))
+    return diff.agg(F.count(F.lit(1)).alias("n_mismatched_bucket_rows"))

@@ -102,6 +102,98 @@ def matrix_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_ORACLE = """
+WITH e AS (
+  SELECT t.i - 1 AS dim, vec_id, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)
+), g AS (
+  SELECT dim, list(x ORDER BY vec_id) AS xs, count(*) AS n FROM e GROUP BY dim
+), m AS (
+  SELECT dim, n, xs,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (_a, _b) -> _a + _b) / n AS mean
+  FROM g
+)
+SELECT CAST(dim AS INT) AS dim, mean,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list_transform(xs, _v -> abs(_v - mean))),
+                   (_a, _b) -> _a + _b) / n AS mad
+FROM m
+"""
+
+
+def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fixed mean + MAD per dimension. Replicates the reference's
+    GetMeanStdSampled semantics (helpers.go:45-80) where "std" is mean
+    absolute deviation — NOT true std (SURVEY.md section 2 O19). The
+    fold over a vec_id-sorted list makes the double sum order-identical
+    to the DuckDB oracle; the production path (operators.stats) uses
+    plain avg()."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    g = exploded.groupBy("dim").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "x"))).alias("pairs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    xs = F.transform(F.col("pairs"), lambda p: p["x"])
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    m = g.select(
+        "dim", "n", xs.alias("xs"), (fold(xs) / F.col("n")).alias("mean")
+    )
+    mad = fold(F.transform(F.col("xs"), lambda v: F.abs(v - F.col("mean")))) / F.col("n")
+    return m.select(F.col("dim").cast("int"), "mean", mad.alias("mad"))
+
+
+@register("vector_stats_mad", oracle=_STATS_ORACLE)
+def vector_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats_df(spark, sf_dir)
+
+
+@register(
+    "vector_scale_standard",
+    oracle=f"""
+WITH m AS ({_STATS_ORACLE}),
+arrs AS (
+  SELECT list(mean ORDER BY dim) AS mean_arr, list(mad ORDER BY dim) AS mad_arr FROM m
+)
+SELECT vec_id,
+       list_transform(list_zip(embedding, mean_arr, mad_arr),
+         _t -> CASE WHEN abs(_t[3]) <= 1e-12
+                    THEN CAST(_t[1] AS DOUBLE) - _t[2]
+                    ELSE (CAST(_t[1] AS DOUBLE) - _t[2]) / _t[3] END) AS scaled
+FROM embeddings, arrs
+WHERE vec_id < 20
+""",
+)
+def vector_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard scaler (reference NewStandartScaler/Scale,
+    helpers.go:152-191): (x - mean)/"std" with the reference's
+    zero-std -> divide-by-1 fill; "std" is the MAD from O19."""
+    stats = _stats_df(spark, sf_dir)
+    arrs = stats.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "mean", "mad"))).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda p: p["mean"]).alias("mean_arr"),
+        F.transform(F.col("s"), lambda p: p["mad"]).alias("mad_arr"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 20
+    )
+    xm = F.zip_with(
+        F.col("embedding"), F.col("mean_arr"), lambda x, m: x.cast("double") - m
+    )
+    scaled = F.zip_with(
+        xm,
+        F.col("mad_arr"),
+        lambda v, s: F.when(F.abs(s) <= 1e-12, v).otherwise(v / s),
+    )
+    return emb.crossJoin(F.broadcast(arrs)).select("vec_id", scaled.alias("scaled"))
+
+
 @register(
     "pairwise_dist_sample",
     oracle=f"""
