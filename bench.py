@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style collect (no driver-side
+row transfer beyond aggregates/top-k results). The first query pays JVM
+warm-up; a tiny warm-up job runs first so per-query numbers are
+comparable. LSH entries time train+search together (the reference's
+annbench does the same split-up, BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_running_sum",
+    "time_bucket_events",
+    "knn_exact_l2",
+    "knn_exact_cosine",
+    "lsh_knn_l2",
+    "lsh_recall_l2",
+    "vector_stats_mad",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "ann_ivf_cosine",
+]
+
+
+def main() -> None:
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark import registry
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # JVM/codegen warm-up outside the timed section.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
