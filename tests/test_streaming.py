@@ -1,0 +1,75 @@
+"""Structured Streaming over events: windowed counts + stateful
+sessionization, checked against their batch twins."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.io import table
+from vector_search_go_spark.queries_pipeline import sessionize_events
+from vector_search_go_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # file-stream sources require a directory of files
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(windowed_counts(stream), "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in batch.collect()
+    }
+    # Append mode only emits windows finalized by the watermark: the
+    # last <watermark delay> of event time stays open at end-of-stream.
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    finalized = {
+        k: v
+        for k, v in want.items()
+        if (max_ts - k[0]).total_seconds() > 3 * 3600
+    }
+    assert got.items() >= finalized.items()
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k] == want[k]
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(sessionize_stream(stream), "sessions")
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+    batch = sessionize_events(spark, sf_dir)
+    last = batch.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
+    closed = batch.join(last, "user_id").filter(
+        F.col("session_seq") < F.col("last_seq")
+    )
+    want = {
+        (r["user_id"], r["session_seq"]): r["n_events"] for r in closed.collect()
+    }
+    assert got == want

@@ -1,0 +1,161 @@
+"""Pipeline query pack: IVF ANN, sessionization, multimodal byte stats.
+
+All three are the batch faces of scale-path operators:
+  - ann_ivf_cosine: coarse-quantized similarity search (operators.ann_ivf)
+  - sessionize_events: the batch equivalent of the stateful streaming
+    sessionizer (streaming.events.sessionize_stream)
+  - multimodal_byte_stats: binary-payload feature extraction; the
+    mapInPandas variant lives in operators.multimodal (rows-only entry
+    multimodal_features)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.io import table
+from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
+from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist
+from vector_search_go_spark.registry import register
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 31 = 7
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 <> 0
+), assign AS (
+  SELECT id, vec, cid AS cell FROM (
+    SELECT c.id, c.vec, cent.cid,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {sql_cosine_dist('c.vec', 'cent.cvec')}, cent.cid) AS _r
+    FROM c CROSS JOIN cent) WHERE _r = 1
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT q.query_id, q.qvec, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine_dist('q.qvec', 'cent.cvec')}, cent.cid) AS _r
+    FROM q CROSS JOIN cent) WHERE _r <= 4
+), cand AS (
+  SELECT p.query_id, a.id, {sql_cosine_dist('p.qvec', 'a.vec')} AS dist
+  FROM probes p JOIN assign a ON p.cell = a.cell
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM cand) WHERE rn <= 10
+"""
+
+
+@register("ann_ivf_cosine", oracle=_IVF_ORACLE)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized cosine ANN over embeddings: deterministic
+    centroid subset (vec_id % 31 == 7), nprobe=4, k=10."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 31 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cells = assign_cells(corpus, centroids, metric="cosine")
+    return ivf_search(queries, cells, centroids, metric="cosine", k=10, nprobe=4)
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM x
+)
+SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+       count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), batch form: lag + cumsum
+    over a per-user window, then one group-by. The streaming twin is
+    streaming.events.sessionize_stream (applyInPandasWithState)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+    x = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    s = x.withColumn("session_seq", F.sum("is_new").over(cum).cast("int"))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1),
+                             _i -> CAST(ascii(text[_i:_i]) AS BIGINT))),
+            (_a, _b) -> _a + _b) AS BIGINT) AS byte_sum,
+       CAST(ascii(text[1:1]) AS INT) AS first_byte
+FROM documents
+""",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload stats computed natively (exact-integer folds — the
+    oracle-checkable face of binary feature extraction; the ASCII corpus
+    makes codepoint == byte). The Arrow mapInPandas extractor is
+    multimodal_features."""
+    docs = table(spark, sf_dir, "documents")
+    byte_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text")),
+            lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        byte_sum.alias("byte_sum"),
+        F.ascii(F.col("text").substr(1, 1)).alias("first_byte"),
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (operators.multimodal.fake_decode_features; decode itself is stubbed
+    — no codec libs in this container). Rows-only check."""
+    from vector_search_go_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_decode_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return fake_decode_features(attach_binary_payload(docs))

@@ -1,0 +1,473 @@
+"""LLM-data-pipeline query pack: deduplication, similarity join, and
+text analysis over the ``documents`` / ``embeddings`` tables.
+
+Beyond-reference surface required by the north star (SURVEY.md
+section 7 Phase 5). Scale design notes:
+
+  - Near-dup candidate generation is NEVER all-pairs: n-gram Jaccard
+    uses an inverted-index (shared-shingle) join; MinHash uses banded
+    signatures -> equality join on (band, band_key). Both shapes stay
+    shuffle-bounded at 100 TB (join keys are shingles/band keys, heavily
+    pruned before the pair aggregation).
+  - The one all-pairs query (embedding cosine near-dup) is bounded and
+    labeled as the small-scale oracle path; the scale path is the
+    LSH/IVF bucketed variants (queries_lsh / ann_ivf_cosine).
+  - Everything here is native Catalyst exprs (md5, arrays, lambdas) —
+    no Python UDFs — so it is whole-stage-codegen'd AND exactly
+    expressible in DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.io import table
+from vector_search_go_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared shingle builders (word trigrams), kept textually parallel:
+#   Spark: _shingles_col()        DuckDB: _SQL_SHINGLES
+# ---------------------------------------------------------------------------
+
+
+def _tokens_col():
+    return F.split(F.col("text"), " ")
+
+
+def _shingles_col(w):
+    """Distinct word-trigram shingles, 1-based windows (guarded by the
+    WHERE size >= 3 filter both sides)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+
+
+_SQL_DOCS_SHINGLED = """
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                                      _i -> w[_i] || ' ' || w[_i+1] || ' ' || w[_i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = _tokens_col()
+    return (
+        docs.withColumn("w", w)
+        .filter(F.size("w") >= 3)
+        .select("doc_id", _shingles_col(F.col("w")).alias("shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id canonical pick.
+    One shuffle on the content hash; at 100 TB the md5 key distributes
+    uniformly so no skew handling is needed."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SQL_DOCS_SHINGLED}),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8) with
+    inverted-index candidate generation: explode shingles, equi-join on
+    the shingle, aggregate intersection counts — only docs sharing at
+    least one shingle ever meet, never all-pairs."""
+    sh = _shingled_docs(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), "s")
+    pairs = (
+        a.join(b, on="s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_K = 16
+_MINHASH_BAND = 4  # rows per band -> 4 bands
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SQL_DOCS_SHINGLED}),
+es AS (
+  SELECT doc_id, _h.i AS i, unnest(shingles) AS s
+  FROM sh, range(0, {_MINHASH_K}) _h(i)
+),
+sig AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '_' || s)) AS mh
+  FROM es GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {_MINHASH_BAND} AS band,
+         md5(array_to_string(list(mh ORDER BY i), '|')) AS band_key
+  FROM sig GROUP BY doc_id, i // {_MINHASH_BAND}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> K min-hashes (min of
+    md5(i || '_' || shingle) per hash index — deterministic, engine-
+    portable) -> banded signature -> equality join on (band, band_key).
+
+    The scale path for dedup at 100 TB: candidate generation is an
+    equi-join on band keys, so cost tracks the number of true near-dup
+    pairs, not n^2. Verification (exact Jaccard) is dedup_ngram_jaccard
+    on the candidate set."""
+    sh = _shingled_docs(spark, sf_dir)
+    es = sh.select(
+        "doc_id",
+        F.explode("shingles").alias("s"),
+    ).crossJoin(spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("i")))
+    sig = es.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("_"), F.col("s")))).alias(
+            "mh"
+        )
+    )
+    bands = (
+        sig.withColumn("band", (F.col("i") / _MINHASH_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
+                        lambda p: p["mh"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, _x -> CAST(_x AS DOUBLE) * CAST(_x AS DOUBLE))),
+              (_a, _b) -> _a + _b)) AS nrm,
+         embedding
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       1 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.embedding, b.embedding),
+                            _t -> CAST(_t[1] AS DOUBLE) * CAST(_t[2] AS DOUBLE))),
+             (_x, _y) -> _x + _y) / (a.nrm * b.nrm) AS cos_dist
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE 1 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(a.embedding, b.embedding),
+                           _t -> CAST(_t[1] AS DOUBLE) * CAST(_t[2] AS DOUBLE))),
+            (_x, _y) -> _x + _y) / (a.nrm * b.nrm) <= 0.6
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bounded all-pairs oracle path;
+    the scale path is the bucketed LSH similarity join in queries_lsh).
+    Norms are precomputed once per side — 1 fold instead of 3 per pair."""
+    from vector_search_go_spark.functions.metrics import dot, l2_norm
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_dist = F.lit(1.0) - dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_dist", cos_dist)
+        .filter(F.col("cos_dist") <= 0.6)
+        .select("id_a", "id_b", "cos_dist")
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document, all native exprs: token -> md5 ->
+    60-bit int (conv of 15 hex chars), per-bit +/-1 vote weighted by
+    token frequency, sign-majority reassembly. Rows-only check (no
+    portable hex->int in the oracle dialect); unit-tested in
+    tests/test_text.py. At scale: two shuffles (token vote agg is
+    map-side combined on (doc, bit))."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    ).withColumn("vote", F.expr("(h >> bit) & 1") * 2 - 1)
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        votes.withColumn(
+            "contrib",
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+       n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a regex word tokenizer
+    (the BPE-ish pre-tokenization pass of a training pipeline)."""
+    docs = table(spark, sf_dir, "documents")
+    w = _tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_word_tokens"),
+        "n_chars",
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars,
+         len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_uniq,
+         len(list_filter(w, _x -> _x IN {_STOPWORDS!r})) AS n_stop
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+         + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.2 ELSE 0.0 END)
+         AS quality_score
+FROM m
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: lexical diversity + stopword presence
+    + length band (the standard cheap pre-filter for training data)."""
+    docs = table(spark, sf_dir, "documents")
+    w = _tokens_col()
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "lang",
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            uniq_ratio * 0.5
+            + stop_ratio * 0.3
+            + F.when(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 0.2
+            ).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+SELECT tok, n FROM (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok)
+ORDER BY n DESC, tok LIMIT 20
+""",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram, top 20 (vocabulary profiling)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH sh AS ({_SQL_DOCS_SHINGLED})
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_transform(shingles, _s -> md5(_s)))[1:3], '|'))
+         AS fingerprint
+FROM sh
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the 3 smallest shingle hashes
+    (a k-min sketch — winnowing-style content signature stable under
+    small edits)."""
+    sh = _shingled_docs(spark, sf_dir)
+    parts = F.slice(
+        F.array_sort(F.transform(F.col("shingles"), lambda s: F.md5(s))), 1, 3
+    )
+    return sh.select(
+        "doc_id", F.md5(F.concat_ws("|", parts)).alias("fingerprint")
+    )
+
+
+@register("text_langid_accuracy")
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-based language ID: learn char-bigram relative frequencies
+    per language on a train split (doc_id % 5 != 0), score held-out docs
+    by mean profile frequency of their bigrams, predict argmax.
+    Rows-only (float-sum argmax is not portably bit-stable). Returns a
+    per-language confusion summary."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    train = bigrams.filter(F.col("doc_id") % 5 != 0)
+    profile = (
+        train.groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("freq", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("lang")))
+        .select(F.col("lang").alias("plang"), "bg", "freq")
+    )
+    test = bigrams.filter(F.col("doc_id") % 5 == 0)
+    scored = (
+        test.join(F.broadcast(profile), on="bg", how="inner")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum("freq").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("predicted"))
+    )
+    return pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lang") == F.col("predicted")).cast("int")).alias("n_correct"),
+    )

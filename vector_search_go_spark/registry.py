@@ -61,5 +61,6 @@ def _ensure_loaded() -> None:
     from vector_search_go_spark import queries_relational  # noqa: F401
     from vector_search_go_spark import queries_text  # noqa: F401
     from vector_search_go_spark import queries_lsh  # noqa: F401
+    from vector_search_go_spark import queries_pipeline  # noqa: F401
 
     _LOADED = True

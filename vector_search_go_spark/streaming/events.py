@@ -1,0 +1,120 @@
+"""Structured Streaming ingest of the events table.
+
+Net-new surface (the reference has no streaming — SURVEY.md section 2:
+index is batch-rebuilt on every Train). Patterns covered:
+
+  - file-source readStream over the events parquet (schema pinned; the
+    nanosecond ts is read as long and truncated to micros, matching the
+    batch path in io.py);
+  - tumbling event-time windows with a watermark for late data;
+  - arbitrary stateful sessionization via applyInPandasWithState
+    (gap-based sessions, the custom-stateful-operator slot).
+
+Tests drive these with Trigger.availableNow into a memory sink and
+assert equality with the batch equivalents (time_bucket_events /
+sessionize_events query entries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts + value sum with a watermark —
+    late rows beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "last_ts long, session_seq int, n_events int"
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization (applyInPandasWithState): a new session
+    starts when the microsecond gap to the previous event exceeds
+    SESSION_GAP_US (identical comparison to the batch twin in
+    queries_pipeline.sessionize_events)."""
+    (user_id,) = key
+    last_ts, session_seq, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    rows = []
+    for pdf in pdfs:
+        for ts in sorted(int(t.value) // 1_000 for t in pd.to_datetime(pdf["ts"])):
+            if last_ts is None or ts - last_ts > SESSION_GAP_US:
+                if session_seq > 0:
+                    rows.append((user_id, session_seq, n_events))
+                session_seq += 1
+                n_events = 0
+            n_events += 1
+            last_ts = ts
+    state.update((last_ts, session_seq, n_events))
+    # Emit closed sessions; the open session stays in state.
+    yield pd.DataFrame(rows, columns=["user_id", "session_seq", "n_events"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, timeout: int = 120) -> None:
+    """Drive a streaming DF to completion with availableNow into an
+    in-memory table (test/bench helper)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if df.isStreaming else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
