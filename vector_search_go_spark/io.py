@@ -39,6 +39,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a DataFrame across the cluster's cores before CPU-heavy
+    narrow transforms (md5 sweeps, per-row vector math).
+
+    Small single-file inputs arrive as ONE split — on local[32] that
+    serializes 7M-hash projections onto one core. At 100 TB inputs have
+    thousands of splits and this is a no-op (the guard keeps it from
+    inserting a pointless full shuffle on large inputs)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 

@@ -33,15 +33,28 @@ from vector_search_go_spark.config import LshConfig
 from vector_search_go_spark.lsh.hasher import Forest
 
 
+# Per-executor-process cache of deserialized forests, keyed by model
+# digest: python workers are reused across batches/jobs, so each worker
+# pays the JSON parse once per model instead of once per Arrow batch.
+_FOREST_CACHE: dict[str, Forest] = {}
+
+
 def _hash_probe_udf(spark: SparkSession, forest: Forest, with_probes: bool):
     """Arrow-batched UDF: vec -> array of n_trees hashes (train) or
     2*n_trees [hashes..., probes...] (search, reference multiprobe
     lsh/lsh.go:146-155). The forest is broadcast once per job."""
-    bc = spark.sparkContext.broadcast(forest.to_json())
+    import hashlib
+
+    payload = forest.to_json()
+    bc = spark.sparkContext.broadcast(payload)
+    bc_id = hashlib.md5(payload.encode()).hexdigest()
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def hash_vec(batch: pd.Series) -> pd.Series:
-        forest_local = Forest.from_json(bc.value)
+        forest_local = _FOREST_CACHE.get(bc_id)
+        if forest_local is None:
+            forest_local = Forest.from_json(bc.value)
+            _FOREST_CACHE[bc_id] = forest_local
         X = np.vstack(batch.to_numpy())
         hashes = forest_local.hash_batch(X)
         if with_probes:
@@ -91,6 +104,10 @@ class LshIndex:
 
     @staticmethod
     def _bucketize(spark: SparkSession, vectors: DataFrame, forest: Forest) -> DataFrame:
+        # No forced repartition here: the pandas-UDF hash is numpy-
+        # vectorized per Arrow batch, so per-partition Python-worker
+        # startup dominates on small inputs; large inputs already arrive
+        # with many splits.
         hash_vec = _hash_probe_udf(spark, forest, with_probes=False)
         return (
             vectors.select("id", F.posexplode(hash_vec("vec")).alias("tree", "hash"))

@@ -29,13 +29,18 @@ def assign_cells(
 ) -> DataFrame:
     """corpus(id, vec) x centroids(cid, cvec) -> (id, vec, cell):
     nearest centroid per vector, (dist, cid) tie-break."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+    from vector_search_go_spark.io import ensure_parallelism
+
+    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(centroids)).withColumn(
         "cdist", metric_dist(metric, F.col("vec"), F.col("cvec"))
     )
-    best = topk_per_group(
-        scored, ["id"], "cdist", 1, tiebreak_cols=["cid"], rank_name="_r"
+    # argmin by (cdist, cid) via min(struct) — a map-side-combinable
+    # aggregation instead of a per-id window shuffle; vec is constant
+    # within the group so first() is deterministic.
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("cdist", "cid")).alias("_m"), F.first("vec").alias("vec")
     )
-    return best.select("id", "vec", F.col("cid").alias("cell"))
+    return best.select("id", "vec", F.col("_m.cid").alias("cell"))
 
 
 def ivf_search(

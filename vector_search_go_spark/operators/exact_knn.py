@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_go_spark.functions.metrics import metric_dist
+from vector_search_go_spark.config import TOL
+from vector_search_go_spark.functions.metrics import dot, l2_norm, metric_dist
 from vector_search_go_spark.operators.topk import topk_per_group
 
 
@@ -35,9 +36,29 @@ def exact_knn_join(
 
     ``threshold`` mirrors the reference's ``distanceThrsh`` filter
     (lsh/lsh.go:177); None means no thresholding.
+
+    For cosine, norms are precomputed once per row on each side before
+    the join — one fold per pair (the dot product) instead of three.
+    Bit-identical to the inline form: the folds run over the same
+    vectors and IEEE multiplication is commutative.
     """
-    cand = corpus.crossJoin(F.broadcast(queries))
-    cand = cand.withColumn("dist", metric_dist(metric, F.col("qvec"), F.col("vec")))
+    from vector_search_go_spark.io import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    if metric in ("cosine", "angular"):
+        queries = queries.withColumn("_qn", l2_norm(F.col("qvec")))
+        corpus = corpus.withColumn("_vn", l2_norm(F.col("vec")))
+        cand = corpus.crossJoin(F.broadcast(queries))
+        raw = F.lit(1.0) - dot(F.col("qvec"), F.col("vec")) / (
+            F.col("_qn") * F.col("_vn")
+        )
+        dist = F.when(
+            (F.col("_qn") <= F.lit(TOL)) | (F.col("_vn") <= F.lit(TOL)), F.lit(1.0)
+        ).otherwise(F.when(raw < F.lit(TOL), F.lit(0.0)).otherwise(raw))
+        cand = cand.withColumn("dist", dist)
+    else:
+        cand = corpus.crossJoin(F.broadcast(queries))
+        cand = cand.withColumn("dist", metric_dist(metric, F.col("qvec"), F.col("vec")))
     if threshold is not None:
         cand = cand.filter(F.col("dist") <= F.lit(float(threshold)))
     top = topk_per_group(

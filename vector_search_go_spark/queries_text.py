@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_go_spark.io import table
+from vector_search_go_spark.io import ensure_parallelism, table
 from vector_search_go_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -58,7 +58,7 @@ _SQL_DOCS_SHINGLED = """
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     w = _tokens_col()
     return (
         docs.withColumn("w", w)
@@ -84,7 +84,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, min-id canonical pick.
     One shuffle on the content hash; at 100 TB the md5 key distributes
     uniformly so no skew handling is needed."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -146,18 +146,18 @@ _MINHASH_BAND = 4  # rows per band -> 4 bands
     "dedup_minhash_lsh",
     oracle=f"""
 WITH sh AS ({_SQL_DOCS_SHINGLED}),
-es AS (
-  SELECT doc_id, _h.i AS i, unnest(shingles) AS s
-  FROM sh, range(0, {_MINHASH_K}) _h(i)
-),
 sig AS (
-  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '_' || s)) AS mh
-  FROM es GROUP BY doc_id, i
+  SELECT doc_id,
+         list_transform(range(0, {_MINHASH_K}),
+           _i -> list_min(list_transform(shingles,
+                   _s -> md5(CAST(_i AS VARCHAR) || '_' || _s)))) AS mhs
+  FROM sh
 ),
 bands AS (
-  SELECT doc_id, i // {_MINHASH_BAND} AS band,
-         md5(array_to_string(list(mh ORDER BY i), '|')) AS band_key
-  FROM sig GROUP BY doc_id, i // {_MINHASH_BAND}
+  SELECT doc_id, _b.band AS band,
+         md5(array_to_string(mhs[_b.band * {_MINHASH_BAND} + 1 :
+                                 (_b.band + 1) * {_MINHASH_BAND}], '|')) AS band_key
+  FROM sig, range(0, {_MINHASH_K // _MINHASH_BAND}) _b(band)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_bands
@@ -167,42 +167,45 @@ GROUP BY a.doc_id, b.doc_id
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle -> K min-hashes (min of
-    md5(i || '_' || shingle) per hash index — deterministic, engine-
-    portable) -> banded signature -> equality join on (band, band_key).
+    """MinHash+LSH near-dup candidates: per-doc signature of K min-hashes
+    (min of md5(i || '_' || shingle) per hash index — deterministic,
+    engine-portable) -> banded keys -> equality join on (band, band_key).
 
-    The scale path for dedup at 100 TB: candidate generation is an
-    equi-join on band keys, so cost tracks the number of true near-dup
-    pairs, not n^2. Verification (exact Jaccard) is dedup_ngram_jaccard
-    on the candidate set."""
+    Scale shape: the whole signature is ONE narrow projection (array
+    lambdas inside whole-stage codegen — no explode, no shuffle until
+    the band join), so cost is linear in corpus size; candidate
+    generation is an equi-join on band keys, so pair cost tracks true
+    near-dups, not n^2. Verification (exact Jaccard) is
+    dedup_ngram_jaccard on the candidate set."""
     sh = _shingled_docs(spark, sf_dir)
-    es = sh.select(
+    sig = sh.select(
         "doc_id",
-        F.explode("shingles").alias("s"),
-    ).crossJoin(spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("i")))
-    sig = es.groupBy("doc_id", "i").agg(
-        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("_"), F.col("s")))).alias(
-            "mh"
-        )
-    )
-    bands = (
-        sig.withColumn("band", (F.col("i") / _MINHASH_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
-                        lambda p: p["mh"],
-                    ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("_"), s)),
                 )
-            ).alias("band_key")
-        )
+            ),
+        ).alias("mhs"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K // _MINHASH_BAND - 1))).alias(
+            "band"
+        ),
+        "mhs",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|", F.slice(F.col("mhs"), F.col("band") * _MINHASH_BAND + 1, _MINHASH_BAND)
+            )
+        ).alias("band_key"),
     )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
         a.join(b, on=["band", "band_key"])
@@ -274,7 +277,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hex->int in the oracle dialect); unit-tested in
     tests/test_text.py. At scale: two shuffles (token vote agg is
     map-side combined on (doc, bit))."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(_tokens_col()).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
@@ -315,7 +318,7 @@ FROM documents
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a regex word tokenizer
     (the BPE-ish pre-tokenization pass of a training pipeline)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     w = _tokens_col()
     return docs.select(
         "doc_id",
@@ -355,7 +358,7 @@ FROM m
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: lexical diversity + stopword presence
     + length band (the standard cheap pre-filter for training data)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     w = _tokens_col()
     m = docs.select(
         "doc_id",
@@ -395,7 +398,7 @@ ORDER BY n DESC, tok LIMIT 20
 )
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token histogram, top 20 (vocabulary profiling)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(_tokens_col()).alias("tok"))
         .groupBy("tok")
@@ -437,7 +440,7 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language confusion summary."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     bigrams = docs.select(
         "doc_id",
         "lang",
