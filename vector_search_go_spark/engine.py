@@ -1,0 +1,119 @@
+"""User-facing engine facade.
+
+API parity with the reference's public surface so a user of
+``gasparian/lsh-search-go`` can switch 1:1 (SURVEY.md section 2 O1,
+O16, O20, O26):
+
+  reference                               here
+  ---------                               ----
+  NewLsh(config, store, metric)       ->  VectorSearchEngine(spark, config, metric)
+  lsh.Train(vecs, ids)                ->  engine.train(df)        [lsh/lsh.go:106-134]
+  lsh.Search(query, maxNN, thresh)    ->  engine.search(queries_df, k, threshold)
+                                          [lsh/lsh.go:137-197]
+  NNMock (exact Indexer)              ->  backend="exact"         [annbench.go:56-125]
+  DumpHasher()/LoadHasher()           ->  engine.save(path) / VectorSearchEngine.load(...)
+                                          [lsh/lsh.go:200-207]
+  store.Store (pluggable KV)          ->  parquet path convention; any Spark
+                                          datasource works        [store/store.go:12-18]
+
+Single-vector convenience search mirrors the reference's one-query
+call; the batch DataFrame form is the native shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.config import LshConfig
+from vector_search_go_spark.functions.metrics import is_angular
+from vector_search_go_spark.lsh.index import LshIndex
+from vector_search_go_spark.lsh.search import lsh_search
+from vector_search_go_spark.operators.exact_knn import exact_knn_join
+
+
+class VectorSearchEngine:
+    """metric: 'l2' or 'cosine' (reference Metric interface, lsh/lsh.go:48-51).
+    backend: 'lsh' (the index) or 'exact' (NNMock-equivalent oracle)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: LshConfig | None = None,
+        metric: str = "l2",
+        backend: str = "lsh",
+    ):
+        if backend not in ("lsh", "exact"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.spark = spark
+        self.metric = metric
+        self.backend = backend
+        if config is not None and config.is_angular != is_angular(metric):
+            # NewLsh copies metric.IsAngular() into the hasher config
+            # (lsh/lsh.go:96-100); keep that coupling authoritative.
+            config = LshConfig(
+                dims=config.dims,
+                n_trees=config.n_trees,
+                k_min_vecs=config.k_min_vecs,
+                is_angular=is_angular(metric),
+                max_candidates=config.max_candidates,
+                seed=config.seed,
+                sample_size=config.sample_size,
+            )
+        self.config = config
+        self._index: LshIndex | None = None
+        self._vectors: DataFrame | None = None
+
+    # -- Train (lsh/lsh.go:106-134; Train clears prior state) ---------
+
+    def train(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
+        vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        self._vectors = vectors
+        if self.backend == "lsh":
+            if self.config is None:
+                raise ValueError("backend='lsh' requires an LshConfig")
+            self._index = LshIndex.train(self.spark, vectors, self.config)
+
+    # -- Search (lsh/lsh.go:137-197 / annbench.go:86-125) -------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        threshold: float | None = None,
+        query_id_col: str = "query_id",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        if self._vectors is None:
+            raise RuntimeError("train() first")
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+        )
+        if self.backend == "exact":
+            return exact_knn_join(q, self._vectors, self.metric, k, threshold)
+        assert self._index is not None
+        return lsh_search(self._index, q, self.metric, k, threshold)
+
+    def search_vector(
+        self, vec: list[float], k: int = 10, threshold: float | None = None
+    ) -> list:
+        """Single-query convenience (the reference's Search signature)."""
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in vec])], "query_id bigint, qvec array<double>"
+        )
+        return self.search(q, k, threshold).orderBy("rn").collect()
+
+    # -- Persistence (lsh/lsh.go:200-207) -----------------------------
+
+    def save(self, path: str) -> None:
+        if self.backend != "lsh" or self._index is None:
+            raise RuntimeError("only a trained lsh backend can be saved")
+        self._index.save(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, metric: str = "l2") -> "VectorSearchEngine":
+        idx = LshIndex.load(spark, path)
+        eng = cls(spark, idx.config, metric=metric, backend="lsh")
+        eng._index = idx
+        eng._vectors = idx.vectors
+        return eng

@@ -60,7 +60,9 @@ def ivf_search(
     probes = topk_per_group(
         qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"], rank_name="_r"
     ).select("query_id", "qvec", F.col("cid").alias("cell"))
-    cand = probes.join(cells, on="cell").withColumn(
+    # queries x nprobe rows — always the small side; without the hint
+    # Catalyst picks SortMergeJoin and shuffles the whole cell store.
+    cand = F.broadcast(probes).join(cells, on="cell").withColumn(
         "dist", metric_dist(metric, F.col("qvec"), F.col("vec"))
     )
     top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
