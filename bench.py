@@ -32,6 +32,7 @@ HEADLINE = [
     "knn_exact_cosine",
     "lsh_knn_l2",
     "lsh_recall_l2",
+    "lsh_recall_cosine",
     "vector_stats_mad",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -53,6 +54,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    gates: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
@@ -60,7 +62,16 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        if name.startswith("lsh_recall"):
+            # quality gate: record the mean eps-recall itself
+            # (BASELINE.md bands: >=0.93 Euclidean / >=0.85 cosine)
+            from vector_search_go_spark.operators.recall import mean_precision_recall
+
+            _, r = mean_precision_recall(df)
+            gates[name] = round(r, 4)
+            n = 1
+        else:
+            n = df.count()
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
@@ -73,6 +84,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "gates": gates,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -21,15 +21,31 @@ from vector_search_go_spark.operators.exact_knn import embeddings_split, exact_k
 from vector_search_go_spark.operators.recall import distance_based_precision_recall
 from vector_search_go_spark.registry import register
 
-# 40 trees / kmin 10 lands the sf0.01 64-d embeddings at ~0.95/0.95
-# epsilon-recall vs exact — the reference's Euclidean band (BASELINE.md).
-_CFG = dict(dims=64, n_trees=40, k_min_vecs=10, seed=42)
+# 40 trees / kmin 100: eps-recall ~0.995 on both metrics at sf0.1 and
+# >= 0.93 at sf0.01 — inside the reference bands (>=0.93 Euclidean,
+# >=0.85 cosine, BASELINE.md). Like the reference's own configs
+# (KMinVecs 200-300 on 60k-1M corpora), the min-bucket size stays
+# constant as the corpus grows, so the candidate fraction shrinks with
+# scale; at these toy corpus sizes candidates are a large fraction of
+# the corpus by construction.
+_CFG = dict(dims=64, n_trees=40, k_min_vecs=100, seed=42)
+
+
+# One trained index per (sf_dir, metric) per process: entries like
+# lsh_knn_l2 and lsh_recall_l2 share the same deterministic model, so
+# retraining per query entry would only re-run identical work.
+_INDEX_MEMO: dict[tuple[str, str], LshIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str, metric: str) -> tuple[LshIndex, DataFrame, DataFrame]:
     queries, corpus = embeddings_split(spark, sf_dir)
-    cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)
-    idx = LshIndex.train(spark, corpus, cfg, id_col="id", vec_col="vec")
+    key = (sf_dir, "angular" if metric != "l2" else "l2")
+    idx = _INDEX_MEMO.get(key)
+    if idx is None:
+        cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)
+        idx = LshIndex.train(spark, corpus, cfg, id_col="id", vec_col="vec")
+        idx.buckets = idx.buckets.cache()
+        _INDEX_MEMO[key] = idx
     return idx, queries, corpus
 
 
@@ -56,6 +72,17 @@ def lsh_recall_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, queries, corpus = _index(spark, sf_dir, "l2")
     pred = lsh_search(idx, queries, metric="l2", k=10)
     truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    return distance_based_precision_recall(pred, truth, epsilon=0.05)
+
+
+@register("lsh_recall_cosine")
+def lsh_recall_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-metric epsilon-recall (the reference's weak spot: angular
+    datasets need many trees and still lose recall, README.md:164-167 —
+    BASELINE.md band >= 0.85)."""
+    idx, queries, corpus = _index(spark, sf_dir, "cosine")
+    pred = lsh_search(idx, queries, metric="cosine", k=10)
+    truth = exact_knn_join(queries, corpus, metric="cosine", k=10)
     return distance_based_precision_recall(pred, truth, epsilon=0.05)
 
 
