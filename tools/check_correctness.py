@@ -25,6 +25,24 @@ TABLES = (
 ).split()
 
 
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "TIMESTAMP": "timestamp",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+}
+
+
+def duck_to_spark_type(dt: str) -> str:
+    dt = str(dt).upper()
+    if dt.endswith("[]"):
+        return f"array<{duck_to_spark_type(dt[:-2])}>"
+    return _DUCK_TO_SPARK.get(dt, dt.lower())
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -94,6 +112,18 @@ def main(names=None):
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            rel = con.sql(oracles[name])
+            dtypes = {
+                c: duck_to_spark_type(t) for c, t in zip(rel.columns, rel.types)
+            }
+            tdiff = {
+                c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]
+            }
+            if tdiff:
+                ok = False
+                msgs.append(f"dtype mismatch {tdiff}")
         if ok:
             cs, cd = canon(srows, scols), canon(drows, dcols)
             if cs != cd:

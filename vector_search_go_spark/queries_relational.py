@@ -224,6 +224,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(price * disc).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        # parquet NTZ timestamp -> session-tz timestamp, matching the
+        # oracle's TIMESTAMP type (values identical under UTC)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     )
 
 
@@ -548,7 +551,7 @@ SELECT o_orderkey,
        CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
        strftime(o_orderdate, '%Y-%m') AS ym,
        CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
-       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
 FROM orders
 """,
 )
@@ -562,7 +565,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("dom"),
         F.dayofweek("o_orderdate").alias("dow"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_date"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
