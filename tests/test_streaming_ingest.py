@@ -1,0 +1,70 @@
+"""Incremental LSH bucket ingest: streaming result == batch bucketize."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.config import LshConfig
+from vector_search_go_spark.lsh.index import LshIndex
+from vector_search_go_spark.lsh.search import lsh_search
+from vector_search_go_spark.streaming.ingest import ingest_to_bucket_store
+
+
+@pytest.fixture(scope="module")
+def corpus_file_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("vec_stream")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as vec"
+    ).write.mode("overwrite").parquet(str(d / "vecs"))
+    return str(d / "vecs")
+
+
+def test_stream_ingest_matches_batch(spark, sf_dir, corpus_file_dir, tmp_path):
+    corpus = spark.read.parquet(corpus_file_dir)
+    cfg = LshConfig(dims=64, n_trees=8, k_min_vecs=50, seed=11)
+    idx = LshIndex.train(spark, corpus, cfg)
+
+    stream = spark.readStream.schema("id bigint, vec array<double>").parquet(
+        corpus_file_dir
+    )
+    bucket_path = str(tmp_path / "buckets")
+    ingest_to_bucket_store(
+        spark, stream, idx.forest, bucket_path, str(tmp_path / "ckpt")
+    )
+    streamed = spark.read.parquet(bucket_path)
+    want = {(r["tree"], r["hash"], r["id"]) for r in idx.buckets.collect()}
+    got = {(r["tree"], r["hash"], r["id"]) for r in streamed.collect()}
+    assert got == want
+
+
+def test_search_over_streamed_buckets(spark, corpus_file_dir, tmp_path):
+    """An index whose buckets came from the stream answers searches
+    identically to the batch-trained one."""
+    corpus = spark.read.parquet(corpus_file_dir)
+    cfg = LshConfig(dims=64, n_trees=8, k_min_vecs=50, seed=11)
+    idx = LshIndex.train(spark, corpus, cfg)
+    stream = spark.readStream.schema("id bigint, vec array<double>").parquet(
+        corpus_file_dir
+    )
+    bucket_path = str(tmp_path / "buckets2")
+    ingest_to_bucket_store(
+        spark, stream, idx.forest, bucket_path, str(tmp_path / "ckpt2")
+    )
+    idx_streamed = LshIndex(
+        cfg,
+        idx.forest,
+        corpus,
+        spark.read.parquet(bucket_path).select(
+            F.col("tree").cast("int"), "hash", "id"
+        ),
+    )
+    queries = corpus.limit(3).selectExpr("id as query_id", "vec as qvec")
+    a = lsh_search(idx, queries, metric="l2", k=5).collect()
+    b = lsh_search(idx_streamed, queries, metric="l2", k=5).collect()
+    key = lambda r: (r["query_id"], r["rn"])  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[3])) == sorted(
+        [tuple(r) for r in b], key=lambda t: (t[0], t[3])
+    )

@@ -61,3 +61,50 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so queries can use spark.sql."""
     for t in TABLES:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Generic sources/sinks. The reference's only formats are HDF5 in and an
+# in-memory KV store (SURVEY.md section 2 O24/O27); Spark's datasource
+# API gives every format below for free — exposed here so the engine has
+# an explicit, tested source/sink surface.
+# ---------------------------------------------------------------------------
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None, **options: str
+) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+        # schema strongly recommended for csv: inference re-reads the data
+        r = r.option("inferSchema", "false" if schema else "true")
+    if schema:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

@@ -700,6 +700,41 @@ def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_conditional_funcs",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal = 0 THEN 'zero'
+            ELSE 'credit' END AS bal_class,
+       if(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity,
+       CAST(c_acctbal > 5000 AS BOOLEAN) AS is_rich,
+       CAST(trunc(c_acctbal) AS DOUBLE) AS bal_truncated
+FROM customer
+""",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalars: coalesce, nullif, case, if,
+    boolean casts, numeric truncation."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("credit")
+        .alias("bal_class"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+        (F.col("c_acctbal") > 5000).alias("is_rich"),
+        F.col("c_acctbal").cast("int").cast("double").alias("bal_truncated"),
+    )
+
+
+@register(
     "correlated_subquery_agg",
     oracle="""
 SELECT o.o_orderkey, o.o_totalprice

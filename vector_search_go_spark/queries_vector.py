@@ -60,6 +60,50 @@ def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "metric_conversions",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+     b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 1),
+     d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_cosine_dist('a.embedding', 'b.embedding')} AS cos_dist
+  FROM a CROSS JOIN b)
+SELECT id_a, id_b, cos_dist,
+       sqrt(2 * cos_dist) AS angular,
+       (sqrt(2 * cos_dist) * sqrt(2 * cos_dist)) / 2 AS cos_roundtrip
+FROM d
+""",
+)
+def metric_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angular <-> cosine distance conversions (reference
+    AngularToCosineDist/CosineDistToAngular, helpers.go:240-246):
+    angular = sqrt(2c); roundtrip (a^2)/2 recovers c up to fp."""
+    from vector_search_go_spark.functions.metrics import (
+        angular_to_cosine_dist,
+        cosine_to_angular_dist,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 25 == 1).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    d = a.crossJoin(F.broadcast(b)).select(
+        "id_a", "id_b", cosine_dist(F.col("va"), F.col("vb")).alias("cos_dist")
+    )
+    ang = cosine_to_angular_dist(F.col("cos_dist"))
+    return d.select(
+        "id_a",
+        "id_b",
+        "cos_dist",
+        ang.alias("angular"),
+        angular_to_cosine_dist(ang).alias("cos_roundtrip"),
+    )
+
+
+@register(
     "vector_norms",
     oracle=f"""
 SELECT vec_id, {sql_l2_norm('embedding')} AS norm,
