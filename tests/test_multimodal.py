@@ -30,6 +30,28 @@ def test_feature_extraction_shapes(spark, sf_dir):
         assert r["mime"] == "application/octet-stream"
 
 
+def test_resize_bounds(spark, sf_dir):
+    from vector_search_go_spark.operators.multimodal import fake_resize
+
+    docs = table(spark, sf_dir, "documents")
+    out = fake_resize(attach_binary_payload(docs), target_bytes=64).collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert 1 <= r["n_bytes_out"] <= 64
+        assert len(r["resized"]) == r["n_bytes_out"]
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    from vector_search_go_spark.operators.multimodal import fake_frame_sample
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    frames = fake_frame_sample(attach_binary_payload(docs), n_frames=4)
+    assert frames.count() == 4 * n_docs
+    per_doc = frames.groupBy("id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+
+
 def test_payload_matches_n_chars(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)

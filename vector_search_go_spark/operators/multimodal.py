@@ -64,6 +64,65 @@ def decode_media(payload: bytes, mime: str):
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Deterministic 'resize' stand-in: stride-subsample the payload to
+    ~target_bytes (a real image resize is the same mapInPandas shape
+    with PIL inside — decode_media raises until codecs exist)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row["media"], dtype=np.uint8)
+                stride = max(1, len(buf) // target_bytes)
+                out = bytes(buf[::stride][:target_bytes])
+                rows.append({"id": row["id"], "resized": out, "n_bytes_out": len(out)})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media_df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def fake_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic 'video frame sampling' stand-in: split the payload
+    into n_frames equal chunks, one output row per frame — the UDTF-like
+    1->N row shape real frame extraction uses."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = row["media"]
+                step = max(1, len(buf) // n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "id": row["id"],
+                            "frame_idx": i,
+                            "frame": bytes(buf[i * step : (i + 1) * step]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def fake_decode_features(media_df: DataFrame) -> DataFrame:
     """Deterministic stand-in feature extractor: 16-bin byte histogram
     per payload via Arrow-batched mapInPandas (the exact execution shape

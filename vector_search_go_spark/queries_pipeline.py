@@ -147,6 +147,36 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_embedding_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(len(e.embedding) AS INT) AS dim,
+       CAST(e.label AS INT) AS label,
+       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(e.embedding, _x -> CAST(_x AS DOUBLE) * CAST(_x AS DOUBLE))),
+            (_a, _b) -> _a + _b)) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row shape: relational text metadata joined with its
+    vector column in one DataFrame — the table layout a training
+    pipeline actually ships (text + embedding + labels side by side)."""
+    from vector_search_go_spark.functions.metrics import l2_norm
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("embedding").alias("dim"),
+        F.col("label").cast("int").alias("label"),
+        l2_norm(F.col("embedding")).alias("emb_norm"),
+    )
+
+
 @register("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
