@@ -11,6 +11,8 @@ All three are the batch faces of scale-path operators:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf
+# signatures survive postponed annotation evaluation
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,6 +176,81 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.col("label").cast("int").alias("label"),
         l2_norm(F.col("embedding")).alias("emb_norm"),
+    )
+
+
+@register(
+    "udaf_median_order_value",
+    oracle="""
+SELECT o_custkey, median(o_totalprice) AS median_total, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+)
+def udaf_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: grouped-agg pandas UDF (Arrow-batched)
+    computing a per-customer median. numpy's interpolating median matches
+    DuckDB's median on doubles, so this stays oracle-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # pandas grouped-agg UDFs can't mix with JVM aggregates in one agg,
+    # so the row count is a second pandas UDAF.
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        median_udaf("o_totalprice").alias("median_total"),
+        count_udaf("o_totalprice").alias("n_orders"),
+    )
+
+
+@register(
+    "grouped_map_label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, vec_id, t.i - 1 AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)
+), g AS (
+  SELECT label, dim, list(x ORDER BY vec_id) AS xs, count(*) AS n
+  FROM e GROUP BY label, dim
+)
+SELECT CAST(label AS INT) AS label, CAST(dim AS INT) AS dim,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (_a, _b) -> _a + _b) / n
+         AS centroid
+FROM g
+""",
+)
+def grouped_map_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped-map surface: applyInPandas computing per-label
+    centroids. Rows are summed in vec_id order via cumsum (a sequential
+    left fold), so the result is bit-identical to the oracle's ordered
+    list_reduce — demonstrating that even Python-side math can stay
+    oracle-exact when accumulation order is pinned."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        total = np.cumsum(X, axis=0)[-1]  # sequential fold, not pairwise sum
+        mean = total / len(X)
+        label = int(pdf["label"].iloc[0])
+        return pd.DataFrame(
+            {
+                "label": label,
+                "dim": np.arange(X.shape[1], dtype="int32"),
+                "centroid": mean,
+            }
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        centroid, schema="label int, dim int, centroid double"
     )
 
 
