@@ -770,6 +770,23 @@ def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates (HyperLogLog++ distinct
+    counts, t-digest-ish percentiles) — the constant-memory answers a
+    100 TB interactive layer serves. Rows-only (sketch algorithms differ
+    across engines); accuracy vs exact is asserted in
+    tests/test_relational_extras.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "scalar_conditional_funcs",
     oracle="""
