@@ -114,7 +114,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8) with
     inverted-index candidate generation: explode shingles, equi-join on
     the shingle, aggregate intersection counts — only docs sharing at
-    least one shingle ever meet, never all-pairs."""
+    least one shingle ever meet, never all-pairs; the pair count comes
+    straight out of the join aggregation (no second pass over the sets).
+
+    Scale note: on corpora with skewed shingle frequencies the
+    ppjoin-style prefix filter (index only the floor((1-t)|S|)+1 rarest
+    shingles per doc, verify candidates with array_intersect) cuts the
+    index shuffle by ~1/(1-t); it was measured here and REJECTED for
+    this workload — the synthetic corpus shares one small vocabulary, so
+    prefixes still collide (215k candidates for 256 true pairs) and the
+    full-array verification join costs more than it saves."""
     sh = _shingled_docs(spark, sf_dir)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
