@@ -34,12 +34,14 @@ _CFG = dict(dims=64, n_trees=40, k_min_vecs=100, seed=42)
 # One trained index per (sf_dir, metric) per process: entries like
 # lsh_knn_l2 and lsh_recall_l2 share the same deterministic model, so
 # retraining per query entry would only re-run identical work.
-_INDEX_MEMO: dict[tuple[str, str], LshIndex] = {}
+_INDEX_MEMO: dict[tuple[str, str, str], LshIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str, metric: str) -> tuple[LshIndex, DataFrame, DataFrame]:
     queries, corpus = embeddings_split(spark, sf_dir)
-    key = (sf_dir, "angular" if metric != "l2" else "l2")
+    # applicationId in the key: cached DataFrames die with their session,
+    # so a fresh session (e.g. a new driver run) must retrain.
+    key = (spark.sparkContext.applicationId, sf_dir, "angular" if metric != "l2" else "l2")
     idx = _INDEX_MEMO.get(key)
     if idx is None:
         cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)

@@ -770,6 +770,34 @@ def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_struct_map_funcs",
+    oracle="""
+SELECT p_partkey,
+       struct_extract(struct_pack(brand := p_brand, sz := p_size), 'brand') AS s_brand,
+       CAST(struct_extract(struct_pack(brand := p_brand, sz := p_size), 'sz') AS INT) AS s_size,
+       (map(['brand', 'type'], [p_brand, p_type])['brand'])[1] AS m_brand,
+       CAST(cardinality(map(['brand', 'type'], [p_brand, p_type])) AS INT) AS m_len
+FROM part
+""",
+)
+def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map construction + field access (scalars out, so the hash
+    comparison stays engine-portable)."""
+    p = table(spark, sf_dir, "part")
+    st = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    mp = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        st["brand"].alias("s_brand"),
+        st["sz"].cast("int").alias("s_size"),
+        F.element_at(mp, "brand").alias("m_brand"),
+        F.size(mp).alias("m_len"),
+    )
+
+
 @register("approx_aggregates")
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HyperLogLog++ distinct
