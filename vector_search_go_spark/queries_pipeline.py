@@ -254,11 +254,24 @@ def grouped_map_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(length(text) AS INT) AS n_bytes,
+       list_transform(range(0, 16),
+         _b -> CAST(len(list_filter(range(1, length(text) + 1),
+                      _i -> ascii(text[_i:_i]) // 16 = _b)) AS BIGINT)) AS byte_hist,
+       'application/octet-stream' AS mime
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (operators.multimodal.fake_decode_features; decode itself is stubbed
-    — no codec libs in this container). Rows-only check."""
+    — no codec libs in this container). The ORACLE recomputes the 16-bin
+    byte histogram in pure SQL over the ASCII corpus (byte == codepoint,
+    bin == byte >> 4), so even the Python extractor is value-checked."""
     from vector_search_go_spark.operators.multimodal import (
         attach_binary_payload,
         fake_decode_features,

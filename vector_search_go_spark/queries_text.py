@@ -278,14 +278,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH nibmap(ch, val) AS (VALUES
+  ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),('7',7),
+  ('8',8),('9',9),('a',10),('b',11),('c',12),('d',13),('e',14),('f',15)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+nib AS (
+  SELECT doc_id, b.bit AS bit, substr(h, 15 - b.bit // 4, 1) AS ch
+  FROM hx, range(0, 60) b(bit)
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(((m.val >> (bit % 4)) & 1) * 2 - 1) AS v
+  FROM nib JOIN nibmap m ON nib.ch = m.ch
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document, all native exprs: token -> md5 ->
-    60-bit int (conv of 15 hex chars), per-bit +/-1 vote weighted by
-    token frequency, sign-majority reassembly. Rows-only check (no
-    portable hex->int in the oracle dialect); unit-tested in
-    tests/test_text.py. At scale: two shuffles (token vote agg is
-    map-side combined on (doc, bit))."""
+    60-bit int (conv of 15 hex chars, big-endian), per-bit +/-1 vote
+    weighted by token frequency, sign-majority reassembly. Oracle
+    expresses the hex->bit extraction via a 16-row nibble mapping table
+    (pure integer math, exact). At scale: two shuffles (token vote agg
+    is map-side combined on (doc, bit))."""
     docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(_tokens_col()).alias("tok")
@@ -440,13 +465,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_langid_accuracy")
+@register(
+    "text_langid_accuracy",
+    oracle="""
+WITH bigrams AS (
+  SELECT doc_id, lang, unnest(list_transform(range(1, length(text)),
+                                             _i -> text[_i:_i+1])) AS bg
+  FROM documents
+),
+profile AS (
+  SELECT lang AS plang, bg, cnt / total AS freq
+  FROM (
+    SELECT lang, bg, CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS total
+    FROM bigrams WHERE doc_id % 5 <> 0
+    GROUP BY lang, bg)
+),
+test_counts AS (
+  SELECT doc_id, lang, bg, count(*) AS n_bg
+  FROM bigrams WHERE doc_id % 5 = 0
+  GROUP BY doc_id, lang, bg
+),
+scored AS (
+  SELECT doc_id, lang, plang,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(n_bg * freq ORDER BY t.bg)),
+                     (_a, _b) -> _a + _b) AS score
+  FROM test_counts t JOIN profile p ON t.bg = p.bg
+  GROUP BY doc_id, lang, plang
+),
+pred AS (
+  SELECT doc_id, lang, plang AS predicted
+  FROM (SELECT doc_id, lang, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, plang) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY lang
+""",
+)
 def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-based language ID: learn char-bigram relative frequencies
     per language on a train split (doc_id % 5 != 0), score held-out docs
-    by mean profile frequency of their bigrams, predict argmax.
-    Rows-only (float-sum argmax is not portably bit-stable). Returns a
-    per-language confusion summary."""
+    by summed profile frequency of their bigrams (terms folded in bigram
+    order so the float sum is engine-portable), predict argmax with a
+    (score, lang) tie-break. Returns a per-language confusion summary —
+    fully oracle-checked, including the classifier decisions."""
     from pyspark.sql import Window
 
     docs = ensure_parallelism(table(spark, sf_dir, "documents"))
@@ -463,15 +531,30 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = bigrams.filter(F.col("doc_id") % 5 != 0)
     profile = (
         train.groupBy("lang", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("freq", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("lang")))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .withColumn(
+            "freq",
+            F.col("cnt") / F.sum("cnt").over(Window.partitionBy("lang")),
+        )
         .select(F.col("lang").alias("plang"), "bg", "freq")
     )
-    test = bigrams.filter(F.col("doc_id") % 5 == 0)
-    scored = (
-        test.join(F.broadcast(profile), on="bg", how="inner")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(F.sum("freq").alias("score"))
+    test_counts = (
+        bigrams.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    terms = test_counts.join(F.broadcast(profile), on="bg", how="inner").select(
+        "doc_id", "lang", "plang", "bg", (F.col("n_bg") * F.col("freq")).alias("term")
+    )
+    scored = terms.groupBy("doc_id", "lang", "plang").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bg", "term"))),
+                lambda p: p["term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
     pred = (
