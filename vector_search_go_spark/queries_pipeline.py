@@ -179,6 +179,61 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_COSINE_ORACLE = """
+WITH q2 AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % 50 = 0
+), c2 AS (
+  SELECT vec_id AS id, embedding AS vec
+  FROM embeddings WHERE vec_id % 50 <> 0
+), d2 AS (
+  SELECT query_id, id, {dist} AS dist FROM c2 CROSS JOIN q2
+)
+SELECT query_id, id FROM (
+  SELECT query_id, id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d2) WHERE rn <= 10
+"""
+
+
+@register(
+    "ivf_recall_vs_exact",
+    oracle=f"""
+WITH pred AS ({_IVF_ORACLE}),
+truth AS ({{knn}}),
+hits AS (
+  SELECT p.query_id, count(*) AS n_hit
+  FROM pred p JOIN truth t ON p.query_id = t.query_id AND p.id = t.id
+  GROUP BY p.query_id
+),
+np AS (SELECT query_id, count(*) AS n_pred FROM pred GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id)
+SELECT np.query_id,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pred AS precision,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_truth AS recall
+FROM np JOIN nt ON np.query_id = nt.query_id
+LEFT JOIN hits ON np.query_id = hits.query_id
+""".replace(
+        "{knn}", _KNN_COSINE_ORACLE.format(dist=sql_cosine_dist("vec", "qvec"))
+    ),
+)
+def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based precision/recall (reference PrecisionRecall,
+    annbench/annbench.go:144-162) of the IVF ANN against the exact
+    oracle — both pipelines deterministic, so the whole quality
+    measurement is itself oracle-checked."""
+    from vector_search_go_spark.operators.exact_knn import (
+        embeddings_split,
+        exact_knn_join,
+    )
+    from vector_search_go_spark.operators.recall import precision_recall
+
+    pred = ann_ivf_cosine(spark, sf_dir)
+    queries, corpus = embeddings_split(spark, sf_dir)
+    truth = exact_knn_join(queries, corpus, metric="cosine", k=10)
+    return precision_recall(pred, truth)
+
+
 @register(
     "udaf_median_order_value",
     oracle="""
