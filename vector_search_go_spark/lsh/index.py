@@ -33,28 +33,22 @@ from vector_search_go_spark.config import LshConfig
 from vector_search_go_spark.lsh.hasher import Forest
 
 
-# Per-executor-process cache of deserialized forests, keyed by model
-# digest: python workers are reused across batches/jobs, so each worker
-# pays the JSON parse once per model instead of once per Arrow batch.
-_FOREST_CACHE: dict[str, Forest] = {}
-
-
 def _hash_probe_udf(spark: SparkSession, forest: Forest, with_probes: bool):
     """Arrow-batched UDF: vec -> array of n_trees hashes (train) or
     2*n_trees [hashes..., probes...] (search, reference multiprobe
-    lsh/lsh.go:146-155). The forest is broadcast once per job."""
-    import hashlib
+    lsh/lsh.go:146-155).
 
-    payload = forest.to_json()
-    bc = spark.sparkContext.broadcast(payload)
-    bc_id = hashlib.md5(payload.encode()).hexdigest()
+    The forest is broadcast as the pickled object (numpy plane arrays
+    serialize binary — ~10x smaller and ~100x faster to load than the
+    JSON wire format, which remains the on-disk model format only).
+    ``broadcast.value`` is cached per python worker process, and the
+    flattened traversal arrays are cached on the Forest instance, so
+    per-batch overhead is just the einsum traversal."""
+    bc = spark.sparkContext.broadcast(forest)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def hash_vec(batch: pd.Series) -> pd.Series:
-        forest_local = _FOREST_CACHE.get(bc_id)
-        if forest_local is None:
-            forest_local = Forest.from_json(bc.value)
-            _FOREST_CACHE[bc_id] = forest_local
+        forest_local = bc.value
         X = np.vstack(batch.to_numpy())
         hashes = forest_local.hash_batch(X)
         if with_probes:
