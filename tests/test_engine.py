@@ -48,6 +48,18 @@ def test_metric_overrides_config_angular(spark):
     assert eng.config.is_angular is True
 
 
+def test_load_rejects_metric_mismatch(spark, corpus, tmp_path):
+    cfg = LshConfig(dims=2, n_trees=4, k_min_vecs=2)
+    eng = VectorSearchEngine(spark, cfg, metric="cosine", backend="lsh")
+    eng.train(corpus)
+    path = str(tmp_path / "cosine_idx")
+    eng.save(path)
+    with pytest.raises(ValueError, match="is_angular"):
+        VectorSearchEngine.load(spark, path, metric="l2")
+    # matching metric loads fine
+    assert VectorSearchEngine.load(spark, path, metric="cosine").config.is_angular
+
+
 def test_untrained_raises(spark, corpus):
     eng = VectorSearchEngine(spark, metric="l2", backend="exact")
     with pytest.raises(RuntimeError):

@@ -54,6 +54,14 @@ def test_serialization_roundtrip():
     assert np.allclose(p1.n, p2.n) and abs(p1.d - p2.d) < 1e-12
 
 
+def test_serialization_preserves_max_candidates():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(50, 4))
+    cfg = LshConfig(dims=4, n_trees=2, k_min_vecs=5, max_candidates=123, seed=1)
+    f2 = Forest.from_json(Forest.build(X, cfg).to_json())
+    assert f2.config.max_candidates == 123
+
+
 def test_angular_build_and_hash_deterministic():
     rng = np.random.default_rng(1)
     X = rng.normal(size=(100, 4))

@@ -60,6 +60,14 @@ def test_salted_sum_matches_plain(spark):
     assert got == want
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    df = _skewed_df(spark)
+    small = spark.createDataFrame([("hot", 1)], "k string, tag int")
+    for how in ("full", "right", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, small, on="k", how=how)
+
+
 def test_salted_join_matches_plain(spark):
     big = _skewed_df(spark)
     small = spark.createDataFrame(

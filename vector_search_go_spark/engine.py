@@ -113,6 +113,15 @@ class VectorSearchEngine:
     @classmethod
     def load(cls, spark: SparkSession, path: str, metric: str = "l2") -> "VectorSearchEngine":
         idx = LshIndex.load(spark, path)
+        if idx.config.is_angular != is_angular(metric):
+            # the persisted buckets were hashed under the model's metric
+            # family; scoring them under the other one returns
+            # meaningless rankings — fail loudly instead.
+            raise ValueError(
+                f"index at {path!r} was trained with "
+                f"is_angular={idx.config.is_angular}, incompatible with "
+                f"metric={metric!r}"
+            )
         eng = cls(spark, idx.config, metric=metric, backend="lsh")
         eng._index = idx
         eng._vectors = idx.vectors

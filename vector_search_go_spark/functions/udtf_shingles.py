@@ -24,6 +24,8 @@ if UDTF_AVAILABLE:
         """emit (doc_id, position, word-trigram) rows for one document."""
 
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                return  # null document -> no shingles, not a crash
             words = text.split(" ")
             for i in range(len(words) - 2):
                 yield doc_id, i, " ".join(words[i : i + 3])

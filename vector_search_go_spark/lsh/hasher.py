@@ -176,6 +176,7 @@ class Forest:
                     "n_trees": self.config.n_trees,
                     "k_min_vecs": self.config.k_min_vecs,
                     "is_angular": self.config.is_angular,
+                    "max_candidates": self.config.max_candidates,
                     "seed": self.config.seed,
                     "sample_size": self.config.sample_size,
                 },

@@ -43,8 +43,15 @@ def _hash_probe_udf(spark: SparkSession, forest: Forest, with_probes: bool):
     JSON wire format, which remains the on-disk model format only).
     ``broadcast.value`` is cached per python worker process, and the
     flattened traversal arrays are cached on the Forest instance, so
-    per-batch overhead is just the einsum traversal."""
-    bc = spark.sparkContext.broadcast(forest)
+    per-batch overhead is just the einsum traversal.
+
+    The broadcast itself is cached on the Forest instance: a long-lived
+    stream calling lsh_search once per micro-batch must reuse one
+    broadcast, not accumulate one per batch."""
+    bc = getattr(forest, "_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(forest)
+        forest._bc = bc
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def hash_vec(batch: pd.Series) -> pd.Series:
@@ -83,13 +90,22 @@ class LshIndex:
         """Build the index over df(id_col, vec_col).
 
         Reference Train (lsh/lsh.go:106-134); the store-clear step is
-        implicit (fresh DataFrames). Tree build uses a deterministic
-        bounded sample — `limit(sample_size)` after a seeded shuffle-free
-        sample when the input is larger.
+        implicit (fresh DataFrames). The tree-build sample is a seeded
+        Bernoulli sample of the whole input (not a first-N limit, which
+        would fit every split plane to whatever region the leading
+        partitions hold on sorted/clustered corpora), bounded to
+        config.sample_size rows.
         """
         vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        n = vectors.count()
+        if n == 0:
+            raise ValueError("cannot train an LSH index on an empty corpus")
+        sample = vectors.select("vec")
+        if n > config.sample_size:
+            frac = min(1.0, 1.2 * config.sample_size / n)
+            sample = sample.sample(fraction=frac, seed=config.seed)
         sample_rows = (
-            vectors.select("vec").limit(config.sample_size).toPandas()["vec"].to_numpy()
+            sample.limit(config.sample_size).toPandas()["vec"].to_numpy()
         )
         X = np.vstack(sample_rows).astype(np.float64)
         forest = Forest.build(X, config)

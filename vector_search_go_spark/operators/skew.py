@@ -20,11 +20,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(n_salt: int):
+    # pmod, not abs(hash) % n: hash() can return Int.MinValue, whose
+    # abs() overflows negative and would silently drop rows from the
+    # salted join (one-in-2^32 per row — real at target scale).
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+
+
 def salted_count(
     df: DataFrame, key_cols: list[str], n_salt: int = 16, count_name: str = "n"
 ) -> DataFrame:
     """Two-phase skew-safe count by key."""
-    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salt).alias("_salt")
+    salt = _salt_col(n_salt).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -42,7 +49,7 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase skew-safe sum; use a decimal/long value column when the
     result must be order-independent."""
-    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salt).alias("_salt")
+    salt = _salt_col(n_salt).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -60,10 +67,15 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: replicate the small side n_salt times, salt
     the big side deterministically from its own rows, join on
-    (key, salt). Result == big.join(small, on, how) row-for-row."""
+    (key, salt). Result == big.join(small, on, how) row-for-row for the
+    supported join types; right/full outer are rejected because
+    unmatched small-side rows would appear once per salt replica."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched rows n_salt times"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt", F.abs(F.hash(F.monotonically_increasing_id())) % n_salt
-    )
+    big_salted = big.withColumn("_salt", _salt_col(n_salt))
     return big_salted.join(small_rep, on=[on, "_salt"], how=how).drop("_salt")

@@ -82,16 +82,22 @@ def _sessionize_group(
     last_ts, session_seq, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    rows = []
+    # A group arrives as an iterator of Arrow chunks with no cross-chunk
+    # ordering guarantee: gather every timestamp in the micro-batch
+    # before sorting, or later chunks with earlier events would merge
+    # sessions that the batch twin keeps separate.
+    all_ts: list[int] = []
     for pdf in pdfs:
-        for ts in sorted(int(t.value) // 1_000 for t in pd.to_datetime(pdf["ts"])):
-            if last_ts is None or ts - last_ts > SESSION_GAP_US:
-                if session_seq > 0:
-                    rows.append((user_id, session_seq, n_events))
-                session_seq += 1
-                n_events = 0
-            n_events += 1
-            last_ts = ts
+        all_ts.extend(int(t.value) // 1_000 for t in pd.to_datetime(pdf["ts"]))
+    rows = []
+    for ts in sorted(all_ts):
+        if last_ts is None or ts - last_ts > SESSION_GAP_US:
+            if session_seq > 0:
+                rows.append((user_id, session_seq, n_events))
+            session_seq += 1
+            n_events = 0
+        n_events += 1
+        last_ts = ts
     state.update((last_ts, session_seq, n_events))
     # Emit closed sessions; the open session stays in state.
     yield pd.DataFrame(rows, columns=["user_id", "session_seq", "n_events"])

@@ -25,13 +25,23 @@ def serve_query_stream(
     k: int = 10,
     threshold: float | None = None,
     sink_table: str = "ann_results",
+    checkpoint_path: str | None = None,
     timeout: int = 120,
 ) -> None:
     """Drain query_stream(query_id, qvec) through the LSH search
     pipeline into an in-memory results table (swap the writer for a
-    Kafka/Delta sink in production; the foreachBatch body is unchanged)."""
+    Kafka/Delta sink in production; the foreachBatch body is unchanged).
+
+    checkpoint_path: pass a durable location to resume a long-lived
+    stream across restarts; the default is a FRESH temp dir so repeated
+    ad-hoc runs reprocess the source instead of silently draining
+    nothing against a stale checkpoint."""
+    import tempfile
+
     spark = query_stream.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {sink_table}")
+    if checkpoint_path is None:
+        checkpoint_path = tempfile.mkdtemp(prefix=f"ann_serving_ckpt_{sink_table}_")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         results = lsh_search(index, batch_df, metric=metric, k=k, threshold=threshold)
@@ -40,7 +50,7 @@ def serve_query_stream(
     q = (
         query_stream.writeStream.foreachBatch(handle_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/ann_serving_ckpt_{sink_table}")
+        .option("checkpointLocation", checkpoint_path)
         .start()
     )
     q.awaitTermination(timeout)
