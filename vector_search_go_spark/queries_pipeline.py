@@ -235,6 +235,132 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_click_before_purchase",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id AS purchase_id,
+       (SELECT c.event_id FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id,
+       (SELECT epoch_us(p.ts) - epoch_us(c.ts) FROM clicks c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS gap_us
+FROM purchases p
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (brief's canonical custom operator): for every
+    purchase, the latest click at or before it by the same user.
+    Implemented as ONE union + window pass per key
+    (operators.temporal.asof_join) — no inequality join, no cross
+    product; the oracle states the same semantics as a correlated
+    latest-row subquery."""
+    from vector_search_go_spark.operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(purchases, clicks, key="user_id")
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("last_click_id"),
+        (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_click_purchase",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 300000000
+""",
+)
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (brief's canonical custom operator): click-purchase
+    pairs within 5 minutes per user. Implemented banded
+    (operators.temporal.range_join_banded): equi-join on (key, time
+    bin) + neighbor bin, exact predicate after — the inequality never
+    reaches the join, so the plan is plain hash joins at any scale."""
+    from vector_search_go_spark.operators.temporal import range_join_banded
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = range_join_banded(purchases, clicks, key="user_id", max_gap_us=300_000_000)
+    return j.select(
+        "user_id",
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_event_id").alias("purchase_id"),
+        "gap_us",
+    )
+
+
+@register(
+    "rollup_multiresolution",
+    oracle="""
+WITH minute_agg AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute_bucket,
+         strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+         strftime(ts, '%Y-%m-%d') AS day_bucket,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+  FROM events GROUP BY 1, 2, 3
+), hour_agg AS (
+  SELECT hour_bucket, day_bucket, sum(n) AS n, sum(v) AS v
+  FROM minute_agg GROUP BY 1, 2
+)
+SELECT day_bucket, count(*) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS total_value
+FROM hour_agg GROUP BY day_bucket
+""",
+)
+def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute -> hour -> day,
+    each level re-aggregating the level below (never the raw rows) —
+    the hierarchical rollup shape of a time-series store, where coarse
+    materializations stay cheap because their input is already reduced."""
+    e = table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_bucket"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("v"),
+    )
+    hour = minute.groupBy("hour_bucket", "day_bucket").agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    return hour.groupBy("day_bucket").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "udaf_median_order_value",
     oracle="""
 SELECT o_custkey, median(o_totalprice) AS median_total, count(*) AS n_orders
