@@ -1,0 +1,63 @@
+"""Connected components vs a Python union-find reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from vector_search_go_spark.operators.graph import connected_components, duplicate_groups
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_and_island(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src bigint, dst bigint"
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_groups_shape(spark):
+    edges = spark.createDataFrame(
+        [(3, 1), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    rows = {
+        r["group_id"]: (r["n_docs"], r["doc_ids"])
+        for r in duplicate_groups(edges).collect()
+    }
+    assert rows == {1: (3, [1, 2, 3]), 5: (2, [5, 6])}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_nonconvergence_raises(spark):
+    # a 4-node path has diameter 3 > 1 round
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

@@ -360,6 +360,52 @@ def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_oracle() -> str:
+    # queries_text must be imported for its registrations before this
+    # module's body runs; registry._ensure_loaded imports it earlier and
+    # the direct import below covers standalone imports of this module.
+    from vector_search_go_spark import queries_text  # noqa: F401
+    from vector_search_go_spark import registry
+
+    return registry._ORACLES["dedup_ngram_jaccard"]
+
+
+@register(
+    "dedup_cluster_groups",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_jaccard_pairs_oracle()}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+SELECT group_id, count(*) AS n_docs, list_sort(list(id)) AS doc_ids
+FROM comp GROUP BY group_id
+""",
+)
+def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: near-dup pairs (exact n-gram jaccard
+    >= 0.8, same edge set as dedup_ngram_jaccard) -> connected
+    components (operators.graph, min-label propagation) -> one row per
+    duplicate cluster with its canonical min doc id and sorted members.
+    The oracle states the same closure as a recursive CTE. This is the
+    step that turns pairwise dedup candidates into 'keep one copy per
+    group' at corpus scale."""
+    from vector_search_go_spark.operators.graph import duplicate_groups
+    from vector_search_go_spark.queries_text import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return duplicate_groups(pairs)
+
+
 @register(
     "udaf_median_order_value",
     oracle="""
