@@ -151,6 +151,42 @@ _MINHASH_K = 16
 _MINHASH_BAND = 4  # rows per band -> 4 bands
 
 
+def minhash_band_keys(shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> (doc_id, band, band_key): K deterministic
+    min-hashes (min of md5(i || '_' || shingle)) banded into K/BAND
+    keys. One narrow projection + one explode — shared by the batch
+    dedup_minhash_lsh query and the streaming dedup path so both see
+    byte-identical band keys."""
+    sig = shingled.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("_"), s)),
+                )
+            ),
+        ).alias("mhs"),
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K // _MINHASH_BAND - 1))).alias(
+            "band"
+        ),
+        "mhs",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.slice(F.col("mhs"), F.col("band") * _MINHASH_BAND + 1, _MINHASH_BAND),
+            )
+        ).alias("band_key"),
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -186,34 +222,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on band keys, so pair cost tracks true
     near-dups, not n^2. Verification (exact Jaccard) is
     dedup_ngram_jaccard on the candidate set."""
-    sh = _shingled_docs(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: F.md5(F.concat(i.cast("string"), F.lit("_"), s)),
-                )
-            ),
-        ).alias("mhs"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K // _MINHASH_BAND - 1))).alias(
-            "band"
-        ),
-        "mhs",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                "|", F.slice(F.col("mhs"), F.col("band") * _MINHASH_BAND + 1, _MINHASH_BAND)
-            )
-        ).alias("band_key"),
-    )
+    bands = minhash_band_keys(_shingled_docs(spark, sf_dir))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
