@@ -360,6 +360,43 @@ def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_pruned",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+GROUP BY l_returnflag
+""",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with explicit Bloom pre-pruning (operators.bloom): the
+    probe (lineitem) is filtered by a bitmap of the derived build key
+    set (high-value orders) before the join shuffle — the shuffle
+    carries only matches + ~1% false positives, which the exact semi
+    join then removes, so the result equals the plain semi join and the
+    oracle is the plain IN-subquery SQL."""
+    from vector_search_go_spark.operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    build = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    pruned = bloom_semi_join(li, build, "l_orderkey", expected_items=build.count())
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 def _jaccard_pairs_oracle() -> str:
     # queries_text must be imported for its registrations before this
     # module's body runs; registry._ensure_loaded imports it earlier and
