@@ -360,6 +360,23 @@ def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_rollup_daily")
+def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators.sketches): hourly HLL
+    partials of distinct users -> daily answers by sketch UNION, never
+    rescanning raw events. Rows-only (DataSketches HLL is not
+    expressible in the oracle engine); merged-vs-direct equality and
+    accuracy vs exact distinct are asserted in tests/test_sketches.py.
+    Output is deterministic: HLL state is order-independent."""
+    from vector_search_go_spark.operators.sketches import (
+        merge_to_coarse,
+        sketch_bucket_rollup,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return merge_to_coarse(sketch_bucket_rollup(e, "ts", "user_id"))
+
+
 @register(
     "join_bloom_pruned",
     oracle="""
