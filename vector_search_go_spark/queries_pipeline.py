@@ -360,6 +360,136 @@ def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_oracle() -> str:
+    # queries_text must be imported for its registrations before this
+    # module's body runs; registry._ensure_loaded imports it earlier and
+    # the direct import below covers standalone imports of this module.
+    from vector_search_go_spark import queries_text  # noqa: F401
+    from vector_search_go_spark import registry
+
+    return registry._ORACLES["dedup_ngram_jaccard"]
+
+
+def _split_case_sql() -> str:
+    from vector_search_go_spark.operators.split import sql_split_case
+
+    return sql_split_case("text", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+_CURATE_LANGS = ("en", "de", "fr", "es")
+_CURATE_MIN_QUALITY = 0.42
+
+
+def _curate_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_jaccard_pairs_oracle()}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+),
+dropped AS (
+  SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
+  WHERE id <> root
+),
+base AS (
+  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+),
+m AS (
+  SELECT doc_id, lang, text,
+         len(w) AS n_tokens,
+         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+           + (CAST(len(list_filter(w, _x -> _x IN {_STOPWORDS_SQL})) AS DOUBLE)
+              / len(w)) * 0.3
+           + (CASE WHEN len(w) BETWEEN 20 AND 200 THEN 0.2 ELSE 0.0 END)
+           AS quality_score
+  FROM base
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, quality_score,
+       {_split_case_sql()} AS split
+FROM m
+WHERE lang IN {_CURATE_LANGS!r} AND quality_score >= {_CURATE_MIN_QUALITY}
+"""
+
+
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+@register("curate_training_corpus", oracle=_curate_oracle())
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel in one plan: near-dup removal
+    (jaccard pairs -> connected components -> keep each cluster's min
+    doc id), language allowlist, heuristic quality threshold, and
+    deterministic content-hash split. Every stage is an operator
+    checked on its own elsewhere; this query checks their COMPOSITION
+    end-to-end against the oracle, the way a user would actually run
+    curation."""
+    from vector_search_go_spark.operators.graph import connected_components
+    from vector_search_go_spark.operators.split import hash_split
+    from vector_search_go_spark.queries_text import (
+        _STOPWORDS,
+        _tokens_col,
+        dedup_ngram_jaccard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = comp.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+
+    w = _tokens_col()
+    m = kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    quality = (
+        (F.col("n_uniq").cast("double") / F.col("n_tokens")) * 0.5
+        + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.3
+        + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 0.2)
+        .otherwise(0.0)
+    )
+    scored = m.withColumn("quality_score", quality)
+    filtered = scored.filter(
+        F.col("lang").isin(*_CURATE_LANGS)
+        & (F.col("quality_score") >= _CURATE_MIN_QUALITY)
+    )
+    return hash_split(filtered, "text").select(
+        "doc_id", "lang", "n_tokens", "quality_score", "split"
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+SELECT doc_id, {_split_case_sql()} AS split FROM documents
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split
+    (operators.split): same document -> same split across re-ingestion
+    and across engines — Spark and the oracle evaluate the identical
+    md5-bucket CASE, so the per-doc assignment is the correctness
+    check itself."""
+    from vector_search_go_spark.operators.split import hash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_split(docs, "text").select("doc_id", "split")
+
+
 @register("sketch_rollup_daily")
 def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (operators.sketches): hourly HLL
@@ -412,16 +542,6 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
-
-
-def _jaccard_pairs_oracle() -> str:
-    # queries_text must be imported for its registrations before this
-    # module's body runs; registry._ensure_loaded imports it earlier and
-    # the direct import below covers standalone imports of this module.
-    from vector_search_go_spark import queries_text  # noqa: F401
-    from vector_search_go_spark import registry
-
-    return registry._ORACLES["dedup_ngram_jaccard"]
 
 
 @register(
