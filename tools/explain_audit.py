@@ -45,6 +45,13 @@ AUDITS = {
     "text_quality_score": (False, False, False, True),
     "lsh_knn_l2": (True, False, True, True),  # hash UDF is the allowed Python
     "sessionize_events": (False, False, False, True),
+    "asof_click_before_purchase": (False, True, False, True),
+    "range_join_click_purchase": (True, True, False, True),
+    "join_bloom_pruned": (True, True, False, True),
+    "rollup_multiresolution": (False, False, False, True),
+    "split_train_val_test": (False, False, False, True),
+    "sketch_rollup_daily": (False, False, False, True),
+    "curate_training_corpus": (True, False, False, False),
 }
 
 

@@ -445,7 +445,11 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = comp.filter(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id")
     )
-    kept = docs.join(dropped, "doc_id", "left_anti")
+    # comp is checkpoint-backed (no stats), so the planner can't see the
+    # drop list is small — broadcast it explicitly. It's an id-only
+    # projection of the dup clusters; for a corpus whose duplicate set
+    # outgrows the broadcast limit, remove the hint and let it shuffle.
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
 
     w = _tokens_col()
     m = kept.select(
