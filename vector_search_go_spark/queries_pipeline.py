@@ -533,12 +533,14 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    build = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 150000)
-        .select(F.col("o_orderkey").alias("l_orderkey"))
+    orders = table(spark, sf_dir, "orders")
+    build = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("l_orderkey")
     )
-    pruned = bloom_semi_join(li, build, "l_orderkey", expected_items=build.count())
+    # sizing hint only (fpp is a perf knob, not correctness): the
+    # unfiltered row count is metadata-only on parquet, the filtered
+    # count would be a full scan
+    pruned = bloom_semi_join(li, build, "l_orderkey", expected_items=orders.count())
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
