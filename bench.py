@@ -38,6 +38,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "ann_ivf_cosine",
+    "asof_click_before_purchase",
+    "range_join_click_purchase",
+    "rollup_multiresolution",
+    "sketch_rollup_daily",
+    "join_bloom_pruned",
+    "split_train_val_test",
+    "curate_training_corpus",
 ]
 
 

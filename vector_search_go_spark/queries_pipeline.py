@@ -517,7 +517,7 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, count(*) AS n_items,
        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
 FROM lineitem
-WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
 GROUP BY l_returnflag
 """,
 )
@@ -534,7 +534,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_quantity"
     )
     orders = table(spark, sf_dir, "orders")
-    build = orders.filter(F.col("o_totalprice") > 150000).select(
+    build = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_orderkey").alias("l_orderkey")
     )
     # sizing hint only (fpp is a perf knob, not correctness): the
