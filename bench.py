@@ -45,6 +45,9 @@ HEADLINE = [
     "join_bloom_pruned",
     "split_train_val_test",
     "curate_training_corpus",
+    "sample_rebalance_langs",
+    "pack_training_sequences",
+    "decontaminate_train_split",
 ]
 
 

@@ -52,6 +52,11 @@ AUDITS = {
     "split_train_val_test": (False, False, False, True),
     "sketch_rollup_daily": (False, False, False, True),
     "curate_training_corpus": (True, False, False, False),
+    # md5 keep-predicate can't reach parquet PushedFilters (not a plain
+    # comparison); it still runs inside the scan stage, shuffle-free
+    "sample_rebalance_langs": (False, False, False, True),
+    "pack_training_sequences": (False, False, False, True),
+    "decontaminate_train_split": (True, False, False, True),
 }
 
 

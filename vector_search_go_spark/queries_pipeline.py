@@ -16,7 +16,7 @@ import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_go_spark.io import table
+from vector_search_go_spark.io import ensure_parallelism, table
 from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
 from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist
 from vector_search_go_spark.registry import register
@@ -686,3 +686,171 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return fake_decode_features(attach_binary_payload(docs))
+
+
+def _shard_sql(n_shards: int) -> str:
+    from vector_search_go_spark.operators.packing import sql_shard_expr
+
+    return sql_shard_expr("text", n_shards)
+
+
+_REBALANCE_RATES = {"en": 0.25}
+
+
+def _rebalance_pred_sql() -> str:
+    from vector_search_go_spark.operators.sampling import sql_keep_predicate
+
+    return sql_keep_predicate("lang", _REBALANCE_RATES, "text", salt="mix1")
+
+
+@register(
+    "sample_rebalance_langs",
+    oracle=f"""
+SELECT doc_id, lang FROM documents WHERE {_rebalance_pred_sql()}
+""",
+)
+def sample_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mix rebalancing (operators.sampling):
+    downsample the dominant language to 25% by content-hash keep
+    predicate — same kept set on every run and every engine (the oracle
+    runs the identical predicate text), no seed state, appends never
+    re-roll old rows. One scan-stage filter, no shuffle."""
+    from vector_search_go_spark.operators.sampling import stratified_sample
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return stratified_sample(
+        docs, "lang", _REBALANCE_RATES, "text", salt="mix1"
+    ).select("doc_id", "lang")
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 4
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         {_split_case_sql()} AS split,
+         {_shard_sql(_PACK_SHARDS)} AS shard
+  FROM documents
+)
+SELECT doc_id, n_tokens, split, shard,
+       begin_offset,
+       begin_offset // {_PACK_BUDGET} AS pack_id,
+       begin_offset % {_PACK_BUDGET} AS offset_in_pack
+FROM (
+  SELECT doc_id, n_tokens, split, shard,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY split, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS begin_offset
+  FROM base)
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing index (operators.packing): every document gets
+    its pack id and token offset for a 2048-token context budget,
+    packed within (split, content-shard) streams. Sharding keeps the
+    only ordered state — a per-partition running sum — bounded at any
+    corpus size; integer window arithmetic makes the assignment exact
+    and portable to the SQL oracle."""
+    from vector_search_go_spark.operators.packing import pack_sequences
+    from vector_search_go_spark.operators.split import hash_split
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    base = hash_split(docs, "text").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "split",
+        F.expr(_shard_sql(_PACK_SHARDS)).alias("shard"),
+    )
+    packed = pack_sequences(
+        base, "n_tokens", _PACK_BUDGET, ["split", "shard"], order_col="doc_id"
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "split", "shard",
+        "begin_offset", "pack_id", "offset_in_pack",
+    )
+
+
+_DECONTAM_THRESHOLD = 0.5
+# 8-grams, not the dedup trigrams: decontamination checks for lifted
+# PASSAGES. With a small shared vocabulary nearly every doc pair shares
+# some trigram (measured: 397 of ~400 train docs reported, noise ratio
+# ~0.18), while random 8-gram collisions are nil — the report then
+# contains only true leaks (measured: the 10 planted cross-split dups
+# at ratio ~1.0, nothing else). Matches open LM-data practice of 8-13
+# token windows.
+_DECONTAM_N = 8
+
+_SQL_DECONTAM_SHINGLED = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - {_DECONTAM_N - 2}),
+                       _i -> array_to_string(w[_i:_i + {_DECONTAM_N - 1}], ' '))) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= {_DECONTAM_N}
+"""
+
+
+def _decontam_shingles_col(w):
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (_DECONTAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, _DECONTAM_N)),
+        )
+    )
+
+
+@register(
+    "decontaminate_train_split",
+    oracle=f"""
+WITH sh AS ({_SQL_DECONTAM_SHINGLED}),
+lab AS (SELECT doc_id, {_split_case_sql()} AS split FROM documents),
+tr AS (
+  SELECT s.doc_id, s.shingles FROM sh s JOIN lab l USING (doc_id)
+  WHERE l.split = 'train'
+),
+ev AS (
+  SELECT DISTINCT unnest(s.shingles) AS s
+  FROM sh s JOIN lab l USING (doc_id) WHERE l.split <> 'train'
+),
+tre AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s FROM tr
+),
+hits AS (
+  SELECT doc_id, n_shingles, count(*) AS n_hit
+  FROM tre JOIN ev USING (s) GROUP BY doc_id, n_shingles
+)
+SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles, n_hit,
+       CAST(n_hit AS DOUBLE) / n_shingles AS contamination_ratio,
+       (CAST(n_hit AS DOUBLE) / n_shingles) >= {_DECONTAM_THRESHOLD} AS contaminated
+FROM hits
+""",
+)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.decontam): flag training
+    documents whose 8-gram shingles overlap the eval splits (val+test)
+    above 50%. The eval shingle set is distinct'd and BROADCAST, so the
+    training corpus never shuffles — the scan streams through a
+    broadcast semi-match and only hit rows aggregate. The fixture's
+    planted near-dups that straddle the content-hash split boundary are
+    exactly the contamination this catches."""
+    from vector_search_go_spark.operators.decontam import contamination_scores
+    from vector_search_go_spark.operators.split import hash_split
+    from vector_search_go_spark.queries_text import _tokens_col
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    base = (
+        hash_split(docs, "text")
+        .withColumn("w", _tokens_col())
+        .filter(F.size("w") >= _DECONTAM_N)
+        .select(
+            "doc_id", "split", _decontam_shingles_col(F.col("w")).alias("shingles")
+        )
+    )
+    train = base.filter(F.col("split") == "train").select("doc_id", "shingles")
+    ev = base.filter(F.col("split") != "train").select("doc_id", "shingles")
+    return contamination_scores(train, ev, _DECONTAM_THRESHOLD)
