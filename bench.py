@@ -48,6 +48,9 @@ HEADLINE = [
     "sample_rebalance_langs",
     "pack_training_sequences",
     "decontaminate_train_split",
+    "text_repetition_filter",
+    "dedup_global_ngrams",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -57,6 +57,9 @@ AUDITS = {
     "sample_rebalance_langs": (False, False, False, True),
     "pack_training_sequences": (False, False, False, True),
     "decontaminate_train_split": (True, False, False, True),
+    "text_repetition_filter": (False, False, False, True),
+    "dedup_global_ngrams": (False, False, False, False),
+    "text_tfidf_top_terms": (True, False, False, False),
 }
 
 

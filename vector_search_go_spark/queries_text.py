@@ -541,6 +541,191 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_filter",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         list_transform(range(1, len(w)), _i -> w[_i] || ' ' || w[_i+1]) AS bg,
+         list_max(list_transform(list_distinct(w),
+                  _t -> len(list_filter(w, _x -> _x = _t)))) AS top_cnt
+  FROM t WHERE len(w) >= 2
+)
+SELECT doc_id,
+       CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         AS dup_bigram_frac,
+       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+       (CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)) <= 0.3
+         AND (CAST(top_cnt AS DOUBLE) / n_tokens) <= 0.12 AS keep
+FROM m
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-style heuristics,
+    arXiv:2112.11446 appendix A): fraction of duplicated word bigrams
+    and dominance of the single most frequent token, each against a
+    threshold. Entirely per-row array lambdas — no shuffle at all, so
+    at 100 TB this is a pure map stage pipelined into the scan."""
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    m = (
+        docs.withColumn("w", _tokens_col())
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            ).alias("bg"),
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("w")),
+                    lambda t: F.size(F.filter(F.col("w"), lambda x: x == t)),
+                )
+            ).alias("top_cnt"),
+        )
+    )
+    dup_frac = (F.size("bg") - F.size(F.array_distinct("bg"))).cast("double") / F.size(
+        "bg"
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
+        ((dup_frac <= 0.3) & (top_frac <= 0.12)).alias("keep"),
+    )
+
+
+_GLOBAL_NGRAM = 5
+
+
+@register(
+    "dedup_global_ngrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {_GLOBAL_NGRAM - 2}),
+           _i -> array_to_string(w[_i : _i + {_GLOBAL_NGRAM - 1}], ' '))) AS gram
+  FROM t WHERE len(w) >= {_GLOBAL_NGRAM}
+),
+dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_span_frac
+FROM g JOIN dfreq USING (gram)
+GROUP BY doc_id
+""",
+)
+def dedup_global_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup metric: every word {n}-gram position is
+    checked against the corpus-wide document frequency of that n-gram;
+    a doc's dup_span_frac is the share of its spans that also occur in
+    some other document. Shape at 100 TB: explode -> groupBy(gram) with
+    map-side combine (distinct doc count) -> equi-join positions back on
+    the gram -> per-doc agg. Two shuffles, both keyed on uniformly
+    distributed text keys; no all-pairs stage anywhere."""
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    n = _GLOBAL_NGRAM
+    g = (
+        docs.withColumn("w", _tokens_col())
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("w"), i + j) for j in range(n)]
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    dfreq = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    dup = (F.col("df") >= 2).cast("bigint")
+    return (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_span_frac"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sizes AS (SELECT doc_id, len(w) AS n_tokens FROM t),
+tf AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+idf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         (CAST(cnt AS DOUBLE) / n_tokens) * (CAST(n_docs AS DOUBLE) / df)
+           AS tfidf
+  FROM tf JOIN sizes USING (doc_id) JOIN idf USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn
+FROM (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction). IDF is kept
+    as the raw N/df ratio — no log — so the score is a product of two
+    IEEE divisions and bit-portable across engines. Shape: token-count
+    agg (map-side combined), a broadcast-sized idf dim joined back, one
+    window for the per-doc top-k. The idf table is vocabulary-sized, so
+    at 100 TB it is still the broadcast side."""
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", _tokens_col().alias("w"))
+    sizes = t.select("doc_id", F.size("w").alias("n_tokens"))
+    tf = (
+        t.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    idf = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(sizes, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("cnt").cast("double") / F.col("n_tokens"))
+                * (F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )
+
+
+@register(
     "text_langid_accuracy",
     oracle="""
 WITH bigrams AS (
