@@ -1,0 +1,65 @@
+"""Product-quantization operator tests (operators/pq.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.operators.pq import (
+    D_SUB,
+    M_SUB,
+    N_CODES,
+    pq_codebook,
+    pq_encode,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_codebook_shape(spark, sf_dir):
+    cb = pq_codebook(_emb(spark, sf_dir)).collect()
+    assert len(cb) == M_SUB * N_CODES
+    assert {r["sub"] for r in cb} == set(range(M_SUB))
+    assert {r["code"] for r in cb} == set(range(N_CODES))
+    for r in cb:
+        assert len(r["cvec"]) == D_SUB
+
+
+def test_encode_is_identity_on_codebook_vectors(spark, sf_dir):
+    """A vector whose subvectors ARE codewords must encode to itself
+    (distance 0 to its own codeword in every subspace)."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") < N_CODES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    codes = pq_encode(corpus, pq_codebook(emb)).collect()
+    assert len(codes) == N_CODES * M_SUB
+    for r in codes:
+        assert r["code"] == r["id"], (r["id"], r["sub"], r["code"])
+
+
+def test_adc_search_shape_and_order(spark, sf_dir):
+    from vector_search_go_spark.queries_pipeline import pq_search_adc
+
+    rows = pq_search_adc(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["dist"]))
+    assert per_q
+    for q, hits in per_q.items():
+        hits.sort()
+        assert [rn for rn, _ in hits] == list(range(1, len(hits) + 1))
+        dists = [d for _, d in hits]
+        assert dists == sorted(dists)
+
+
+def test_pq_recall_beats_floor(spark, sf_dir):
+    """Compressed-domain shortlist + exact rerank must keep most of the
+    true top-10 (the PQ paper's regime: ADC prunes, rerank fixes)."""
+    from vector_search_go_spark.queries_pipeline import pq_recall_vs_exact
+
+    rows = pq_recall_vs_exact(spark, sf_dir).collect()
+    assert rows
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert avg >= 0.7, avg

@@ -60,6 +60,8 @@ AUDITS = {
     "text_repetition_filter": (False, False, False, True),
     "dedup_global_ngrams": (False, False, False, False),
     "text_tfidf_top_terms": (True, False, False, False),
+    "pq_encode_codes": (True, False, False, True),
+    "pq_search_adc": (True, False, False, True),
 }
 
 

@@ -42,6 +42,16 @@ def sql_l2_dist(a: str, b: str) -> str:
     return f"sqrt({sql_fold_sum(diffsq)})"
 
 
+def sql_sq_l2(a: str, b: str) -> str:
+    """Squared L2 (no sqrt) — mirrors operators.pq.sq_l2's fold."""
+    diffsq = (
+        f"list_transform(list_zip({a}, {b}), "
+        f"_t -> (CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE)) * "
+        f"(CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE)))"
+    )
+    return sql_fold_sum(diffsq)
+
+
 def sql_cosine_dist(a: str, b: str) -> str:
     na, nb = sql_l2_norm(a), sql_l2_norm(b)
     raw = f"(CAST(1 AS DOUBLE) - {sql_dot(a, b)} / ({na} * {nb}))"

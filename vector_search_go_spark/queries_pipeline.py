@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from vector_search_go_spark.io import ensure_parallelism, table
 from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
-from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist
+from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist, sql_l2_dist
 from vector_search_go_spark.registry import register
 
 _IVF_ORACLE = f"""
@@ -231,6 +231,175 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = ann_ivf_cosine(spark, sf_dir)
     queries, corpus = embeddings_split(spark, sf_dir)
     truth = exact_knn_join(queries, corpus, metric="cosine", k=10)
+    return precision_recall(pred, truth)
+
+
+from vector_search_go_spark.operators.pq import (  # noqa: E402
+    D_SUB as _PQ_D,
+    M_SUB as _PQ_M,
+    N_CODES as _PQ_C,
+    PQ_SHORTLIST as _PQ_SHORT,
+)
+
+_SQL_PQ_CODEBOOK = f"""
+  SELECT CAST(s.sub AS INT) AS sub, CAST(vec_id AS INT) AS code,
+         embedding[s.sub * {_PQ_D} + 1 : s.sub * {_PQ_D} + {_PQ_D}] AS cvec
+  FROM embeddings, range(0, {_PQ_M}) s(sub) WHERE vec_id < {_PQ_C}
+"""
+
+
+def _sql_pq_encode(corpus_cte: str) -> str:
+    from vector_search_go_spark.oracle.vector_sql import sql_sq_l2
+
+    d = sql_sq_l2(
+        f"c.vec[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
+    )
+    return f"""
+  SELECT id, sub, code FROM (
+    SELECT c.id, cb.sub, cb.code,
+           row_number() OVER (PARTITION BY c.id, cb.sub
+                              ORDER BY {d}, cb.code) AS _r
+    FROM {corpus_cte} c CROSS JOIN cb) WHERE _r = 1
+"""
+
+
+@register(
+    "pq_encode_codes",
+    oracle=f"""
+WITH cb AS ({_SQL_PQ_CODEBOOK}),
+allv AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+{_sql_pq_encode('allv')}
+""",
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators.pq): every embedding
+    becomes M_SUB=8 codeword ids (one per 8-dim subspace, 64 codewords
+    each) — a 32x compression of the vector column. Broadcast-join map
+    stage + map-side-combinable argmin; nothing shuffles but the codes."""
+    from vector_search_go_spark.operators.pq import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    return pq_encode(ensure_parallelism(corpus), pq_codebook(emb))
+
+
+_PQ_SEARCH_ORACLE = f"""
+WITH cb AS ({_SQL_PQ_CODEBOOK}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 <> 0
+), codes AS ({{encode}}),
+adc AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         {{adc_d}} AS d
+  FROM q CROSS JOIN cb
+),
+pairs AS (
+  SELECT adc.query_id, codes.id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                       list(d ORDER BY adc.sub)),
+              (_a, _b) -> _a + _b)) AS approx_dist
+  FROM codes JOIN adc ON codes.sub = adc.sub AND codes.code = adc.code
+  GROUP BY adc.query_id, codes.id
+),
+short AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, id) AS _s
+    FROM pairs) WHERE _s <= {{shortlist}}
+),
+rer AS (
+  SELECT s.query_id, s.id, {{rerank_d}} AS dist
+  FROM short s JOIN c ON s.id = c.id JOIN q ON s.query_id = q.query_id
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM rer) WHERE rn <= 10
+"""
+
+
+def _pq_search_oracle() -> str:
+    from vector_search_go_spark.oracle.vector_sql import sql_l2_dist, sql_sq_l2
+
+    return _PQ_SEARCH_ORACLE.format(
+        encode=_sql_pq_encode("c"),
+        adc_d=sql_sq_l2(
+            f"q.qvec[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
+        ),
+        rerank_d=sql_l2_dist("q.qvec", "c.vec"),
+        shortlist=_PQ_SHORT,
+    )
+
+
+@register("pq_search_adc", oracle=_pq_search_oracle())
+def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: asymmetric distance computation over PQ
+    codes (query-to-codeword table is the broadcast side, per-candidate
+    distance is 8 table lookups summed in pinned subspace order), an ADC
+    shortlist scaled to the corpus (operators.pq.pq_shortlist), exact L2
+    rerank to top-10. The corpus's raw vectors are touched only for
+    |queries| x shortlist rows."""
+    from vector_search_go_spark.operators.pq import (
+        pq_adc_search,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    from vector_search_go_spark.operators.pq import pq_shortlist
+
+    cb = pq_codebook(emb)
+    codes = pq_encode(ensure_parallelism(corpus), cb)
+    # parquet metadata count — cheap, no scan; keeps the rerank budget
+    # proportional to the corpus (sf0.01 resolves to the oracle's 100)
+    short = pq_shortlist(corpus.count())
+    return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=short)
+
+
+@register(
+    "pq_recall_vs_exact",
+    oracle=f"""
+WITH pred AS ({{pq}}),
+truth AS ({{knn}}),
+hits AS (
+  SELECT p.query_id, count(*) AS n_hit
+  FROM pred p JOIN truth t ON p.query_id = t.query_id AND p.id = t.id
+  GROUP BY p.query_id
+),
+np AS (SELECT query_id, count(*) AS n_pred FROM pred GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id)
+SELECT np.query_id,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pred AS precision,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_truth AS recall
+FROM np JOIN nt ON np.query_id = nt.query_id
+LEFT JOIN hits ON np.query_id = hits.query_id
+""".replace("{pq}", _pq_search_oracle()).replace(
+        "{knn}", _KNN_COSINE_ORACLE.format(dist=sql_l2_dist("vec", "qvec"))
+    ),
+)
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based precision/recall (reference PrecisionRecall,
+    annbench/annbench.go:144-162) of PQ+ADC+rerank against the exact L2
+    oracle — quality of the compressed-domain path, itself
+    oracle-checked."""
+    from vector_search_go_spark.operators.exact_knn import (
+        embeddings_split,
+        exact_knn_join,
+    )
+    from vector_search_go_spark.operators.recall import precision_recall
+
+    pred = pq_search_adc(spark, sf_dir)
+    queries, corpus = embeddings_split(spark, sf_dir)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
     return precision_recall(pred, truth)
 
 
