@@ -96,24 +96,44 @@ def pq_adc_search(
     compressed codes for a shortlist, exact L2 rerank for the final
     top-k. The per-(query, id) ADC sum folds its M terms in subspace
     order so the float result is bit-portable."""
-    adc = queries.crossJoin(F.broadcast(codebook)).select(
+    adc_long = queries.crossJoin(F.broadcast(codebook)).select(
         "query_id",
         "sub",
         "code",
         sq_l2(_subvec(F.col("qvec"), F.col("sub")), F.col("cvec")).alias("d"),
     )
-    cand = codes.join(F.broadcast(adc), on=["sub", "code"])
-    approx = cand.groupBy("query_id", "id").agg(
+    # One flat M*C lookup table per query, (sub, code)-ordered so index
+    # sub*C + code + 1 addresses it; likewise one M-length code array per
+    # candidate. The per-pair ADC distance is then M array lookups folded
+    # in subspace order — a pure projection, no per-pair aggregation.
+    adc_tab = adc_long.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code", "d"))),
+            lambda x: x["d"],
+        ).alias("adc")
+    )
+    codes_arr = codes.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    approx = codes_arr.crossJoin(F.broadcast(adc_tab)).select(
+        "query_id",
+        "id",
         F.sqrt(
             F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("sub", "d"))),
-                    lambda x: x["d"],
-                ),
+                F.sequence(F.lit(0), F.lit(M_SUB - 1)),
                 F.lit(0.0),
-                lambda acc, v: acc + v,
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("adc"),
+                    (j * N_CODES + F.element_at(F.col("codes"), j + 1) + 1).cast(
+                        "int"
+                    ),
+                ),
             )
-        ).alias("approx_dist")
+        ).alias("approx_dist"),
     )
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", shortlist, tiebreak_cols=["id"],

@@ -295,13 +295,19 @@ adc AS (
          {{adc_d}} AS d
   FROM q CROSS JOIN cb
 ),
+adc_tab AS (
+  SELECT query_id, list(d ORDER BY sub, code) AS adc FROM adc GROUP BY query_id
+),
+codes_arr AS (
+  SELECT id, list(code ORDER BY sub) AS codes_l FROM codes GROUP BY id
+),
 pairs AS (
-  SELECT adc.query_id, codes.id,
+  SELECT a.query_id, ca.id,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                                       list(d ORDER BY adc.sub)),
+                list_transform(range(0, {_PQ_M}),
+                  _j -> adc[_j * {_PQ_C} + codes_l[_j + 1] + 1])),
               (_a, _b) -> _a + _b)) AS approx_dist
-  FROM codes JOIN adc ON codes.sub = adc.sub AND codes.code = adc.code
-  GROUP BY adc.query_id, codes.id
+  FROM codes_arr ca CROSS JOIN adc_tab a
 ),
 short AS (
   SELECT query_id, id FROM (
