@@ -53,6 +53,8 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "pq_search_adc",
     "pq_recall_vs_exact",
+    "sq8_search_rerank",
+    "sq8_recall_vs_exact",
 ]
 
 
@@ -77,7 +79,7 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, SF_DIR)
-        if name.startswith("lsh_recall") or name == "pq_recall_vs_exact":
+        if name.startswith("lsh_recall") or name.endswith("_recall_vs_exact"):
             # quality gate: record the mean eps-recall itself
             # (BASELINE.md bands: >=0.93 Euclidean / >=0.85 cosine)
             from vector_search_go_spark.operators.recall import mean_precision_recall

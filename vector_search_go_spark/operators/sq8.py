@@ -1,0 +1,119 @@
+"""Scalar quantization (SQ8): 8-bit-per-dimension compressed vectors.
+
+The third compression point on the engine's accuracy/size curve —
+raw float32 (exact_knn) > SQ8 (this, 4x smaller, near-exact) > PQ
+(operators/pq.py, 32x smaller, coarser). Each dimension is affinely
+mapped to an integer code in [0, 255] using per-dimension corpus
+min/max; search scans dequantized codes (midpoint reconstruction
+``min + (code + 0.5) * scale``) for a shortlist and reranks it with
+exact L2 — the standard SQ recipe (e.g. FAISS ScalarQuantizer).
+
+Everything is seed-free and engine-portable: min/max are exact (no
+float-sum order issues), and encode/dequantize use only IEEE-exact
+sub/div/mul/floor, so the DuckDB oracle matches bit-for-bit.
+
+At 100 TB: the stats pass is one map-side-combinable per-dim min/max
+aggregation; its 64-value result broadcasts; encoding and approximate
+scan are pure map stages over the corpus. Nothing shuffles but the
+k-sized results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.functions.metrics import l2_dist
+from vector_search_go_spark.operators.topk import topk_per_group
+
+SQ_LEVELS = 256  # codes per dimension (8 bits)
+SQ_SHORTLIST = 50  # approx shortlist reranked exactly
+
+
+def sq8_stats(corpus: DataFrame, dim: int) -> DataFrame:
+    """corpus(id, vec) -> single row (mins, scales): per-dimension min
+    and (max - min) / SQ_LEVELS, as double arrays in dimension order."""
+    per_dim = (
+        corpus.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").cast("double").alias("mn"), F.max("x").cast("double").alias("mx"))
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: (s["mx"] - s["mn"]) / F.lit(float(SQ_LEVELS)),
+        ).alias("scales"),
+    )
+
+
+def _clamp_code(v: Column) -> Column:
+    return F.least(F.greatest(v, F.lit(0)), F.lit(SQ_LEVELS - 1))
+
+
+def sq8_encode(corpus: DataFrame, stats: DataFrame, dim: int) -> DataFrame:
+    """corpus(id, vec) -> (id, codes array<int>): per-dim affine code
+    floor((x - min) / scale) clamped to [0, 255]; constant dimensions
+    (scale == 0) encode to 0."""
+    enc = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(F.element_at("scales", i) == 0.0, F.lit(0)).otherwise(
+            _clamp_code(
+                F.floor(
+                    (
+                        F.element_at("vec", i).cast("double")
+                        - F.element_at("mins", i)
+                    )
+                    / F.element_at("scales", i)
+                ).cast("int")
+            )
+        ),
+    )
+    return corpus.crossJoin(F.broadcast(stats)).select("id", enc.alias("codes"))
+
+
+def sq8_dequant(codes: Column, dim: int) -> Column:
+    """codes -> reconstructed double vector: min + (code + 0.5) * scale
+    (bucket midpoint). Expects mins/scales columns in scope."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at("mins", i)
+        + (F.element_at(codes, i).cast("double") + F.lit(0.5))
+        * F.element_at("scales", i),
+    )
+
+
+def sq8_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = SQ_SHORTLIST,
+) -> DataFrame:
+    """queries(query_id, qvec) -> (query_id, id, dist, rn): approximate
+    L2 against dequantized codes for a shortlist, exact rerank for the
+    final top-k."""
+    approx = (
+        codes.crossJoin(F.broadcast(stats))
+        .withColumn("xhat", sq8_dequant(F.col("codes"), dim))
+        .crossJoin(F.broadcast(queries))
+        .withColumn("approx_dist", l2_dist(F.col("qvec"), F.col("xhat")))
+        .select("query_id", "id", "approx_dist")
+    )
+    short = topk_per_group(
+        approx, ["query_id"], "approx_dist", shortlist, tiebreak_cols=["id"],
+        rank_name="_s",
+    ).select("query_id", "id")
+    rer = (
+        F.broadcast(short)
+        .join(corpus, on="id")
+        .join(F.broadcast(queries), on="query_id")
+        .withColumn("dist", l2_dist(F.col("qvec"), F.col("vec")))
+    )
+    top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")

@@ -409,6 +409,157 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precision_recall(pred, truth)
 
 
+_SQ_DIM = 64
+
+_SQL_SQ8_PRELUDE = f"""
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 <> 0
+), stats AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list((mx - mn) / CAST({{levels}} AS DOUBLE) ORDER BY pos) AS scales
+  FROM (
+    SELECT _i.pos AS pos,
+           CAST(min(vec[_i.pos]) AS DOUBLE) AS mn,
+           CAST(max(vec[_i.pos]) AS DOUBLE) AS mx
+    FROM c, range(1, {_SQ_DIM + 1}) _i(pos) GROUP BY _i.pos)
+), codes AS (
+  SELECT id, list_transform(range(1, {_SQ_DIM + 1}),
+    _i -> CAST(CASE WHEN scales[_i] = 0 THEN 0
+               ELSE least(greatest(CAST(floor(
+                      (CAST(vec[_i] AS DOUBLE) - mins[_i]) / scales[_i])
+                    AS INT), 0), {{maxcode}}) END AS INT)) AS codes
+  FROM c CROSS JOIN stats
+)
+""".replace("{levels}", "256").replace("{maxcode}", "255")
+
+
+@register(
+    "sq8_encode_codes",
+    oracle=f"""
+WITH {_SQL_SQ8_PRELUDE}
+SELECT id, codes FROM codes
+""",
+)
+def sq8_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization (operators.sq8): per-dimension affine
+    codes from corpus min/max — a 4x vector compression with near-exact
+    distance fidelity. One per-dim min/max aggregation (map-side
+    combined), stats broadcast, encode is a pure map stage."""
+    from vector_search_go_spark.operators.sq8 import sq8_encode, sq8_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    )
+    return sq8_encode(corpus, sq8_stats(corpus, _SQ_DIM), _SQ_DIM)
+
+
+def _sql_sq8_dequant_diff(qv: str, i: str) -> str:
+    xhat = f"(s.mins[{i}] + (CAST(cd.codes[{i}] AS DOUBLE) + 0.5) * s.scales[{i}])"
+    return f"(CAST({qv}[{i}] AS DOUBLE) - {xhat}) * (CAST({qv}[{i}] AS DOUBLE) - {xhat})"
+
+
+_SQ8_SEARCH_ORACLE = f"""
+WITH {_SQL_SQ8_PRELUDE},
+approx AS (
+  SELECT q.query_id, cd.id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, {_SQ_DIM + 1}),
+                  _i -> {_sql_sq8_dequant_diff('q.qvec', '_i')})),
+              (_a, _b) -> _a + _b)) AS approx_dist
+  FROM codes cd CROSS JOIN stats s CROSS JOIN q
+),
+short AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, id) AS _s
+    FROM approx) WHERE _s <= 50
+),
+rer AS (
+  SELECT sh.query_id, sh.id, {{rerank_d}} AS dist
+  FROM short sh JOIN c ON sh.id = c.id JOIN q ON sh.query_id = q.query_id
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM rer) WHERE rn <= 10
+"""
+
+
+def _sq8_search_oracle() -> str:
+    from vector_search_go_spark.oracle.vector_sql import sql_l2_dist
+
+    return _SQ8_SEARCH_ORACLE.format(rerank_d=sql_l2_dist("q.qvec", "c.vec"))
+
+
+@register("sq8_search_rerank", oracle=_sq8_search_oracle())
+def sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over 8-bit scalar-quantized vectors: approximate L2 against
+    midpoint-dequantized codes for a top-50 shortlist, exact rerank to
+    top-10. SQ8's approx ordering is near-exact, so unlike PQ the
+    shortlist stays small and constant."""
+    from vector_search_go_spark.operators.sq8 import (
+        sq8_encode,
+        sq8_search,
+        sq8_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    )
+    stats = sq8_stats(corpus, _SQ_DIM)
+    codes = sq8_encode(corpus, stats, _SQ_DIM)
+    return sq8_search(queries, codes, stats, corpus, _SQ_DIM, k=10)
+
+
+@register(
+    "sq8_recall_vs_exact",
+    oracle=f"""
+WITH pred AS ({{sq8}}),
+truth AS ({{knn}}),
+hits AS (
+  SELECT p.query_id, count(*) AS n_hit
+  FROM pred p JOIN truth t ON p.query_id = t.query_id AND p.id = t.id
+  GROUP BY p.query_id
+),
+np AS (SELECT query_id, count(*) AS n_pred FROM pred GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id)
+SELECT np.query_id,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pred AS precision,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_truth AS recall
+FROM np JOIN nt ON np.query_id = nt.query_id
+LEFT JOIN hits ON np.query_id = hits.query_id
+""".replace("{sq8}", _sq8_search_oracle()).replace(
+        "{knn}", _KNN_COSINE_ORACLE.format(dist=sql_l2_dist("vec", "qvec"))
+    ),
+)
+def sq8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based precision/recall of the SQ8 path against exact L2 —
+    documents the accuracy/compression tradeoff next to
+    pq_recall_vs_exact (4x compression should stay ~1.0)."""
+    from vector_search_go_spark.operators.exact_knn import (
+        embeddings_split,
+        exact_knn_join,
+    )
+    from vector_search_go_spark.operators.recall import precision_recall
+
+    pred = sq8_search_rerank(spark, sf_dir)
+    queries, corpus = embeddings_split(spark, sf_dir)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    return precision_recall(pred, truth)
+
+
 @register(
     "asof_click_before_purchase",
     oracle="""
