@@ -23,6 +23,8 @@ SAMPLE = [
     "text_fingerprint",
     "vector_norms",
     "scalar_json_funcs",
+    "pq_search_adc",
+    "sq8_encode_codes",
 ]
 
 
