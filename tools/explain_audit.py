@@ -64,6 +64,7 @@ AUDITS = {
     "pq_search_adc": (True, False, False, True),
     "sq8_encode_codes": (True, False, False, True),
     "sq8_search_rerank": (True, False, False, True),
+    "ivf_pq_search": (True, False, False, True),
 }
 
 

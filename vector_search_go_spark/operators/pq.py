@@ -84,41 +84,40 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
     return best.select("id", "sub", F.col("_m.code").alias("code"))
 
 
-def pq_adc_search(
-    queries: DataFrame,
-    codes: DataFrame,
-    codebook: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    shortlist: int = PQ_SHORTLIST,
+def pq_adc_candidates(
+    queries: DataFrame, codes: DataFrame, codebook: DataFrame
 ) -> DataFrame:
-    """queries(query_id, qvec) -> (query_id, id, dist, rn): ADC over the
-    compressed codes for a shortlist, exact L2 rerank for the final
-    top-k. The per-(query, id) ADC sum folds its M terms in subspace
-    order so the float result is bit-portable."""
+    """(query_id, id, approx_dist) for every (query, candidate) pair the
+    ``codes`` side supplies — the ADC lookup-table core, factored out so
+    full-corpus PQ search and cell-restricted IVF+PQ share it. ``codes``
+    may carry a ``query_id`` column already (pre-restricted candidates,
+    e.g. from an IVF probe join); if absent every code row is scored
+    against every query."""
     adc_long = queries.crossJoin(F.broadcast(codebook)).select(
         "query_id",
         "sub",
         "code",
         sq_l2(_subvec(F.col("qvec"), F.col("sub")), F.col("cvec")).alias("d"),
     )
-    # One flat M*C lookup table per query, (sub, code)-ordered so index
-    # sub*C + code + 1 addresses it; likewise one M-length code array per
-    # candidate. The per-pair ADC distance is then M array lookups folded
-    # in subspace order — a pure projection, no per-pair aggregation.
     adc_tab = adc_long.groupBy("query_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("sub", "code", "d"))),
             lambda x: x["d"],
         ).alias("adc")
     )
-    codes_arr = codes.groupBy("id").agg(
+    codes_arr = codes.groupBy(
+        *(["query_id", "id"] if "query_id" in codes.columns else ["id"])
+    ).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("sub", "code"))),
             lambda x: x["code"],
         ).alias("codes")
     )
-    approx = codes_arr.crossJoin(F.broadcast(adc_tab)).select(
+    if "query_id" in codes.columns:
+        pairs = codes_arr.join(F.broadcast(adc_tab), on="query_id")
+    else:
+        pairs = codes_arr.crossJoin(F.broadcast(adc_tab))
+    return pairs.select(
         "query_id",
         "id",
         F.sqrt(
@@ -135,6 +134,17 @@ def pq_adc_search(
             )
         ).alias("approx_dist"),
     )
+
+
+def pq_rerank(
+    approx: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """ADC scores -> shortlist -> exact-L2 rerank -> (query_id, id,
+    dist, rn)."""
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", shortlist, tiebreak_cols=["id"],
         rank_name="_s",
@@ -147,3 +157,19 @@ def pq_adc_search(
     )
     top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+def pq_adc_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """queries(query_id, qvec) -> (query_id, id, dist, rn): ADC over the
+    compressed codes for a shortlist, exact L2 rerank for the final
+    top-k. The per-(query, id) ADC sum folds its M terms in subspace
+    order so the float result is bit-portable."""
+    approx = pq_adc_candidates(queries, codes, codebook)
+    return pq_rerank(approx, queries, corpus, k, shortlist)

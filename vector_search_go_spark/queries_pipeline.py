@@ -409,6 +409,173 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precision_recall(pred, truth)
 
 
+_IVFPQ_NPROBE = 8
+_IVFPQ_SHORT = 60
+
+
+def _ivf_pq_oracle() -> str:
+    from vector_search_go_spark.oracle.vector_sql import sql_l2_dist, sql_sq_l2
+
+    l2_assign = sql_l2_dist("c.vec", "cent.cvec")
+    l2_probe = sql_l2_dist("q.qvec", "cent.cvec")
+    adc_d = sql_sq_l2(
+        f"q.qvec[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
+    )
+    return f"""
+WITH cb AS ({_SQL_PQ_CODEBOOK}),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 31 = 7
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 <> 0
+), codes AS ({_sql_pq_encode('c')}),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT c.id, cent.cid,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {l2_assign}, cent.cid) AS _r
+    FROM c CROSS JOIN cent) WHERE _r = 1
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {l2_probe}, cent.cid) AS _r
+    FROM q CROSS JOIN cent) WHERE _r <= {_IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.id FROM probes p JOIN assign a ON p.cell = a.cell
+),
+adc AS (
+  SELECT q.query_id, cb.sub, cb.code, {adc_d} AS d FROM q CROSS JOIN cb
+),
+adc_tab AS (
+  SELECT query_id, list(d ORDER BY sub, code) AS adc FROM adc GROUP BY query_id
+),
+codes_arr AS (
+  SELECT id, list(code ORDER BY sub) AS codes_l FROM codes GROUP BY id
+),
+pairs AS (
+  SELECT cd.query_id, cd.id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(0, {_PQ_M}),
+                  _j -> adc[_j * {_PQ_C} + codes_l[_j + 1] + 1])),
+              (_a, _b) -> _a + _b)) AS approx_dist
+  FROM cand cd JOIN codes_arr ca ON cd.id = ca.id
+               JOIN adc_tab a ON cd.query_id = a.query_id
+),
+short AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, id) AS _s
+    FROM pairs) WHERE _s <= {_IVFPQ_SHORT}
+),
+rer AS (
+  SELECT sh.query_id, sh.id, {sql_l2_dist('q.qvec', 'c.vec')} AS dist
+  FROM short sh JOIN c ON sh.id = c.id JOIN q ON sh.query_id = q.query_id
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM rer) WHERE rn <= 10
+"""
+
+
+@register("ivf_pq_search", oracle=_ivf_pq_oracle())
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ index (the FAISS IVFADC shape — coarse cells
+    prune the corpus, PQ codes carry the in-cell scan, raw vectors only
+    for the rerank): queries probe the nprobe nearest L2 cells, ADC runs
+    only over codes of vectors in probed cells, and a small shortlist is
+    reranked exactly. At 100 TB this is the canonical layout: cells =
+    partition pruning, codes = 32x-compressed scan, rerank = point
+    lookups.
+
+    Quality note: recall is ceilinged by coarse-probe coverage (~0.78 at
+    nprobe=8 of ~16 sampled cells on this corpus) because the synthetic
+    embeddings are isotropic — random vectors spread almost uniformly
+    across Voronoi cells, the known worst case for coarse quantization.
+    Clustered real embeddings and k-means centroids raise the ceiling;
+    the composition and its plan shape are what carry over."""
+    from vector_search_go_spark.functions.metrics import metric_dist
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+    from vector_search_go_spark.operators.pq import (
+        pq_adc_candidates,
+        pq_codebook,
+        pq_encode,
+        pq_rerank,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 31 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    )
+    cells = assign_cells(corpus, centroids, metric="l2").select("id", "cell")
+    cb = pq_codebook(emb)
+    codes = pq_encode(corpus, cb)
+    qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", metric_dist("l2", F.col("qvec"), F.col("cvec"))
+    )
+    probes = topk_per_group(
+        qprobe, ["query_id"], "cdist", _IVFPQ_NPROBE, tiebreak_cols=["cid"],
+        rank_name="_r",
+    ).select("query_id", F.col("cid").alias("cell"))
+    cand_ids = F.broadcast(probes).join(cells, on="cell").select("query_id", "id")
+    # the candidate list is |queries| x nprobe-cells rows — always the
+    # small side against the corpus-wide code table
+    cand_codes = F.broadcast(cand_ids).join(codes, on="id")
+    approx = pq_adc_candidates(queries, cand_codes, cb)
+    return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
+
+
+@register(
+    "ivf_pq_recall_vs_exact",
+    oracle=f"""
+WITH pred AS ({{ivfpq}}),
+truth AS ({{knn}}),
+hits AS (
+  SELECT p.query_id, count(*) AS n_hit
+  FROM pred p JOIN truth t ON p.query_id = t.query_id AND p.id = t.id
+  GROUP BY p.query_id
+),
+np AS (SELECT query_id, count(*) AS n_pred FROM pred GROUP BY query_id),
+nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id)
+SELECT np.query_id,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pred AS precision,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_truth AS recall
+FROM np JOIN nt ON np.query_id = nt.query_id
+LEFT JOIN hits ON np.query_id = hits.query_id
+""".replace("{ivfpq}", "__IVFPQ__").replace(
+        "{knn}", _KNN_COSINE_ORACLE.format(dist=sql_l2_dist("vec", "qvec"))
+    ).replace("__IVFPQ__", _ivf_pq_oracle()),
+)
+def ivf_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based precision/recall of the composed IVF+PQ index against
+    exact L2 — compounds the coarse-probe miss rate with the ADC
+    shortlist miss rate, the number a capacity planner actually needs."""
+    from vector_search_go_spark.operators.exact_knn import (
+        embeddings_split,
+        exact_knn_join,
+    )
+    from vector_search_go_spark.operators.recall import precision_recall
+
+    pred = ivf_pq_search(spark, sf_dir)
+    queries, corpus = embeddings_split(spark, sf_dir)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    return precision_recall(pred, truth)
+
+
 _SQ_DIM = 64
 
 _SQL_SQ8_PRELUDE = f"""
