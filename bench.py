@@ -57,6 +57,7 @@ HEADLINE = [
     "sq8_recall_vs_exact",
     "ivf_pq_search",
     "ivf_pq_recall_vs_exact",
+    "kmeans_train_centroids",
 ]
 
 

@@ -1,0 +1,73 @@
+"""k-means trainer (operators.kmeans): deterministic init, Lloyd step
+semantics, empty-cell retention, exact-vs-avg path agreement. The
+bit-exactness of the exact path is proven by the DuckDB oracle on
+kmeans_train_centroids (tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.operators.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_init,
+    kmeans_step,
+)
+
+
+def _corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+
+
+def test_init_first_k_by_id(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    cents = kmeans_init(corpus, 8).orderBy("cid").collect()
+    first = corpus.orderBy("id").limit(8).collect()
+    assert [c["cid"] for c in cents] == list(range(8))
+    for c, f in zip(cents, first):
+        assert c["cvec"] == [float(x) for x in f["vec"]]
+
+
+def test_fit_reduces_distortion(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    init = kmeans_init(corpus, 16)
+    trained = kmeans_fit(corpus, 16, iters=3)
+
+    def distortion(cents):
+        from vector_search_go_spark.operators.pq import sq_l2
+
+        a = kmeans_assign(corpus, cents)
+        best = corpus.crossJoin(F.broadcast(cents)).select(
+            "id", sq_l2(F.col("vec"), F.col("cvec")).alias("d")
+        ).groupBy("id").agg(F.min("d").alias("d"))
+        return best.agg(F.avg("d")).first()[0]
+
+    d0, d1 = distortion(init), distortion(trained)
+    assert d1 < d0, (d0, d1)
+
+
+def test_exact_and_avg_paths_agree(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir).filter(F.col("id") < 100)
+    ex = {r["cid"]: r["cvec"] for r in kmeans_fit(corpus, 4, iters=2, exact=True).collect()}
+    av = {r["cid"]: r["cvec"] for r in kmeans_fit(corpus, 4, iters=2, exact=False).collect()}
+    assert ex.keys() == av.keys()
+    for cid in ex:
+        for a, b in zip(ex[cid], av[cid]):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(a)), (cid, a, b)
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    # two identical seed vectors: every point ties to cell 0 (min-cid
+    # tie-break), cell 1 goes empty and must retain its init centroid
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [1.0, 1.0]),
+        (3, [2.0, 2.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    cents = kmeans_step(corpus, kmeans_init(corpus, 2), dim=2, exact=True)
+    got = {r["cid"]: r["cvec"] for r in cents.collect()}
+    assert got[1] == [0.0, 0.0]
+    assert got[0] == [0.75, 0.75]  # mean of all four points

@@ -85,4 +85,5 @@ def test_ivf_pq_composition(spark, sf_dir):
         assert dists == sorted(dists)
     rec = ivf_pq_recall_vs_exact(spark, sf_dir).collect()
     avg = sum(r["recall"] for r in rec) / len(rec)
-    assert avg >= 0.5, avg  # probe-coverage ceiling on isotropic data
+    # trained k=32 cells, nprobe=16: ~0.87 measured; floor with margin
+    assert avg >= 0.7, avg

@@ -65,6 +65,7 @@ AUDITS = {
     "sq8_encode_codes": (True, False, False, True),
     "sq8_search_rerank": (True, False, False, True),
     "ivf_pq_search": (True, False, False, True),
+    "kmeans_train_centroids": (True, False, False, True),
 }
 
 

@@ -1,0 +1,124 @@
+"""k-means coarse-quantizer training (Lloyd's algorithm), Spark-first.
+
+The reference ships no trained quantizer — its LSH planes are random
+(lsh/hasher.go:100-188) and this repo's IVF/PQ layers (ann_ivf.py,
+pq.py) default to deterministic sampled centroids/codebooks. Training
+centroids with a few Lloyd iterations tightens cells so the same probe
+budget covers more true neighbors; on the isotropic synthetic bench the
+gain is a few recall points, on clustered real embeddings it is the
+difference between probing 50% and 1-10% of the corpus.
+
+Everything is deterministic and seed-free: init is the first ``k``
+corpus vectors by id (as good as any sample on exchangeable data, and
+expressible on both engines), each iteration is one broadcast
+nearest-centroid assignment plus one per-cell mean, and empty cells
+keep their previous centroid.
+
+Two mean paths:
+  - ``exact=True``: per-cell id-ordered fold — the double sum is
+    bit-identical to the DuckDB oracle (same left-to-right IEEE order),
+    so queries built on the trained centroids stay hash-checkable. The
+    per-cell ``collect_list`` bounds this path to cells that fit in one
+    task — fine for k*|cell| in the millions, not the 100 TB path.
+  - ``exact=False`` (default): posexplode + ``avg`` per (cell, dim) —
+    fully map-side combinable, no per-cell materialization; the
+    production path at any scale.
+
+At 100 TB: per iteration, cost = one scan of the corpus with a
+broadcast centroid table (k x dim doubles, KBs) and a k*dim-group
+aggregation — no corpus shuffle. ``iters`` is a small constant; the
+lineage stays a flat unrolled chain Catalyst handles trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.functions.metrics import as_double
+from vector_search_go_spark.operators.pq import sq_l2
+
+
+def kmeans_init(corpus: DataFrame, k: int) -> DataFrame:
+    """corpus(id, vec) -> (cid, cvec): the first ``k`` vectors by id,
+    cid = 0..k-1 in id order. TakeOrdered pushes the limit into the
+    scan; the single-partition window ranks only k rows."""
+    seeds = corpus.orderBy("id").limit(k)
+    w = Window.orderBy("id")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cid"),
+        as_double(F.col("vec")).alias("cvec"),
+    )
+
+
+def kmeans_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """corpus(id, vec) x cents(cid, cvec) -> (id, vec, cell): nearest
+    centroid by squared L2, (d, cid) tie-break, via min(struct) — a
+    map-side-combinable argmin, no window shuffle."""
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "id", "vec", "cid", sq_l2(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("d", "cid")).alias("_m"), F.first("vec").alias("vec")
+    )
+    return best.select("id", "vec", F.col("_m.cid").alias("cell"))
+
+
+def _means_exact(assigned: DataFrame, dim: int) -> DataFrame:
+    """Per-cell mean vector with an id-ordered fold per dimension —
+    bit-portable against a DuckDB ``list(... ORDER BY id)`` +
+    ``list_reduce`` oracle."""
+    g = assigned.groupBy("cell").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), as_double(F.col("vec")).alias("v")))
+        ).alias("pairs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vs = F.transform(F.col("pairs"), lambda p: p["v"])
+    mean = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            vs, F.lit(0.0), lambda acc, v: acc + F.element_at(v, (d + 1).cast("int"))
+        )
+        / F.col("n"),
+    )
+    return g.select("cell", mean.alias("mvec"))
+
+
+def _means_avg(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean via posexplode + avg per (cell, dim): partial
+    aggregation on the map side, nothing collected per cell."""
+    e = assigned.select(
+        "cell", F.posexplode(as_double(F.col("vec"))).alias("dim", "x")
+    )
+    m = e.groupBy("cell", "dim").agg(F.avg("x").alias("mx"))
+    return (
+        m.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "mx"))).alias("s"))
+        .select("cell", F.transform(F.col("s"), lambda p: p["mx"]).alias("mvec"))
+    )
+
+
+def kmeans_step(
+    corpus: DataFrame, cents: DataFrame, dim: int = 64, exact: bool = False
+) -> DataFrame:
+    """One Lloyd iteration: assign + recompute means; empty cells keep
+    their previous centroid (left join + coalesce)."""
+    assigned = kmeans_assign(corpus, cents)
+    means = _means_exact(assigned, dim) if exact else _means_avg(assigned)
+    # means is k rows post-aggregation; Catalyst's estimate still sees
+    # the corpus-sized lineage, so hint the broadcast
+    return cents.join(
+        F.broadcast(means), cents["cid"] == means["cell"], "left"
+    ).select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+
+
+def kmeans_fit(
+    corpus: DataFrame, k: int, iters: int = 3, dim: int = 64, exact: bool = False
+) -> DataFrame:
+    """Train k centroids with ``iters`` Lloyd iterations. Returns
+    (cid, cvec) with cvec ARRAY<DOUBLE>."""
+    cents = kmeans_init(corpus, k)
+    for _ in range(iters):
+        cents = kmeans_step(corpus, cents, dim=dim, exact=exact)
+    return cents
