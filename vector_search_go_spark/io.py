@@ -53,6 +53,16 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def footer_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — no Spark job. The
+    local stand-in for a catalog/statistics lookup: use for SIZING
+    decisions (bloom bitmaps, broadcast thresholds), never for answers.
+    At scale the same number comes from table stats, not file footers."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 

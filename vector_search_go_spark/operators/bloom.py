@@ -75,18 +75,21 @@ def bloom_prune(probe: DataFrame, key: str, bitmap: list[int], m: int, k: int) -
     per-element code, which at ~10k+ words overflows codegen and falls
     back to interpreted evaluation (measured 24s vs 2s at sf0.1).
     `key` must be a plain column name (the bit tests are SQL text — the
-    Python shiftleft wrapper only takes literal shift amounts)."""
+    Python shiftleft wrapper only takes literal shift amounts).
+
+    The k positions are materialized once into an array and tested with
+    `forall`, so each row pays k xxhash64 evaluations — not 2k as with
+    a per-test `pmod(xxhash64(...))` recomputed for word and bit."""
     spark = probe.sparkSession
     bf_row = spark.createDataFrame([(bitmap,)], "_bf array<bigint>")
     probed = probe.crossJoin(F.broadcast(bf_row))
-    tests = []
-    for i in range(k):
-        pos = f"pmod(xxhash64({key}, {i}), {m})"
-        tests.append(
-            f"(element_at(_bf, cast(({pos}) div 64 as int) + 1)"
-            f" & shiftleft(1L, cast(({pos}) % 64 as int))) != 0"
-        )
-    return probed.filter(F.expr(" AND ".join(tests))).drop("_bf")
+    positions = ", ".join(f"pmod(xxhash64({key}, {i}), {m})" for i in range(k))
+    test = (
+        f"forall(array({positions}), _p -> "
+        f"(element_at(_bf, cast(_p div 64 as int) + 1)"
+        f" & shiftleft(1L, cast(_p % 64 as int))) != 0)"
+    )
+    return probed.filter(F.expr(test)).drop("_bf")
 
 
 def bloom_semi_join(

@@ -1092,10 +1092,13 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = orders.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_orderkey").alias("l_orderkey")
     )
-    # sizing hint only (fpp is a perf knob, not correctness): the
-    # unfiltered row count is metadata-only on parquet, the filtered
-    # count would be a full scan
-    pruned = bloom_semi_join(li, build, "l_orderkey", expected_items=orders.count())
+    # sizing hint only (fpp is a perf knob, not correctness): footer
+    # metadata count — no job; the filtered count would be a full scan
+    from vector_search_go_spark.io import footer_rows
+
+    pruned = bloom_semi_join(
+        li, build, "l_orderkey", expected_items=footer_rows(sf_dir, "orders")
+    )
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
