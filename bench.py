@@ -53,6 +53,8 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "pq_search_adc",
     "pq_recall_vs_exact",
+    "pq_search_adc_trained",
+    "pq_trained_recall_vs_exact",
     "sq8_search_rerank",
     "sq8_recall_vs_exact",
     "ivf_pq_search",

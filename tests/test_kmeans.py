@@ -57,6 +57,24 @@ def test_exact_and_avg_paths_agree(spark, sf_dir):
             assert abs(a - b) <= 1e-9 * max(1.0, abs(a)), (cid, a, b)
 
 
+def test_grouped_fit_matches_independent_fits(spark, sf_dir):
+    # one grouped Lloyd chain (group=['g']) must equal running an
+    # independent kmeans_fit per group value — the property PQ codebook
+    # training relies on (one k-means per subspace in a single plan)
+    corpus = _corpus(spark, sf_dir).filter(F.col("id") < 120)
+    grouped = corpus.withColumn("g", (F.col("id") % 2).cast("int"))
+    got = {
+        (r["g"], r["cid"]): r["cvec"]
+        for r in kmeans_fit(
+            grouped, 4, iters=2, exact=True, group=["g"]
+        ).collect()
+    }
+    for gval in (0, 1):
+        part = corpus.filter(F.col("id") % 2 == gval)
+        want = {r["cid"]: r["cvec"] for r in kmeans_fit(part, 4, iters=2, exact=True).collect()}
+        assert {cid: v for (g, cid), v in got.items() if g == gval} == want
+
+
 def test_empty_cell_keeps_previous_centroid(spark):
     # two identical seed vectors: every point ties to cell 0 (min-cid
     # tie-break), cell 1 goes empty and must retain its init centroid

@@ -62,6 +62,7 @@ AUDITS = {
     "text_tfidf_top_terms": (True, False, False, False),
     "pq_encode_codes": (True, False, False, True),
     "pq_search_adc": (True, False, False, True),
+    "pq_search_adc_trained": (True, False, False, True),
     "sq8_encode_codes": (True, False, False, True),
     "sq8_search_rerank": (True, False, False, True),
     "ivf_pq_search": (True, False, False, True),

@@ -14,6 +14,12 @@ expressible on both engines), each iteration is one broadcast
 nearest-centroid assignment plus one per-cell mean, and empty cells
 keep their previous centroid.
 
+All functions take an optional ``group`` column list and then train one
+INDEPENDENT k-means per group value in the same plan — the shape PQ
+codebook training needs (one k-means per subspace, operators/pq.py):
+the group key simply joins/aggregates alongside cid, so M codebooks
+cost the same number of shuffles as one.
+
 Two mean paths:
   - ``exact=True``: per-cell id-ordered fold — the double sum is
     bit-identical to the DuckDB oracle (same left-to-right IEEE order),
@@ -39,10 +45,22 @@ from vector_search_go_spark.functions.metrics import as_double
 from vector_search_go_spark.operators.pq import sq_l2
 
 
-def kmeans_init(corpus: DataFrame, k: int) -> DataFrame:
-    """corpus(id, vec) -> (cid, cvec): the first ``k`` vectors by id,
-    cid = 0..k-1 in id order. TakeOrdered pushes the limit into the
-    scan; the single-partition window ranks only k rows."""
+def kmeans_init(corpus: DataFrame, k: int, group: list[str] | None = None) -> DataFrame:
+    """corpus(id, vec) -> (*group, cid, cvec): the first ``k`` vectors
+    by id (per group), cid = 0..k-1 in id order. Ungrouped, TakeOrdered
+    pushes the limit into the scan and the single-partition window
+    ranks only k rows; grouped, one window pass partitioned by group."""
+    group = group or []
+    if group:
+        w = Window.partitionBy(*group).orderBy("id")
+        ranked = corpus.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        )
+        return ranked.select(
+            *group,
+            (F.col("_rn") - 1).cast("int").alias("cid"),
+            as_double(F.col("vec")).alias("cvec"),
+        )
     seeds = corpus.orderBy("id").limit(k)
     w = Window.orderBy("id")
     return seeds.select(
@@ -51,24 +69,31 @@ def kmeans_init(corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
-def kmeans_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """corpus(id, vec) x cents(cid, cvec) -> (id, vec, cell): nearest
-    centroid by squared L2, (d, cid) tie-break, via min(struct) — a
-    map-side-combinable argmin, no window shuffle."""
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "id", "vec", "cid", sq_l2(F.col("vec"), F.col("cvec")).alias("d")
+def kmeans_assign(
+    corpus: DataFrame, cents: DataFrame, group: list[str] | None = None
+) -> DataFrame:
+    """corpus(id, vec) x cents(cid, cvec) -> (*group, id, vec, cell):
+    nearest centroid by squared L2, (d, cid) tie-break, via min(struct)
+    — a map-side-combinable argmin, no window shuffle. Grouped, the
+    centroid join is an equi-join on the group key (still broadcast)."""
+    group = group or []
+    bcents = F.broadcast(cents)
+    scored = (
+        corpus.join(bcents, on=group) if group else corpus.crossJoin(bcents)
+    ).select(
+        *group, "id", "vec", "cid", sq_l2(F.col("vec"), F.col("cvec")).alias("d")
     )
-    best = scored.groupBy("id").agg(
+    best = scored.groupBy(*group, "id").agg(
         F.min(F.struct("d", "cid")).alias("_m"), F.first("vec").alias("vec")
     )
-    return best.select("id", "vec", F.col("_m.cid").alias("cell"))
+    return best.select(*group, "id", "vec", F.col("_m.cid").alias("cell"))
 
 
-def _means_exact(assigned: DataFrame, dim: int) -> DataFrame:
+def _means_exact(assigned: DataFrame, dim: int, group: list[str]) -> DataFrame:
     """Per-cell mean vector with an id-ordered fold per dimension —
     bit-portable against a DuckDB ``list(... ORDER BY id)`` +
     ``list_reduce`` oracle."""
-    g = assigned.groupBy("cell").agg(
+    g = assigned.groupBy(*group, "cell").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("id"), as_double(F.col("vec")).alias("v")))
         ).alias("pairs"),
@@ -82,43 +107,56 @@ def _means_exact(assigned: DataFrame, dim: int) -> DataFrame:
         )
         / F.col("n"),
     )
-    return g.select("cell", mean.alias("mvec"))
+    return g.select(*group, "cell", mean.alias("mvec"))
 
 
-def _means_avg(assigned: DataFrame) -> DataFrame:
+def _means_avg(assigned: DataFrame, group: list[str]) -> DataFrame:
     """Per-cell mean via posexplode + avg per (cell, dim): partial
     aggregation on the map side, nothing collected per cell."""
     e = assigned.select(
-        "cell", F.posexplode(as_double(F.col("vec"))).alias("dim", "x")
+        *group, "cell", F.posexplode(as_double(F.col("vec"))).alias("dim", "x")
     )
-    m = e.groupBy("cell", "dim").agg(F.avg("x").alias("mx"))
+    m = e.groupBy(*group, "cell", "dim").agg(F.avg("x").alias("mx"))
     return (
-        m.groupBy("cell")
+        m.groupBy(*group, "cell")
         .agg(F.sort_array(F.collect_list(F.struct("dim", "mx"))).alias("s"))
-        .select("cell", F.transform(F.col("s"), lambda p: p["mx"]).alias("mvec"))
+        .select(*group, "cell", F.transform(F.col("s"), lambda p: p["mx"]).alias("mvec"))
     )
 
 
 def kmeans_step(
-    corpus: DataFrame, cents: DataFrame, dim: int = 64, exact: bool = False
+    corpus: DataFrame,
+    cents: DataFrame,
+    dim: int = 64,
+    exact: bool = False,
+    group: list[str] | None = None,
 ) -> DataFrame:
     """One Lloyd iteration: assign + recompute means; empty cells keep
     their previous centroid (left join + coalesce)."""
-    assigned = kmeans_assign(corpus, cents)
-    means = _means_exact(assigned, dim) if exact else _means_avg(assigned)
-    # means is k rows post-aggregation; Catalyst's estimate still sees
-    # the corpus-sized lineage, so hint the broadcast
-    return cents.join(
-        F.broadcast(means), cents["cid"] == means["cell"], "left"
-    ).select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+    group = group or []
+    assigned = kmeans_assign(corpus, cents, group=group)
+    means = (
+        _means_exact(assigned, dim, group) if exact else _means_avg(assigned, group)
+    ).withColumnRenamed("cell", "cid")
+    # means is k rows per group post-aggregation; Catalyst's estimate
+    # still sees the corpus-sized lineage, so hint the broadcast
+    return cents.join(F.broadcast(means), on=[*group, "cid"], how="left").select(
+        *group, "cid", F.coalesce("mvec", "cvec").alias("cvec")
+    )
 
 
 def kmeans_fit(
-    corpus: DataFrame, k: int, iters: int = 3, dim: int = 64, exact: bool = False
+    corpus: DataFrame,
+    k: int,
+    iters: int = 3,
+    dim: int = 64,
+    exact: bool = False,
+    group: list[str] | None = None,
 ) -> DataFrame:
-    """Train k centroids with ``iters`` Lloyd iterations. Returns
-    (cid, cvec) with cvec ARRAY<DOUBLE>."""
-    cents = kmeans_init(corpus, k)
+    """Train k centroids with ``iters`` Lloyd iterations — one
+    independent k-means per group value when ``group`` is given.
+    Returns (*group, cid, cvec) with cvec ARRAY<DOUBLE>."""
+    cents = kmeans_init(corpus, k, group=group)
     for _ in range(iters):
-        cents = kmeans_step(corpus, cents, dim=dim, exact=exact)
+        cents = kmeans_step(corpus, cents, dim=dim, exact=exact, group=group)
     return cents

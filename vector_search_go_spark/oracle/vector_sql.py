@@ -70,39 +70,57 @@ def sql_metric_dist(metric: str, a: str, b: str) -> str:
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def sql_kmeans(corpus: str, k: int, iters: int, dim: int = 64) -> tuple[str, str]:
+def sql_kmeans(
+    corpus: str, k: int, iters: int, dim: int = 64, group: str | None = None
+) -> tuple[str, str]:
     """Unrolled Lloyd iterations over ``{corpus}(id, vec)``, mirroring
     operators.kmeans.kmeans_fit(exact=True) bit-for-bit: first-k-by-id
     init, squared-L2 (d, cid) argmin assignment, id-ordered fold means,
-    empty cells keep the previous centroid.
+    empty cells keep the previous centroid. With ``group``, one
+    independent k-means per value of that corpus column (the PQ
+    per-subspace shape), exactly like the operator's ``group`` arg.
 
     Returns (cte_block, final_cte_name); splice the block into a WITH
-    list and select ``cid, cvec`` from the final name."""
+    list and select ``[group,] cid, cvec`` from the final name."""
+    gsel = f"{group}, " if group else ""
+    init_part = (
+        f"PARTITION BY {group} " if group else ""
+    )
     parts = [
         f"""k0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+  SELECT {gsel}CAST(_rn - 1 AS INT) AS cid,
          list_transform(vec, _x -> CAST(_x AS DOUBLE)) AS cvec
-  FROM (SELECT id, vec FROM {corpus} ORDER BY id LIMIT {k}))"""
+  FROM (SELECT {gsel}vec,
+               row_number() OVER ({init_part}ORDER BY id) AS _rn
+        FROM {corpus}) WHERE _rn <= {k})"""
     ]
+    join_prev = (
+        f"JOIN {{prev}} p ON c.{group} = p.{group}" if group else "CROSS JOIN {prev} p"
+    )
+    assign_part = f"PARTITION BY {f'c.{group}, ' if group else ''}c.id"
+    cgsel = f"c.{group}, " if group else ""
+    pgsel = f"p.{group}, " if group else ""
+    on_group = f"p.{group} = g.{group} AND " if group else ""
     for i in range(1, iters + 1):
         prev = f"k{i - 1}"
         dim_sum = sql_fold_sum("list_transform(g.vs, _w -> _w[_d + 1])")
         parts.append(
             f"""ka{i} AS (
-  SELECT id, vec, cid AS cell FROM (
-    SELECT c.id, c.vec, p.cid,
-           row_number() OVER (PARTITION BY c.id
+  SELECT {gsel}id, vec, cid AS cell FROM (
+    SELECT {cgsel}c.id, c.vec, p.cid,
+           row_number() OVER ({assign_part}
                               ORDER BY {sql_sq_l2('c.vec', 'p.cvec')}, p.cid) AS _r
-    FROM {corpus} c CROSS JOIN {prev} p) WHERE _r = 1),
+    FROM {corpus} c {join_prev.format(prev=prev)}) WHERE _r = 1),
 kg{i} AS (
-  SELECT cell, list(list_transform(vec, _x -> CAST(_x AS DOUBLE)) ORDER BY id) AS vs,
+  SELECT {gsel}cell,
+         list(list_transform(vec, _x -> CAST(_x AS DOUBLE)) ORDER BY id) AS vs,
          count(*) AS n
-  FROM ka{i} GROUP BY cell),
+  FROM ka{i} GROUP BY {gsel}cell),
 k{i} AS (
-  SELECT p.cid,
+  SELECT {pgsel}p.cid,
          CASE WHEN g.cell IS NULL THEN p.cvec
               ELSE list_transform(range(0, {dim}), _d -> {dim_sum} / g.n)
          END AS cvec
-  FROM {prev} p LEFT JOIN kg{i} g ON p.cid = g.cell)"""
+  FROM {prev} p LEFT JOIN kg{i} g ON {on_group}p.cid = g.cell)"""
         )
     return ",\n".join(parts), f"k{iters}"
