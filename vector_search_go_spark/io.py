@@ -30,12 +30,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's converter
-        # rejects; read nanos as long and truncate to micro timestamps
-        # (matching DuckDB's ns -> us truncation of the same file).
+        # events.ts has shipped in two physical layouts: TIMESTAMP(NANOS)
+        # (unreadable without nanosAsLong; truncate to micros like DuckDB
+        # does) and TIMESTAMP(MICROS) without UTC adjustment (arrives as
+        # TIMESTAMP_NTZ). Normalize both to a session-tz (UTC) timestamp
+        # so every downstream window/watermark/comparison sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

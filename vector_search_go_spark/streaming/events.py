@@ -34,6 +34,23 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events parquet. Handles both physical ts
+    layouts the driver has shipped (TIMESTAMP(NANOS) needing
+    nanosAsLong+truncation, and micro TIMESTAMP_NTZ), normalizing to a
+    session-tz timestamp exactly like the batch loader in io.py."""
+    import pyarrow.parquet as pq
+
+    arrow_ts = str(
+        pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    )
+    if arrow_ts.startswith("timestamp"):
+        schema = RAW_SCHEMA.replace("ts bigint", "ts timestamp_ntz")
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}")
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
