@@ -1499,3 +1499,84 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = base.filter(F.col("split") == "train").select("doc_id", "shingles")
     ev = base.filter(F.col("split") != "train").select("doc_id", "shingles")
     return contamination_scores(train, ev, _DECONTAM_THRESHOLD)
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_ITERS = 2
+_SEMDEDUP_EPS = 0.6
+
+
+def _semdedup_oracle() -> str:
+    from vector_search_go_spark.oracle.vector_sql import (
+        sql_kmeans,
+        sql_sq_l2,
+    )
+
+    km_block, km_final = sql_kmeans("c", _SEMDEDUP_K, _SEMDEDUP_ITERS)
+    assign_d = sql_sq_l2("c.vec", "cent.cvec")
+    pair_d = sql_cosine_dist("a.vec", "b.vec")
+    return f"""
+WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+{km_block},
+cent AS (SELECT cid, cvec FROM {km_final}),
+assign AS (
+  SELECT id, vec, cid AS cell FROM (
+    SELECT c.id, c.vec, cent.cid,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY {assign_d}, cent.cid) AS _r
+    FROM c CROSS JOIN cent) WHERE _r = 1
+),
+dups AS (
+  SELECT DISTINCT b.id AS id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+  WHERE {pair_d} <= {_SEMDEDUP_EPS}
+)
+SELECT a.id, CAST(a.cell AS INT) AS cell, (d.id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dups d ON a.id = d.id
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_semdedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    cosine distance ONLY within each cluster and drop every member that
+    has a lower-id near-duplicate (greedy min-id representative). The
+    clustering is what makes semantic dedup tractable — all-pairs cost
+    collapses from |corpus|^2 to the sum of per-cell sizes squared,
+    tunable via k.
+
+    Output: (id, cell, is_dup) for the whole corpus — downstream
+    curation keeps ``NOT is_dup``.
+
+    At 100 TB: centroids are KBs (broadcast); assignment is one scanned
+    projection; the within-cell self-join is an equi-join on cell, so
+    rows co-partition by cell and no pair crosses cells; the dup-id list
+    is tiny and broadcast back against the corpus. k scales with corpus
+    size to bound per-cell pair counts (the SemDeDup paper runs ~100k
+    cells over web-scale corpora)."""
+    from vector_search_go_spark.functions.metrics import cosine_dist
+    from vector_search_go_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    cents = kmeans_fit(
+        corpus, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS, exact=True
+    )
+    assigned = kmeans_assign(corpus, cents).select(
+        "id", "vec", F.col("cell").cast("int").alias("cell")
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    dups = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_dist(F.col("va"), F.col("vb")) <= _SEMDEDUP_EPS)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        F.broadcast(dups.withColumn("_d", F.lit(True))), on="id", how="left"
+    ).select("id", "cell", F.coalesce("_d", F.lit(False)).alias("is_dup"))
