@@ -265,3 +265,48 @@ def pairwise_dist_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_dist(F.col("va"), F.col("vb")).alias("l2"),
         cosine_dist(F.col("va"), F.col("vb")).alias("cos_dist"),
     )
+
+
+_FILTERED_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec, label
+  FROM embeddings WHERE vec_id % 50 <> 0
+), d AS (
+  SELECT query_id, id, {sql_l2_dist('vec', 'qvec')} AS dist
+  FROM q JOIN c USING (label)
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d) WHERE rn <= 10
+"""
+
+
+@register("knn_exact_filtered", oracle=_FILTERED_KNN_ORACLE)
+def knn_exact_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact L2 top-k restricted to corpus rows
+    whose ``label`` equals the query's — the metadata-predicate + ANN
+    combination every production vector store exposes. The predicate is
+    expressed as the JOIN KEY, not a post-filter: each query only ever
+    meets its label's partition of the corpus (here 1/10th), so
+    selectivity directly divides scan cost. At 100 TB the corpus is
+    written partitioned by the filter column and this equi-join prunes
+    partitions; post-filtering an unfiltered top-k (the naive
+    alternative) both over-scans and under-fills k."""
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "label"
+    )
+    c = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    cand = F.broadcast(q).join(c, on="label").withColumn(
+        "dist", l2_dist(F.col("vec"), F.col("qvec"))
+    )
+    top = topk_per_group(cand, ["query_id"], "dist", 10, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
