@@ -12,6 +12,33 @@ def test_every_oracle_has_a_query():
     assert all(callable(fn) for fn in qs.values())
 
 
+def test_priority_window_covers_flagship_operators():
+    """The driver checks only the first 50 registered queries; the
+    flagship families (LSH core, PQ/SQ8/IVF, k-means, temporal,
+    curation) must all sit inside that window (VERDICT r2 item 1)."""
+    qs = list(registry.queries())
+    assert len(registry._PRIORITY) == 50
+    # every priority name is actually registered (no silent drops)
+    assert [n for n in registry._PRIORITY if n not in set(qs)] == []
+    assert qs[:50] == list(registry._PRIORITY)
+    window = set(qs[:50])
+    flagship = {
+        "lsh_knn_l2", "lsh_knn_cosine", "lsh_recall_l2", "lsh_recall_cosine",
+        "lsh_bucket_profile", "lsh_model_hashes",
+        "ann_ivf_cosine", "ivf_recall_vs_exact", "kmeans_train_centroids",
+        "pq_encode_codes", "pq_search_adc", "pq_recall_vs_exact",
+        "pq_search_adc_trained", "pq_trained_recall_vs_exact",
+        "ivf_pq_search", "ivf_pq_recall_vs_exact",
+        "sq8_encode_codes", "sq8_search_rerank", "sq8_recall_vs_exact",
+        "asof_click_before_purchase", "range_join_click_purchase",
+        "curate_training_corpus", "split_train_val_test",
+        "dedup_cluster_groups",
+    }
+    assert flagship <= window
+    # no duplicates introduced by the reorder
+    assert len(qs) == len(set(qs))
+
+
 def test_entry_module_contract():
     import importlib.util
 

@@ -23,4 +23,4 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
     for k, a in approx.items():
         e = exact[k]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
-        assert abs(a["price_quantiles"][0] - e["p50"]) / e["p50"] < 0.05
+        assert abs(a["price_p50"] - e["p50"]) / e["p50"] < 0.05

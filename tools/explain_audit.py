@@ -79,6 +79,49 @@ PRUNING = {
 }
 
 
+def audit_assignment_operators(spark, sections, failures) -> None:
+    """Nearest-centroid assignment must be a pure map stage: no Exchange
+    keyed by corpus id anywhere in the plan (VERDICT r2 finding #3 — the
+    old groupBy(id).min(struct) argmin re-shuffled the whole corpus).
+    The only allowed exchanges are the KB-sized centroid pack and
+    local-mode ensure_parallelism round-robin."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+    from vector_search_go_spark.operators.kmeans import kmeans_assign
+    from vector_search_go_spark.operators.pq import pq_codebook, pq_encode, subvectors
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    cents = emb.filter(F.col("vec_id") % 125 == 0).select(
+        (F.col("vec_id") / 125).cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    ops = {
+        "op:assign_cells": assign_cells(corpus, cents),
+        "op:kmeans_assign": kmeans_assign(corpus, cents),
+        "op:kmeans_assign_grouped": kmeans_assign(
+            subvectors(corpus), cents.withColumn("sub", F.lit(0)), group=["sub"]
+        ),
+        "op:pq_encode": pq_encode(corpus, pq_codebook(emb)),
+    }
+    for name, df in ops.items():
+        plan = plan_text(df)
+        corpus_keyed = [
+            l.strip()
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l and "id#" in l
+        ]
+        ok = not corpus_keyed
+        line = f"  - [{'x' if ok else ' '}] no corpus-keyed Exchange (argmin is a map stage)"
+        if not ok:
+            failures.append(f"{name}: corpus-keyed Exchange present: {corpus_keyed}")
+        sections.append(f"## {name}\n\n{line}\n\n```\n{plan}\n```\n")
+        print(f"{name}: " + ("OK" if ok else "FAIL"))
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -149,6 +192,8 @@ def main() -> int:
             f"## {name}\n\n" + "\n".join(checks) + f"\n\n```\n{plan}\n```\n"
         )
         print(f"{name}: " + ("OK" if not any(name in f for f in failures) else "FAIL"))
+
+    audit_assignment_operators(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(

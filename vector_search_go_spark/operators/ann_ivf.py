@@ -28,19 +28,23 @@ def assign_cells(
     corpus: DataFrame, centroids: DataFrame, metric: str = "cosine"
 ) -> DataFrame:
     """corpus(id, vec) x centroids(cid, cvec) -> (id, vec, cell):
-    nearest centroid per vector, (dist, cid) tie-break."""
-    from vector_search_go_spark.io import ensure_parallelism
+    nearest centroid per vector, (dist, cid) tie-break.
 
-    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", metric_dist(metric, F.col("vec"), F.col("cvec"))
+    Centroids are packed into one broadcast array row and the argmin is
+    a single projection (operators.argmin) — the corpus is never
+    shuffled or aggregated, so the assignment is a pure map stage."""
+    from vector_search_go_spark.io import ensure_parallelism
+    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
+    cents_arr = pack_centroids(centroids)
+    cell = argmin_id(
+        F.col("_cents"), lambda cv: metric_dist(metric, F.col("vec"), cv)
     )
-    # argmin by (cdist, cid) via min(struct) — a map-side-combinable
-    # aggregation instead of a per-id window shuffle; vec is constant
-    # within the group so first() is deterministic.
-    best = scored.groupBy("id").agg(
-        F.min(F.struct("cdist", "cid")).alias("_m"), F.first("vec").alias("vec")
+    return (
+        ensure_parallelism(corpus)
+        .crossJoin(F.broadcast(cents_arr))
+        .select("id", "vec", cell.alias("cell"))
     )
-    return best.select("id", "vec", F.col("_m.cid").alias("cell"))
 
 
 def ivf_search(

@@ -73,20 +73,20 @@ def kmeans_assign(
     corpus: DataFrame, cents: DataFrame, group: list[str] | None = None
 ) -> DataFrame:
     """corpus(id, vec) x cents(cid, cvec) -> (*group, id, vec, cell):
-    nearest centroid by squared L2, (d, cid) tie-break, via min(struct)
-    — a map-side-combinable argmin, no window shuffle. Grouped, the
-    centroid join is an equi-join on the group key (still broadcast)."""
+    nearest centroid by squared L2, (d, cid) tie-break.
+
+    The centroid table collapses to one array row per group value
+    (operators.argmin) and joins back broadcast, so the assignment is a
+    pure map stage over the corpus — no corpus shuffle, no per-id
+    aggregation; k-means iterations cost one corpus SCAN each, not one
+    corpus EXCHANGE each."""
+    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
     group = group or []
-    bcents = F.broadcast(cents)
-    scored = (
-        corpus.join(bcents, on=group) if group else corpus.crossJoin(bcents)
-    ).select(
-        *group, "id", "vec", "cid", sq_l2(F.col("vec"), F.col("cvec")).alias("d")
-    )
-    best = scored.groupBy(*group, "id").agg(
-        F.min(F.struct("d", "cid")).alias("_m"), F.first("vec").alias("vec")
-    )
-    return best.select(*group, "id", "vec", F.col("_m.cid").alias("cell"))
+    carr = F.broadcast(pack_centroids(cents, group=group))
+    joined = corpus.join(carr, on=group) if group else corpus.crossJoin(carr)
+    cell = argmin_id(F.col("_cents"), lambda cv: sq_l2(F.col("vec"), cv))
+    return joined.select(*group, "id", "vec", cell.alias("cell"))
 
 
 def _means_exact(assigned: DataFrame, dim: int, group: list[str]) -> DataFrame:

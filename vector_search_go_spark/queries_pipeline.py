@@ -453,7 +453,17 @@ def pq_search_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    cb = pq_codebook_trained(allv, iters=3, exact=True)
+    # train-once: first call fits + saves the codebook, every later call
+    # (including pq_trained_recall_vs_exact in the same run) loads it —
+    # the reference's DumpHasher/LoadHasher split between build and serve
+    from vector_search_go_spark.operators.model_store import cached_df
+
+    cb = cached_df(
+        spark,
+        "pq_codebook_trained_i3",
+        sf_dir,
+        lambda: pq_codebook_trained(allv, iters=3, exact=True),
+    )
     codes = pq_encode(ensure_parallelism(corpus), cb)
     short = pq_shortlist(corpus.count())
     return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=short)
@@ -527,12 +537,18 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     random, lsh/hasher.go:100-188); this is the training half of the
     IVF scale path (ann_ivf.py)."""
     from vector_search_go_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from vector_search_go_spark.operators.model_store import cached_df
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = ensure_parallelism(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
-    cents = kmeans_fit(corpus, k=16, iters=3, exact=True)
+    cents = cached_df(
+        spark,
+        "kmeans_centroids_k16_i3",
+        sf_dir,
+        lambda: kmeans_fit(corpus, k=16, iters=3, exact=True),
+    )
     counts = kmeans_assign(corpus, cents).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -667,7 +683,14 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
     )
-    centroids = kmeans_fit(corpus, k=_IVFPQ_K, iters=_IVFPQ_ITERS, exact=True)
+    from vector_search_go_spark.operators.model_store import cached_df
+
+    centroids = cached_df(
+        spark,
+        f"ivfpq_centroids_k{_IVFPQ_K}_i{_IVFPQ_ITERS}",
+        sf_dir,
+        lambda: kmeans_fit(corpus, k=_IVFPQ_K, iters=_IVFPQ_ITERS, exact=True),
+    )
     cells = assign_cells(corpus, centroids, metric="l2").select("id", "cell")
     cb = pq_codebook(emb)
     codes = pq_encode(corpus, cb)
@@ -1562,8 +1585,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = ensure_parallelism(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
-    cents = kmeans_fit(
-        corpus, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS, exact=True
+    from vector_search_go_spark.operators.model_store import cached_df
+
+    cents = cached_df(
+        spark,
+        f"semdedup_centroids_k{_SEMDEDUP_K}_i{_SEMDEDUP_ITERS}",
+        sf_dir,
+        lambda: kmeans_fit(corpus, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS, exact=True),
     )
     assigned = kmeans_assign(corpus, cents).select(
         "id", "vec", F.col("cell").cast("int").alias("cell")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_search_go_spark.io import table
+from vector_search_go_spark.oracle.vector_sql import sql_fold_sum
 from vector_search_go_spark.registry import register
 
 
@@ -698,26 +699,36 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_array_funcs",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       list_transform(embedding[1:3], _x -> CAST(_x AS DOUBLE)) AS head3,
+       {sql_fold_sum("list_transform(embedding[1:3], _x -> CAST(_x AS DOUBLE))")}
+         AS head3_sum,
        CAST(embedding[1] AS DOUBLE) AS first_elem,
        CAST(len(list_filter(embedding, _x -> _x > 0)) AS INT) AS n_pos,
-       list_transform(embedding, _x -> CAST(_x AS DOUBLE) * 2) AS doubled
+       {sql_fold_sum("list_transform(embedding, _x -> CAST(_x AS DOUBLE) * 2)")}
+         AS doubled_sum
 FROM embeddings WHERE vec_id < 50
 """,
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (slice/transform/filter/aggregate).
+
+    Array-valued intermediates are reduced to scalar sums so the driver's
+    canonicalizer (which cannot sort/hash array cells) gets scalar columns;
+    the higher-order functions themselves are still in the plan."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     emb = F.col("embedding")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        fold(F.transform(F.slice(emb, 1, 3), lambda x: x.cast("double"))).alias(
+            "head3_sum"
+        ),
         F.element_at(emb, 1).cast("double").alias("first_elem"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
-        F.transform(emb, lambda x: x.cast("double") * 2).alias("doubled"),
+        fold(F.transform(emb, lambda x: x.cast("double") * 2)).alias("doubled_sum"),
     )
 
 
@@ -806,11 +817,12 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines); accuracy vs exact is asserted in
     tests/test_relational_extras.py."""
     li = table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -203,20 +203,29 @@ def vector_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS ({_STATS_ORACLE}),
 arrs AS (
   SELECT list(mean ORDER BY dim) AS mean_arr, list(mad ORDER BY dim) AS mad_arr FROM m
+),
+s AS (
+  SELECT vec_id,
+         list_transform(list_zip(embedding, mean_arr, mad_arr),
+           _t -> CASE WHEN abs(_t[3]) <= 1e-12
+                      THEN CAST(_t[1] AS DOUBLE) - _t[2]
+                      ELSE (CAST(_t[1] AS DOUBLE) - _t[2]) / _t[3] END) AS scaled
+  FROM embeddings, arrs
+  WHERE vec_id < 20
 )
 SELECT vec_id,
-       list_transform(list_zip(embedding, mean_arr, mad_arr),
-         _t -> CASE WHEN abs(_t[3]) <= 1e-12
-                    THEN CAST(_t[1] AS DOUBLE) - _t[2]
-                    ELSE (CAST(_t[1] AS DOUBLE) - _t[2]) / _t[3] END) AS scaled
-FROM embeddings, arrs
-WHERE vec_id < 20
+       CAST(unnest(generate_series(0, len(scaled) - 1)) AS INT) AS pos,
+       unnest(scaled) AS x
+FROM s
 """,
 )
 def vector_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard scaler (reference NewStandartScaler/Scale,
     helpers.go:152-191): (x - mean)/"std" with the reference's
-    zero-std -> divide-by-1 fill; "std" is the MAD from O19."""
+    zero-std -> divide-by-1 fill; "std" is the MAD from O19.
+
+    Output is exploded to (vec_id, pos, x) scalar rows: the driver's
+    canonicalizer sorts columns by value and cannot hash array cells."""
     stats = _stats_df(spark, sf_dir)
     arrs = stats.agg(
         F.sort_array(F.collect_list(F.struct("dim", "mean", "mad"))).alias("s")
@@ -235,7 +244,9 @@ def vector_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad_arr"),
         lambda v, s: F.when(F.abs(s) <= 1e-12, v).otherwise(v / s),
     )
-    return emb.crossJoin(F.broadcast(arrs)).select("vec_id", scaled.alias("scaled"))
+    return emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", F.posexplode(scaled).alias("pos", "x")
+    )
 
 
 @register(
