@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_score",
     "ann_ivf_cosine",
+    "ivf_recall_vs_exact",
     "asof_click_before_purchase",
     "range_join_click_purchase",
     "rollup_multiresolution",

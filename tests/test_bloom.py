@@ -28,6 +28,29 @@ def test_no_false_negatives_and_low_fpp(spark):
     assert false_pos / 19_000 < 0.05  # ~1% target, loose bound
 
 
+def test_probe_size_guard_routes_to_plain_join(spark):
+    """Small probe (probe_rows below threshold) must skip the bloom:
+    same rows, and the plan carries no bloom filter expression."""
+    probe = spark.range(0, 1000).selectExpr("id as key", "id as payload")
+    build = spark.range(0, 100).withColumnRenamed("id", "key")
+    guarded = bloom_semi_join(
+        probe, build, "key", expected_items=100, probe_rows=1000
+    )
+    assert "xxhash64" not in guarded._jdf.queryExecution().executedPlan().toString()
+    got = sorted(r["key"] for r in guarded.collect())
+    assert got == list(range(100))
+
+
+def test_bloom_route_taken_above_threshold(spark):
+    probe = spark.range(0, 1000).selectExpr("id as key", "id as payload")
+    build = spark.range(0, 100).withColumnRenamed("id", "key")
+    bloomed = bloom_semi_join(
+        probe, build, "key", expected_items=100, probe_rows=1000, min_probe_rows=500
+    )
+    assert "xxhash64" in bloomed._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r["key"] for r in bloomed.collect()) == list(range(100))
+
+
 def test_semi_join_equivalence(spark):
     probe = spark.range(0, 5000).selectExpr("id as key", "id * 2 as payload")
     build = spark.range(0, 5000).filter("id % 7 = 3").withColumnRenamed("id", "key")

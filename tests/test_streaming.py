@@ -26,6 +26,37 @@ def events_dir(sf_dir, tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def events_nanos_dir(sf_dir, tmp_path_factory, spark):
+    """events.parquet rewritten with a TIMESTAMP(NANOS) ts column — the
+    other physical layout the driver has shipped. pyarrow reports it as
+    timestamp[ns], which must route to the nanosAsLong branch of
+    read_events_stream, NOT the timestamp_ntz one (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_stream_nanos")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_idx = t.schema.get_field_index("ts")
+    ts = t.column("ts").cast(pa.timestamp("ns"))
+    t = t.set_column(ts_idx, pa.field("ts", pa.timestamp("ns")), ts)
+    pq.write_table(t, str(d / "events.parquet"), store_schema=False)
+    assert str(
+        pq.ParquetFile(str(d / "events.parquet")).schema_arrow.field("ts").type
+    ) == "timestamp[ns]"
+    return str(d)
+
+
+def test_nanos_layout_routes_to_long_branch(spark, events_nanos_dir):
+    """A TIMESTAMP(NANOS) file must stream through the nanosAsLong +
+    truncate path and produce micro-precision session timestamps."""
+    stream = read_events_stream(spark, events_nanos_dir)
+    assert stream.schema["ts"].dataType.typeName() == "timestamp"
+    run_to_memory(windowed_counts(stream), "win_counts_nanos")
+    got = spark.table("win_counts_nanos")
+    assert got.count() > 0
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
     stream = read_events_stream(spark, events_dir)
     run_to_memory(windowed_counts(stream), "win_counts")

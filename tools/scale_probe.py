@@ -24,7 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(n: int = 100_000, dims: int = 64, k: int = 10, n_queries: int = 50) -> None:
+def main(
+    n: int = 100_000,
+    dims: int = 64,
+    k: int = 10,
+    n_queries: int = 50,
+    sample_size: int = 20_000,
+) -> None:
     from pyspark.sql import functions as F
 
     from vector_search_go_spark.config import LshConfig
@@ -55,7 +61,7 @@ def main(n: int = 100_000, dims: int = 64, k: int = 10, n_queries: int = 50) -> 
 
     # bounded build sample (the 100 TB posture): plane quality saturates
     # well below the corpus size, and driver build time is O(sample)
-    cfg = LshConfig(dims=dims, n_trees=40, k_min_vecs=100, seed=42, sample_size=20_000)
+    cfg = LshConfig(dims=dims, n_trees=40, k_min_vecs=100, seed=42, sample_size=sample_size)
     t0 = time.time()
     idx = LshIndex.train(spark, corpus, cfg)
     idx.buckets = idx.buckets.cache()
@@ -95,8 +101,67 @@ def main(n: int = 100_000, dims: int = 64, k: int = 10, n_queries: int = 50) -> 
     p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
 
     row = (
-        f"| {n:,} | {t_train:.1f} s | {n_bucket_rows:,} | {t_search:.1f} s | "
+        f"| {n:,} | {sample_size // 1000}k | {t_train:.1f} s | {n_bucket_rows:,} | {t_search:.1f} s | "
         f"{t_exact:.1f} s | {cand_frac:.3f} | {p:.3f} / {r:.3f} |"
+    )
+    print(row)
+    return row
+
+
+
+def pq_probe(n: int = 1_000_000, dims: int = 64, k: int = 10, n_queries: int = 50) -> str:
+    """Fixed-shortlist PQ at scale: encode time grows with the corpus
+    (one map pass), ADC scan is compressed-domain, and the exact rerank
+    touches a CONSTANT n_queries x shortlist rows — the property the
+    fixed shortlist buys (operators.pq.pq_shortlist)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators import pq
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.recall import (
+        mean_precision_recall,
+        precision_recall,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("scale-probe-pq", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    assign = rng.integers(0, len(centers), size=n)
+    X = centers[assign] + rng.normal(size=(n, dims))
+    rows = [(int(i), X[i].tolist()) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "id bigint, vec array<double>").repartition(32)
+    corpus.cache().count()
+    qidx = rng.choice(n, size=n_queries, replace=False)
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qidx], "query_id bigint, qvec array<double>"
+    )
+
+    emb_like = corpus.select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    cb = pq.pq_codebook(emb_like)
+    t0 = time.time()
+    codes = pq.pq_encode(corpus, cb).cache()
+    codes.count()
+    t_encode = time.time() - t0
+
+    short = pq.pq_shortlist(k)
+    t0 = time.time()
+    pred = pq.pq_adc_search(queries, codes, cb, corpus, k=k, shortlist=short).cache()
+    pred.count()
+    t_search = time.time() - t0
+
+    t0 = time.time()
+    truth = exact_knn_join(queries, corpus, metric="l2", k=k).cache()
+    truth.count()
+    t_exact = time.time() - t0
+    _, r = mean_precision_recall(precision_recall(pred, truth))
+    rerank_rows = n_queries * short
+    row = (
+        f"| {n:,} | {t_encode:.1f} s | {t_search:.1f} s | {t_exact:.1f} s | "
+        f"{short} | {rerank_rows:,} | {r:.3f} |"
     )
     print(row)
     return row

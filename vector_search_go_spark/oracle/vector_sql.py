@@ -71,7 +71,12 @@ def sql_metric_dist(metric: str, a: str, b: str) -> str:
 
 
 def sql_kmeans(
-    corpus: str, k: int, iters: int, dim: int = 64, group: str | None = None
+    corpus: str,
+    k: int,
+    iters: int,
+    dim: int = 64,
+    group: str | None = None,
+    prefix: str = "k",
 ) -> tuple[str, str]:
     """Unrolled Lloyd iterations over ``{corpus}(id, vec)``, mirroring
     operators.kmeans.kmeans_fit(exact=True) bit-for-bit: first-k-by-id
@@ -87,7 +92,7 @@ def sql_kmeans(
         f"PARTITION BY {group} " if group else ""
     )
     parts = [
-        f"""k0 AS (
+        f"""{prefix}0 AS (
   SELECT {gsel}CAST(_rn - 1 AS INT) AS cid,
          list_transform(vec, _x -> CAST(_x AS DOUBLE)) AS cvec
   FROM (SELECT {gsel}vec,
@@ -102,25 +107,25 @@ def sql_kmeans(
     pgsel = f"p.{group}, " if group else ""
     on_group = f"p.{group} = g.{group} AND " if group else ""
     for i in range(1, iters + 1):
-        prev = f"k{i - 1}"
+        prev = f"{prefix}{i - 1}"
         dim_sum = sql_fold_sum("list_transform(g.vs, _w -> _w[_d + 1])")
         parts.append(
-            f"""ka{i} AS (
+            f"""{prefix}a{i} AS (
   SELECT {gsel}id, vec, cid AS cell FROM (
     SELECT {cgsel}c.id, c.vec, p.cid,
            row_number() OVER ({assign_part}
                               ORDER BY {sql_sq_l2('c.vec', 'p.cvec')}, p.cid) AS _r
     FROM {corpus} c {join_prev.format(prev=prev)}) WHERE _r = 1),
-kg{i} AS (
+{prefix}g{i} AS (
   SELECT {gsel}cell,
          list(list_transform(vec, _x -> CAST(_x AS DOUBLE)) ORDER BY id) AS vs,
          count(*) AS n
-  FROM ka{i} GROUP BY {gsel}cell),
-k{i} AS (
+  FROM {prefix}a{i} GROUP BY {gsel}cell),
+{prefix}{i} AS (
   SELECT {pgsel}p.cid,
          CASE WHEN g.cell IS NULL THEN p.cvec
               ELSE list_transform(range(0, {dim}), _d -> {dim_sum} / g.n)
          END AS cvec
-  FROM {prev} p LEFT JOIN kg{i} g ON {on_group}p.cid = g.cell)"""
+  FROM {prev} p LEFT JOIN {prefix}g{i} g ON {on_group}p.cid = g.cell)"""
         )
-    return ",\n".join(parts), f"k{iters}"
+    return ",\n".join(parts), f"{prefix}{iters}"

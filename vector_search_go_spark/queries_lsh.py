@@ -38,14 +38,27 @@ _INDEX_MEMO: dict[tuple[str, str, str], LshIndex] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str, metric: str) -> tuple[LshIndex, DataFrame, DataFrame]:
+    import os
+
+    from vector_search_go_spark.operators import model_store
+
     queries, corpus = embeddings_split(spark, sf_dir)
     # applicationId in the key: cached DataFrames die with their session,
     # so a fresh session (e.g. a new driver run) must retrain.
-    key = (spark.sparkContext.applicationId, sf_dir, "angular" if metric != "l2" else "l2")
+    mkey = "angular" if metric != "l2" else "l2"
+    key = (spark.sparkContext.applicationId, sf_dir, mkey)
     idx = _INDEX_MEMO.get(key)
     if idx is None:
-        cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)
-        idx = LshIndex.train(spark, corpus, cfg, id_col="id", vec_col="vec")
+        # cross-process persistence (reference DumpHasher/LoadHasher,
+        # lsh/lsh.go:200-207): a saved index is loaded, not retrained —
+        # training is deterministic (seeded), so load == retrain.
+        path = model_store.model_path(f"lsh_index_{mkey}", sf_dir)
+        if os.path.exists(os.path.join(path, "buckets", "_SUCCESS")):
+            idx = LshIndex.load(spark, path)
+        else:
+            cfg = LshConfig(is_angular=(metric != "l2"), **_CFG)
+            idx = LshIndex.train(spark, corpus, cfg, id_col="id", vec_col="vec")
+            idx.save(path)
         idx.buckets = idx.buckets.cache()
         _INDEX_MEMO[key] = idx
     return idx, queries, corpus

@@ -43,7 +43,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrow_ts = str(
         pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
     )
-    if arrow_ts.startswith("timestamp"):
+    # must be the micro layout specifically: pyarrow reports the NANOS
+    # layout as "timestamp[ns]", which Spark's timestamp_ntz reader
+    # rejects (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — NANOS must fall
+    # through to the nanosAsLong+truncate branch below
+    if arrow_ts.startswith("timestamp[us"):
         schema = RAW_SCHEMA.replace("ts bigint", "ts timestamp_ntz")
         raw = (
             spark.readStream.schema(schema)
