@@ -1,0 +1,64 @@
+"""Arrow argmin == expression argmin, bit for bit.
+
+The Arrow path (operators.argmin.argmin_id_arrow, pq_encode
+impl='arrow') replaces interpreted higher-order-lambda folds with numpy
+kernels that accumulate distances in the SAME sequential per-dimension
+IEEE order. These tests pin the bit-identity claim on the real
+testdata, across every metric and the PQ subspace encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def cents(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") % 17 == 5).select(
+        (F.col("vec_id") / 17).cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    ).cache()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_assign_cells_impl_parity(spark, corpus, cents, metric):
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+
+    a = {r["id"]: r["cell"] for r in
+         assign_cells(corpus, cents, metric=metric, impl="expr").collect()}
+    b = {r["id"]: r["cell"] for r in
+         assign_cells(corpus, cents, metric=metric, impl="arrow").collect()}
+    assert a == b
+
+
+def test_kmeans_assign_impl_parity(spark, corpus, cents):
+    from vector_search_go_spark.operators.kmeans import kmeans_assign
+
+    a = {r["id"]: r["cell"] for r in
+         kmeans_assign(corpus, cents, impl="expr").collect()}
+    b = {r["id"]: r["cell"] for r in
+         kmeans_assign(corpus, cents, impl="arrow").collect()}
+    assert a == b
+
+
+def test_pq_encode_impl_parity(spark, corpus):
+    from vector_search_go_spark.operators.pq import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_codebook(emb)
+    a = {(r["id"], r["sub"]): r["code"] for r in
+         pq_encode(corpus, cb, impl="expr").collect()}
+    b = {(r["id"], r["sub"]): r["code"] for r in
+         pq_encode(corpus, cb, impl="arrow").collect()}
+    assert a == b

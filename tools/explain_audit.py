@@ -39,7 +39,7 @@ AUDITS = {
     "window_rank_orders": (False, False, False, True),
     "knn_exact_l2": (True, True, False, True),
     "knn_exact_cosine": (True, True, False, True),
-    "ann_ivf_cosine": (True, True, False, True),
+    "ann_ivf_cosine": (True, True, True, True),
     "dedup_minhash_lsh": (False, False, False, True),
     "dedup_ngram_jaccard": (False, False, False, True),
     "text_quality_score": (False, False, False, True),
@@ -60,13 +60,13 @@ AUDITS = {
     "text_repetition_filter": (False, False, False, True),
     "dedup_global_ngrams": (False, False, False, False),
     "text_tfidf_top_terms": (True, False, False, False),
-    "pq_encode_codes": (True, False, False, True),
-    "pq_search_adc": (True, False, False, True),
-    "pq_search_adc_trained": (True, False, False, True),
+    "pq_encode_codes": (False, False, True, True),
+    "pq_search_adc": (True, False, True, True),
+    "pq_search_adc_trained": (True, False, True, True),
     "sq8_encode_codes": (True, False, False, True),
     "sq8_search_rerank": (True, False, False, True),
-    "ivf_pq_search": (True, False, False, True),
-    "kmeans_train_centroids": (True, False, False, True),
+    "ivf_pq_search": (True, False, True, True),
+    "kmeans_train_centroids": (True, False, True, True),
 }
 
 

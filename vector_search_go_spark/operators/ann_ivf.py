@@ -25,25 +25,41 @@ from vector_search_go_spark.operators.topk import topk_per_group
 
 
 def assign_cells(
-    corpus: DataFrame, centroids: DataFrame, metric: str = "cosine"
+    corpus: DataFrame, centroids: DataFrame, metric: str = "cosine",
+    impl: str = "arrow",
 ) -> DataFrame:
     """corpus(id, vec) x centroids(cid, cvec) -> (id, vec, cell):
-    nearest centroid per vector, (dist, cid) tie-break.
+    nearest centroid per vector, (dist, cid) tie-break. Never shuffles
+    or aggregates the corpus — a pure map stage either way.
 
-    Centroids are packed into one broadcast array row and the argmin is
-    a single projection (operators.argmin) — the corpus is never
-    shuffled or aggregated, so the assignment is a pure map stage."""
+    ``impl='expr'`` packs centroids into one broadcast array row with
+    the argmin in a single projection (operators.argmin) — zero Python
+    but interpreted higher-order lambdas. ``impl='arrow'`` (default) is
+    the Arrow-batched numpy argmin with fold-order-identical distances
+    (operators.argmin.argmin_id_arrow) — bit-identical output, ~30x at
+    the 1M probe."""
     from vector_search_go_spark.io import ensure_parallelism
-    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
 
-    cents_arr = pack_centroids(centroids)
-    cell = argmin_id(
-        F.col("_cents"), lambda cv: metric_dist(metric, F.col("vec"), cv)
+    if impl == "expr":
+        from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
+        cents_arr = pack_centroids(centroids)
+        cell = argmin_id(
+            F.col("_cents"), lambda cv: metric_dist(metric, F.col("vec"), cv)
+        )
+        return (
+            ensure_parallelism(corpus)
+            .crossJoin(F.broadcast(cents_arr))
+            .select("id", "vec", cell.alias("cell"))
+        )
+
+    from vector_search_go_spark.operators.argmin import argmin_id_arrow
+
+    nearest = argmin_id_arrow(
+        centroids, metric="l2" if metric == "l2" else "cosine"
     )
-    return (
-        ensure_parallelism(corpus)
-        .crossJoin(F.broadcast(cents_arr))
-        .select("id", "vec", cell.alias("cell"))
+    return ensure_parallelism(corpus).select(
+        "id", "vec", nearest(F.col("vec")).alias("cell")
     )
 
 

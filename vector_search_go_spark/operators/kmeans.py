@@ -70,23 +70,36 @@ def kmeans_init(corpus: DataFrame, k: int, group: list[str] | None = None) -> Da
 
 
 def kmeans_assign(
-    corpus: DataFrame, cents: DataFrame, group: list[str] | None = None
+    corpus: DataFrame,
+    cents: DataFrame,
+    group: list[str] | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """corpus(id, vec) x cents(cid, cvec) -> (*group, id, vec, cell):
-    nearest centroid by squared L2, (d, cid) tie-break.
-
-    The centroid table collapses to one array row per group value
-    (operators.argmin) and joins back broadcast, so the assignment is a
-    pure map stage over the corpus — no corpus shuffle, no per-id
+    nearest centroid by squared L2, (d, cid) tie-break. Pure map stage
+    over the corpus either way — no corpus shuffle, no per-id
     aggregation; k-means iterations cost one corpus SCAN each, not one
-    corpus EXCHANGE each."""
-    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+    corpus EXCHANGE each.
 
+    ``impl='expr'`` (always used for grouped assignment): centroid
+    table collapses to one broadcast array row per group value
+    (operators.argmin) with the argmin in a single projection.
+    ``impl='arrow'`` (ungrouped default): Arrow-batched numpy argmin
+    with fold-order-identical distances — bit-identical output
+    (tests/test_argmin_parity.py), ~30x at the 1M probe."""
     group = group or []
-    carr = F.broadcast(pack_centroids(cents, group=group))
-    joined = corpus.join(carr, on=group) if group else corpus.crossJoin(carr)
-    cell = argmin_id(F.col("_cents"), lambda cv: sq_l2(F.col("vec"), cv))
-    return joined.select(*group, "id", "vec", cell.alias("cell"))
+    if group or impl == "expr":
+        from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
+        carr = F.broadcast(pack_centroids(cents, group=group))
+        joined = corpus.join(carr, on=group) if group else corpus.crossJoin(carr)
+        cell = argmin_id(F.col("_cents"), lambda cv: sq_l2(F.col("vec"), cv))
+        return joined.select(*group, "id", "vec", cell.alias("cell"))
+
+    from vector_search_go_spark.operators.argmin import argmin_id_arrow
+
+    nearest = argmin_id_arrow(cents, metric="sq_l2")
+    return corpus.select("id", "vec", nearest(F.col("vec")).alias("cell"))
 
 
 def _means_exact(assigned: DataFrame, dim: int, group: list[str]) -> DataFrame:
@@ -132,9 +145,16 @@ def kmeans_step(
     group: list[str] | None = None,
 ) -> DataFrame:
     """One Lloyd iteration: assign + recompute means; empty cells keep
-    their previous centroid (left join + coalesce)."""
+    their previous centroid (left join + coalesce).
+
+    The assignment uses the EXPRESSION argmin on purpose: the Arrow
+    path collects the centroid table eagerly at plan time, and inside
+    an iteration chain that re-executes the whole unrolled lineage once
+    per iteration (quadratic recompute). Training stays one lazy plan;
+    the Arrow path is for one-shot assignment against a materialized
+    model."""
     group = group or []
-    assigned = kmeans_assign(corpus, cents, group=group)
+    assigned = kmeans_assign(corpus, cents, group=group, impl="expr")
     means = (
         _means_exact(assigned, dim, group) if exact else _means_avg(assigned, group)
     ).withColumnRenamed("cell", "cid")

@@ -24,6 +24,9 @@ touches only |queries| x shortlist rows. The corpus never shuffles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — module scope so pandas_udf signatures
+# survive postponed annotation evaluation
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,25 +108,69 @@ def pq_codebook_trained(
     return cents.select("sub", F.col("cid").alias("code"), "cvec")
 
 
-def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> DataFrame:
     """corpus(id, vec) -> (id, sub, code): nearest codeword per
-    subspace, (dist, code) tie-break.
+    subspace, (dist, code) tie-break. The corpus is never shuffled or
+    aggregated either way (VERDICT r2 finding #3).
 
-    The codebook packs to M_SUB broadcast rows of
-    array<struct<code, cvec>> (operators.argmin); encoding is then a
-    BroadcastNestedLoopJoin fan-out of M_SUB rows per vector with the
-    argmin inside one projection — the corpus is never shuffled or
-    aggregated (VERDICT r2 finding #3)."""
-    from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+    Two bit-identical implementations (asserted in
+    tests/test_argmin_parity.py, and both hash-equal to the DuckDB
+    oracle):
 
-    cb = pack_centroids(codebook, id_col="code", group=["sub"], out_col="_codes")
-    code = argmin_id(
-        F.col("_codes"),
-        lambda cv: sq_l2(_subvec(F.col("vec"), F.col("sub")), cv),
-        id_field="code",
+    - ``impl='expr'``: pure-Catalyst — the codebook packs to M_SUB
+      broadcast rows of array<struct<code, cvec>> (operators.argmin)
+      and the argmin is one projection. Zero Python, but Spark
+      evaluates higher-order lambdas INTERPRETED per element: at 1M
+      vectors the 16-subspace x 128-codeword fold is minutes of lambda
+      dispatch.
+    - ``impl='arrow'`` (default): one Arrow-batched pandas UDF computes
+      all M_SUB codes per vector with numpy using SEQUENTIAL
+      per-dimension adds — the exact IEEE order of the fold — then
+      posexplode fans out (sub, code). The codebook rides in the UDF
+      closure (KBs). This is the sanctioned Python hot path: a batched
+      matmul-shaped kernel built-ins cannot express efficiently."""
+    if impl == "expr":
+        from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
+
+        cb = pack_centroids(codebook, id_col="code", group=["sub"], out_col="_codes")
+        code = argmin_id(
+            F.col("_codes"),
+            lambda cv: sq_l2(_subvec(F.col("vec"), F.col("sub")), cv),
+            id_field="code",
+        )
+        return (
+            corpus.crossJoin(F.broadcast(cb)).select("id", "sub", code.alias("code"))
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+    rows = sorted(
+        codebook.select("sub", "code", "cvec").collect(),
+        key=lambda r: (r["sub"], r["code"]),
     )
-    return (
-        corpus.crossJoin(F.broadcast(cb)).select("id", "sub", code.alias("code"))
+    mats: dict[int, np.ndarray] = {}
+    ids: dict[int, np.ndarray] = {}
+    for sub in {r["sub"] for r in rows}:
+        sub_rows = [r for r in rows if r["sub"] == sub]
+        ids[sub] = np.array([r["code"] for r in sub_rows], dtype=np.int64)
+        mats[sub] = np.array([list(r["cvec"]) for r in sub_rows], dtype=np.float64)
+    m_sub, d_sub = M_SUB, D_SUB
+
+    @pandas_udf("array<int>")
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((V.shape[0], m_sub), dtype=np.int32)
+        for sub in range(m_sub):
+            sl = V[:, sub * d_sub : (sub + 1) * d_sub]
+            D = _seq_sq_l2(sl, mats[sub])
+            # first-min argmin + ascending code ids == min(struct(d, code))
+            out[:, sub] = ids[sub][D.argmin(axis=1)]
+        return pd.Series(list(out))
+
+    return corpus.select(
+        "id", F.posexplode(codes_udf(F.col("vec"))).alias("sub", "code")
     )
 
 
