@@ -52,6 +52,21 @@ def test_kmeans_assign_impl_parity(spark, corpus, cents):
     assert a == b
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_exact_knn_impl_parity(spark, metric):
+    from vector_search_go_spark.operators.exact_knn import (
+        embeddings_split,
+        exact_knn_join,
+    )
+
+    queries, corpus = embeddings_split(spark, SF_DIR)
+    a = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         exact_knn_join(queries, corpus, metric=metric, k=10, impl="expr").collect()]
+    b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         exact_knn_join(queries, corpus, metric=metric, k=10, impl="arrow").collect()]
+    assert sorted(a) == sorted(b)  # dists compared bit-exactly via ==
+
+
 def test_pq_encode_impl_parity(spark, corpus):
     from vector_search_go_spark.operators.pq import pq_codebook, pq_encode
 

@@ -37,8 +37,8 @@ AUDITS = {
     "join_broadcast_dim": (True, False, False, True),
     "join_semi": (False, True, False, True),
     "window_rank_orders": (False, False, False, True),
-    "knn_exact_l2": (True, True, False, True),
-    "knn_exact_cosine": (True, True, False, True),
+    "knn_exact_l2": (False, True, True, True),
+    "knn_exact_cosine": (False, True, True, True),
     "ann_ivf_cosine": (True, True, True, True),
     "dedup_minhash_lsh": (False, False, False, True),
     "dedup_ngram_jaccard": (False, False, False, True),
@@ -171,7 +171,7 @@ def main() -> int:
                 ),
             )
         py_nodes = [
-            n for n in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+            n for n in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
             if n in plan
         ]
         if allow_py:

@@ -5,11 +5,12 @@ Parity target: the reference's ``NNMock`` exact-NN oracle
 vector, optional distance threshold, top-k by ascending distance. Same
 ``Indexer`` role as the LSH index (lsh/lsh.go:54-57).
 
-Spark shape: queries x corpus cross join with the **small query side
-broadcast** (no shuffle of the corpus — each corpus partition streams
-past the in-memory query set exactly once, which is the optimal exact-KNN
-plan at any scale), native fold-based distance expression (JVM codegen,
-no Python), then WindowGroupLimit top-k.
+Spark shape: the corpus streams past the in-memory query set exactly
+once (no corpus shuffle — the optimal exact-KNN plan at any scale),
+then WindowGroupLimit top-k. Default distance kernel is an
+Arrow-batched numpy matrix per corpus batch (mapInPandas, query matrix
+in the closure); ``impl='expr'`` keeps the pure-Catalyst broadcast
+cross join + fold expression as the bit-identical oracle reference.
 
 At 100 TB this is the ground-truth/oracle path by design — the production
 ANN path is ``vector_search_go_spark.lsh`` (SURVEY.md section 7 Phase 1).
@@ -17,6 +18,9 @@ ANN path is ``vector_search_go_spark.lsh`` (SURVEY.md section 7 Phase 1).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — module scope so pandas_udf signatures
+# survive postponed annotation evaluation
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,20 +35,34 @@ def exact_knn_join(
     metric: str = "l2",
     k: int = 10,
     threshold: float | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """queries(query_id, qvec) x corpus(id, vec) -> (query_id, id, dist, rn).
 
     ``threshold`` mirrors the reference's ``distanceThrsh`` filter
     (lsh/lsh.go:177); None means no thresholding.
 
-    For cosine, norms are precomputed once per row on each side before
-    the join — one fold per pair (the dot product) instead of three.
-    Bit-identical to the inline form: the folds run over the same
-    vectors and IEEE multiplication is commutative.
+    ``impl='expr'``: broadcast cross join + native fold distance — the
+    pure-Catalyst oracle reference. For cosine, norms are precomputed
+    once per row on each side — one fold per pair instead of three
+    (bit-identical: same folds, same vectors).
+
+    ``impl='arrow'`` (default): ``mapInPandas`` over corpus batches
+    with the query matrix in the closure (queries are the
+    broadcast-small side by contract — collecting them driver-side is
+    the same bound as the broadcast). Each batch computes the full
+    |batch| x |queries| distance matrix in numpy with SEQUENTIAL
+    per-dimension adds — the exact IEEE order of the fold — so
+    distances are bit-identical (operators.argmin kernels; parity
+    pinned by the knn oracle hashes and tests/test_argmin_parity.py).
+    No pair rows materialize; the corpus streams past once, exactly
+    like the expr plan, minus the interpreted lambda dispatch.
     """
     from vector_search_go_spark.io import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
+    if impl == "arrow":
+        return _exact_knn_arrow(queries, corpus, metric, k, threshold)
     if metric in ("cosine", "angular"):
         queries = queries.withColumn("_qn", l2_norm(F.col("qvec")))
         corpus = corpus.withColumn("_vn", l2_norm(F.col("vec")))
@@ -59,6 +77,44 @@ def exact_knn_join(
     else:
         cand = corpus.crossJoin(F.broadcast(queries))
         cand = cand.withColumn("dist", metric_dist(metric, F.col("qvec"), F.col("vec")))
+    if threshold is not None:
+        cand = cand.filter(F.col("dist") <= F.lit(float(threshold)))
+    top = topk_per_group(
+        cand, ["query_id"], "dist", k, tiebreak_cols=["id"], rank_name="rn"
+    )
+    return top.select("query_id", "id", "dist", "rn")
+
+
+def _exact_knn_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    metric: str,
+    k: int,
+    threshold: float | None,
+) -> DataFrame:
+    from vector_search_go_spark.operators.argmin import _seq_cosine, _seq_sq_l2
+
+    qrows = sorted(queries.select("query_id", "qvec").collect(),
+                   key=lambda r: r["query_id"])
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    is_cos = metric in ("cosine", "angular")
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            D = _seq_cosine(V, Q) if is_cos else np.sqrt(_seq_sq_l2(V, Q))
+            n_v, n_q = D.shape
+            out = {
+                "query_id": np.repeat(qids[None, :], n_v, axis=0).ravel(),
+                "id": np.repeat(pdf["id"].to_numpy(), n_q),
+                "dist": D.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = corpus.mapInPandas(gen, "query_id long, id long, dist double")
     if threshold is not None:
         cand = cand.filter(F.col("dist") <= F.lit(float(threshold)))
     top = topk_per_group(
