@@ -67,6 +67,25 @@ def test_exact_knn_impl_parity(spark, metric):
     assert sorted(a) == sorted(b)  # dists compared bit-exactly via ==
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_lsh_search_impl_parity(spark, metric):
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import lsh_search
+    from vector_search_go_spark.operators.exact_knn import embeddings_split
+
+    queries, corpus = embeddings_split(spark, SF_DIR)
+    cfg = LshConfig(
+        dims=64, n_trees=8, k_min_vecs=50, seed=11, is_angular=(metric != "l2")
+    )
+    idx = LshIndex.train(spark, corpus, cfg)
+    a = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         lsh_search(idx, queries, metric=metric, k=5, impl="expr").collect()]
+    b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         lsh_search(idx, queries, metric=metric, k=5, impl="arrow").collect()]
+    assert sorted(a) == sorted(b)
+
+
 def test_pq_encode_impl_parity(spark, corpus):
     from vector_search_go_spark.operators.pq import pq_codebook, pq_encode
 

@@ -39,8 +39,15 @@ def lsh_search(
     k: int = 10,
     threshold: float | None = None,
     broadcast_queries: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """queries(query_id, qvec) -> (query_id, id, dist, rn)."""
+    """queries(query_id, qvec) -> (query_id, id, dist, rn).
+
+    ``impl='arrow'`` (default) scores candidates with the vectorized
+    pairwise kernel (operators.argmin.pairwise_dist_udf) — bit-identical
+    to the ``impl='expr'`` fold expression (same sequential IEEE adds;
+    parity pinned by tests/test_argmin_parity.py and the canonical
+    hashes)."""
     spark = queries.sparkSession
     n_trees = index.config.n_trees
     hash_vec = _hash_probe_udf(spark, index.forest, with_probes=True)
@@ -68,10 +75,16 @@ def lsh_search(
     qvecs = queries
     if broadcast_queries:
         qvecs = F.broadcast(qvecs)
+    if impl == "arrow":
+        from vector_search_go_spark.operators.argmin import pairwise_dist_udf
+
+        dist_col = pairwise_dist_udf(metric)(F.col("qvec"), F.col("vec"))
+    else:
+        dist_col = metric_dist(metric, F.col("qvec"), F.col("vec"))
     scored = (
         cand.join(index.vectors, on="id")
         .join(qvecs, on="query_id")
-        .withColumn("dist", metric_dist(metric, F.col("qvec"), F.col("vec")))
+        .withColumn("dist", dist_col)
     )
     if threshold is not None:
         scored = scored.filter(F.col("dist") <= F.lit(float(threshold)))

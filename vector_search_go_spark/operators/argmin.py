@@ -143,3 +143,43 @@ def argmin_id_arrow(cents: DataFrame, metric: str = "sq_l2",
         return pd.Series(ids[D.argmin(axis=1)].astype(np.int32))
 
     return nearest
+
+
+def pairwise_dist_udf(metric: str, tol: float = 1e-6):
+    """Arrow-batched row-pair distance (both vectors in the row): the
+    vectorized twin of functions.metrics.metric_dist, with sequential
+    per-dimension adds so each scalar result is bit-identical to the
+    fold expression. Used where candidates are already joined to both
+    vectors (LSH candidate scoring) and the per-pair fold would be
+    interpreted lambda dispatch."""
+    from pyspark.sql.functions import pandas_udf
+
+    is_cos = metric in ("cosine", "angular")
+
+    @pandas_udf("double")
+    def dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        if not is_cos:
+            s = np.zeros(len(A))
+            for d in range(A.shape[1]):
+                diff = A[:, d] - B[:, d]
+                s += diff * diff
+            return pd.Series(np.sqrt(s))
+
+        def _norm(M):
+            s = np.zeros(M.shape[0])
+            for d in range(M.shape[1]):
+                s += M[:, d] * M[:, d]
+            return np.sqrt(s)
+
+        na, nb = _norm(A), _norm(B)
+        dot = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            dot += A[:, d] * B[:, d]
+        raw = 1.0 - dot / (na * nb)
+        out = np.where(raw < tol, 0.0, raw)
+        out = np.where((na <= tol) | (nb <= tol), 1.0, out)
+        return pd.Series(out)
+
+    return dist
