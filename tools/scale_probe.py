@@ -167,32 +167,31 @@ def pq_probe(n: int = 1_000_000, dims: int = 64, k: int = 10, n_queries: int = 5
     return row
 
 
-HEADER = """# SCALE — LSH probe on synthetic clustered 64-d corpora
-(auto-generated by tools/scale_probe.py; perf evidence only — correctness
-always runs on the driver testdata. Config: n_trees=40, k_min_vecs=100,
-build sample bounded at 20k — the 100 TB posture where driver-side tree
-build is O(sample), not O(corpus).)
 
-| corpus | train | bucket rows | LSH search (50 q) | exact search | candidate frac | eps-P/R |
-|---|---|---|---|---|---|---|
-"""
-
-FOOTER = """
-Interpretation: exact brute-force cost grows linearly with the corpus
-while LSH search cost tracks the candidate set — the crossover lands
-around ~300k vectors on local[32] and widens from there (the reference's
-30-70x speedup mechanism, BASELINE.md). With the build sample fixed,
-bucket size grows with the corpus, holding the candidate fraction
-roughly constant (~13%); scaling sample_size with the corpus (it is a
-config knob) deepens the trees and shrinks the fraction further, trading
-driver build time for search selectivity.
-"""
 
 
 if __name__ == "__main__":
+    # rows splice into SCALE.md between the lsh-table markers; the rest
+    # of SCALE.md (PQ, bloom sections) is curated text with its own
+    # measured numbers and is left untouched
     sizes = [int(s) for s in sys.argv[1:]] or [100_000, 300_000]
     rows = [main(s) for s in sizes]
+    header = (
+        "| corpus | build sample | train | bucket rows | LSH search (50 q) "
+        "| exact search | candidate frac | eps-P/R |\n"
+        "|---|---|---|---|---|---|---|---|"
+    )
     out = os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
-    with open(out, "w") as f:
-        f.write(HEADER + "\n".join(rows) + "\n" + FOOTER)
-    print(f"wrote {out}")
+    with open(out) as f:
+        doc = f.read()
+    begin, end = "<!-- lsh-table-begin -->", "<!-- lsh-table-end -->"
+    if begin in doc and end in doc:
+        pre = doc.split(begin)[0]
+        post = doc.split(end)[1]
+        doc = pre + begin + "\n" + header + "\n" + "\n".join(rows) + "\n" + end + post
+        with open(out, "w") as f:
+            f.write(doc)
+        print(f"spliced {len(rows)} rows into {out}")
+    else:
+        print(header)
+        print("\n".join(rows))
