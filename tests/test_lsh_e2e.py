@@ -78,3 +78,31 @@ def test_max_candidates_cap(spark, corpus):
     )
     rows = lsh_search(idx, queries, metric="l2", k=4).collect()
     assert len(rows) <= 2
+
+
+def test_dedup_embedding_lsh_recall(spark, tmp_path, monkeypatch):
+    """The LSH similarity self-join must recover (nearly) every pair the
+    bounded exact all-pairs path finds — the recall gate standing in for
+    the DuckDB oracle the bucket traversal can't have."""
+    from vector_search_go_spark.operators import model_store
+    from vector_search_go_spark.queries_lsh import dedup_embedding_lsh
+    from vector_search_go_spark.queries_text import dedup_embedding_cosine
+
+    monkeypatch.setattr(model_store, "MODEL_DIR", str(tmp_path / "models"))
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    # exact path is bounded to vec_id < 200; compare on that subset
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    got_bounded = {(a, b) for (a, b) in got if a < 200 and b < 200}
+    assert want, "exact path found no pairs — fixture drifted"
+    recall = len(got_bounded & want) / len(want)
+    assert recall >= 0.9, (recall, want - got_bounded)
+    # every LSH pair must be exact-verified (cos_dist filter) — no
+    # false positives against the same threshold
+    assert got_bounded <= want or recall == 1.0

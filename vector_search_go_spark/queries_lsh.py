@@ -115,6 +115,71 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs AT SCALE: the bucketed LSH
+    similarity self-join that ``dedup_embedding_cosine`` (the bounded
+    all-pairs oracle path, queries_text.py) defers to.
+
+    Shape: hash every embedding into a seeded angular forest, self-join
+    the (tree, hash) bucket store (only vectors sharing a bucket ever
+    meet — never all-pairs), dedup candidate pairs, then verify with the
+    EXACT cosine distance and keep pairs <= the same 0.6 threshold the
+    all-pairs query uses. Candidate cost is sum(bucket^2) per tree, the
+    quantity lsh_bucket_profile watches; at 100 TB the bucket join
+    co-partitions on (tree, hash) and the corpus never shuffles.
+
+    Registered rows-only: bucket traversal is not SQL-expressible. The
+    LSH-vs-exact pair recall is gated in
+    tests/test_lsh_e2e.py::test_dedup_embedding_lsh_recall instead."""
+    from vector_search_go_spark.operators.argmin import pairwise_dist_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    import os
+
+    from vector_search_go_spark.operators import model_store
+
+    # 32 trees: the 0.6 cosine threshold admits only-weakly-similar
+    # pairs (66 degrees apart), which few random hyperplane trees agree
+    # on — 8 trees measured 0.6 pair-recall vs the exact path, 32 trees
+    # 1.0 (test_dedup_embedding_lsh_recall). Config is part of the
+    # model key so retuning can never load a stale forest.
+    cfg = LshConfig(dims=64, n_trees=32, k_min_vecs=50, seed=23, is_angular=True)
+    path = model_store.model_path(
+        f"lsh_dedup_index_angular_t{cfg.n_trees}k{cfg.k_min_vecs}s{cfg.seed}",
+        sf_dir,
+    )
+    if os.path.exists(os.path.join(path, "buckets", "_SUCCESS")):
+        idx = LshIndex.load(spark, path)
+    else:
+        idx = LshIndex.train(spark, emb, cfg)
+        idx.save(path)
+    b = idx.buckets
+    cand = (
+        b.select("tree", "hash", F.col("id").alias("id_a"))
+        .join(
+            b.select("tree", "hash", F.col("id").alias("id_b")),
+            on=["tree", "hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = pairwise_dist_udf("cosine")(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cos_dist", cos)
+        .filter(F.col("cos_dist") <= 0.6)
+        .select("id_a", "id_b", "cos_dist")
+    )
+
+
 @register("lsh_model_hashes")
 def lsh_model_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialization round-trip probe: hash the corpus, save/load the
