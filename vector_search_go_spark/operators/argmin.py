@@ -145,6 +145,46 @@ def argmin_id_arrow(cents: DataFrame, metric: str = "sq_l2",
     return nearest
 
 
+def argmin_id_arrow_grouped(
+    cents: DataFrame,
+    group_col: str,
+    metric: str = "sq_l2",
+    id_col: str = "cid",
+    vec_col: str = "cvec",
+):
+    """Grouped twin of argmin_id_arrow: one independent centroid set per
+    ``group_col`` value (the PQ per-subspace shape). Returns a
+    pandas_udf over (group, vec); the per-group centroid matrices ride
+    in the closure (M x k x dim doubles — still model-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(
+        cents.select(group_col, id_col, vec_col).collect(),
+        key=lambda r: (r[group_col], r[id_col]),
+    )
+    ids: dict = {}
+    mats: dict = {}
+    for g in {r[group_col] for r in rows}:
+        g_rows = [r for r in rows if r[group_col] == g]
+        ids[g] = np.array([r[id_col] for r in g_rows], dtype=np.int64)
+        mats[g] = np.array([list(r[vec_col]) for r in g_rows], dtype=np.float64)
+    dist = _seq_sq_l2 if metric == "sq_l2" else (
+        (lambda V, C: np.sqrt(_seq_sq_l2(V, C))) if metric == "l2" else _seq_cosine
+    )
+
+    @pandas_udf("int")
+    def nearest(groups: pd.Series, vecs: pd.Series) -> pd.Series:
+        gv = groups.to_numpy()
+        out = np.empty(len(gv), dtype=np.int32)
+        for g in np.unique(gv):
+            m = gv == g
+            V = np.array(vecs[m].tolist(), dtype=np.float64)
+            out[m] = ids[g][dist(V, mats[g]).argmin(axis=1)]
+        return pd.Series(out)
+
+    return nearest
+
+
 def pairwise_dist_udf(metric: str, tol: float = 1e-6):
     """Arrow-batched row-pair distance (both vectors in the row): the
     vectorized twin of functions.metrics.metric_dist, with sequential

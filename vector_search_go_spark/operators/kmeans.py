@@ -81,20 +81,32 @@ def kmeans_assign(
     aggregation; k-means iterations cost one corpus SCAN each, not one
     corpus EXCHANGE each.
 
-    ``impl='expr'`` (always used for grouped assignment): centroid
-    table collapses to one broadcast array row per group value
-    (operators.argmin) with the argmin in a single projection.
-    ``impl='arrow'`` (ungrouped default): Arrow-batched numpy argmin
-    with fold-order-identical distances — bit-identical output
-    (tests/test_argmin_parity.py), ~30x at the 1M probe."""
+    ``impl='expr'``: centroid table collapses to one broadcast array
+    row per group value (operators.argmin) with the argmin in a single
+    projection — the pure-Catalyst reference. ``impl='arrow'``
+    (default): Arrow-batched numpy argmin with fold-order-identical
+    distances — bit-identical output (tests/test_argmin_parity.py),
+    ~10-30x at the 1M probe; grouped input uses the per-group kernel
+    (argmin_id_arrow_grouped, single group column)."""
     group = group or []
-    if group or impl == "expr":
+    if impl == "expr":
         from vector_search_go_spark.operators.argmin import argmin_id, pack_centroids
 
         carr = F.broadcast(pack_centroids(cents, group=group))
         joined = corpus.join(carr, on=group) if group else corpus.crossJoin(carr)
         cell = argmin_id(F.col("_cents"), lambda cv: sq_l2(F.col("vec"), cv))
         return joined.select(*group, "id", "vec", cell.alias("cell"))
+
+    if group:
+        if len(group) != 1:
+            raise ValueError("arrow kmeans_assign supports a single group column")
+        from vector_search_go_spark.operators.argmin import argmin_id_arrow_grouped
+
+        nearest = argmin_id_arrow_grouped(cents, group[0], metric="sq_l2")
+        return corpus.select(
+            *group, "id", "vec",
+            nearest(F.col(group[0]), F.col("vec")).alias("cell"),
+        )
 
     from vector_search_go_spark.operators.argmin import argmin_id_arrow
 
@@ -143,18 +155,18 @@ def kmeans_step(
     dim: int = 64,
     exact: bool = False,
     group: list[str] | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """One Lloyd iteration: assign + recompute means; empty cells keep
     their previous centroid (left join + coalesce).
 
-    The assignment uses the EXPRESSION argmin on purpose: the Arrow
-    path collects the centroid table eagerly at plan time, and inside
-    an iteration chain that re-executes the whole unrolled lineage once
-    per iteration (quadratic recompute). Training stays one lazy plan;
-    the Arrow path is for one-shot assignment against a materialized
-    model."""
+    ``impl`` selects the assignment kernel. The Arrow kernel collects
+    the centroid table eagerly at plan time, so it is only safe here
+    when the caller MATERIALIZES centroids between iterations
+    (kmeans_fit does) — against a lazy unrolled chain the eager collect
+    re-executes the whole lineage once per iteration."""
     group = group or []
-    assigned = kmeans_assign(corpus, cents, group=group, impl="expr")
+    assigned = kmeans_assign(corpus, cents, group=group, impl=impl)
     means = (
         _means_exact(assigned, dim, group) if exact else _means_avg(assigned, group)
     ).withColumnRenamed("cell", "cid")
@@ -175,8 +187,23 @@ def kmeans_fit(
 ) -> DataFrame:
     """Train k centroids with ``iters`` Lloyd iterations — one
     independent k-means per group value when ``group`` is given.
-    Returns (*group, cid, cvec) with cvec ARRAY<DOUBLE>."""
+    Returns (*group, cid, cvec) with cvec ARRAY<DOUBLE>.
+
+    Centroids are MATERIALIZED between iterations (driver collect +
+    re-create — they are k x dim doubles, KBs): this caps the lineage
+    at one iteration, makes every iteration's cost one corpus scan
+    instead of i corpus scans, and lets the assignment run on the
+    Arrow kernel (bit-identical to the fold — the 1M probe measured
+    the interpreted expression assignment at ~10x the Arrow one).
+    The collect round-trips doubles exactly, so trained centroids are
+    bit-identical to the old single-lazy-plan form — pinned by the
+    kmeans/PQ/IVF+PQ DuckDB oracle hashes."""
+    spark = corpus.sparkSession
     cents = kmeans_init(corpus, k, group=group)
+    schema = cents.schema
     for _ in range(iters):
-        cents = kmeans_step(corpus, cents, dim=dim, exact=exact, group=group)
+        cents = spark.createDataFrame(cents.collect(), schema)
+        cents = kmeans_step(
+            corpus, cents, dim=dim, exact=exact, group=group, impl="arrow"
+        )
     return cents
