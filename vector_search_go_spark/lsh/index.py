@@ -135,8 +135,11 @@ class LshIndex:
             [(self.forest.to_json(),)], "model_json string"
         ).coalesce(1).write.mode("overwrite").json(f"{path}/model")
         (
-            self.buckets.repartition("tree")
-            .sortWithinPartitions("hash")
+            # range-partition a handful of trees per task: one file per
+            # tree directory without hashing 40 trees across 32 shuffle
+            # partitions (which writes O(partitions x trees) small files)
+            self.buckets.repartitionByRange(8, "tree")
+            .sortWithinPartitions("tree", "hash")
             .write.mode("overwrite")
             .partitionBy("tree")
             .parquet(f"{path}/buckets")
