@@ -96,3 +96,28 @@ def test_pq_encode_impl_parity(spark, corpus):
     b = {(r["id"], r["sub"]): r["code"] for r in
          pq_encode(corpus, cb, impl="arrow").collect()}
     assert a == b
+
+
+def test_sq8_search_impl_parity(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.sq8 import (
+        sq8_encode,
+        sq8_search,
+        sq8_stats,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    stats = sq8_stats(corpus, 64)
+    codes = sq8_encode(corpus, stats, 64)
+    a = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         sq8_search(queries, codes, stats, corpus, 64, impl="expr").collect()]
+    b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         sq8_search(queries, codes, stats, corpus, 64, impl="arrow").collect()]
+    assert sorted(a) == sorted(b)

@@ -64,7 +64,7 @@ AUDITS = {
     "pq_search_adc": (True, False, True, True),
     "pq_search_adc_trained": (True, False, True, True),
     "sq8_encode_codes": (True, False, False, True),
-    "sq8_search_rerank": (True, False, False, True),
+    "sq8_search_rerank": (True, False, True, True),
     "ivf_pq_search": (True, False, True, True),
     "kmeans_train_centroids": (True, False, True, True),
 }

@@ -94,17 +94,61 @@ def sq8_search(
     dim: int,
     k: int = 10,
     shortlist: int = SQ_SHORTLIST,
+    impl: str = "arrow",
 ) -> DataFrame:
     """queries(query_id, qvec) -> (query_id, id, dist, rn): approximate
     L2 against dequantized codes for a shortlist, exact rerank for the
-    final top-k."""
-    approx = (
-        codes.crossJoin(F.broadcast(stats))
-        .withColumn("xhat", sq8_dequant(F.col("codes"), dim))
-        .crossJoin(F.broadcast(queries))
-        .withColumn("approx_dist", l2_dist(F.col("qvec"), F.col("xhat")))
-        .select("query_id", "id", "approx_dist")
-    )
+    final top-k.
+
+    ``impl='arrow'`` (default) runs the compressed-domain scan as one
+    mapInPandas kernel per code batch — dequantize
+    (``min + (code+0.5)*scale``, the same two IEEE ops per element) and
+    the batch x query distance matrix with sequential per-dimension
+    adds, bit-identical to the ``impl='expr'`` fold (same pattern as
+    operators.exact_knn; pinned by the sq8 oracle hashes)."""
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+        srow = stats.collect()[0]
+        mins = np.array(list(srow["mins"]), dtype=np.float64)
+        scales = np.array(list(srow["scales"]), dtype=np.float64)
+        qrows = sorted(
+            queries.select("query_id", "qvec").collect(),
+            key=lambda r: r["query_id"],
+        )
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.array(pdf["codes"].tolist(), dtype=np.float64)
+                xhat = mins[None, :] + (C + 0.5) * scales[None, :]
+                D = np.sqrt(_seq_sq_l2(xhat, Q))
+                n_v, n_q = D.shape
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[None, :], n_v, axis=0).ravel(),
+                        "id": np.repeat(pdf["id"].to_numpy(), n_q),
+                        "approx_dist": D.ravel(),
+                    }
+                )
+
+        approx = codes.mapInPandas(
+            gen, "query_id long, id long, approx_dist double"
+        )
+    else:
+        approx = (
+            codes.crossJoin(F.broadcast(stats))
+            .withColumn("xhat", sq8_dequant(F.col("codes"), dim))
+            .crossJoin(F.broadcast(queries))
+            .withColumn("approx_dist", l2_dist(F.col("qvec"), F.col("xhat")))
+            .select("query_id", "id", "approx_dist")
+        )
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", shortlist, tiebreak_cols=["id"],
         rank_name="_s",
