@@ -175,14 +175,97 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> Da
 
 
 def pq_adc_candidates(
-    queries: DataFrame, codes: DataFrame, codebook: DataFrame
+    queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(query_id, id, approx_dist) for every (query, candidate) pair the
     ``codes`` side supplies — the ADC lookup-table core, factored out so
     full-corpus PQ search and cell-restricted IVF+PQ share it. ``codes``
     may carry a ``query_id`` column already (pre-restricted candidates,
     e.g. from an IVF probe join); if absent every code row is scored
-    against every query."""
+    against every query.
+
+    ``impl='arrow'`` (default) builds the queries x M x N ADC table
+    driver-side (queries and codebook are the small sides by contract)
+    and scores each candidate batch with numpy fancy indexing — the
+    lookup-sum folds its M terms in the same subspace order, so
+    approx_dist is bit-identical to the ``impl='expr'`` expression fold
+    (pinned by the pq/ivf_pq oracle hashes)."""
+    has_qid = "query_id" in codes.columns
+    codes_arr = codes.groupBy(
+        *(["query_id", "id"] if has_qid else ["id"])
+    ).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf  # noqa: F401
+
+        from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+        qrows = sorted(
+            queries.select("query_id", "qvec").collect(),
+            key=lambda r: r["query_id"],
+        )
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+        cb_rows = sorted(
+            codebook.select("sub", "code", "cvec").collect(),
+            key=lambda r: (r["sub"], r["code"]),
+        )
+        # adc[q, sub, code]: codes must be the contiguous 0..N-1 range
+        # the element_at arithmetic of the expr path assumes too
+        adc = np.empty((len(qids), M_SUB, N_CODES))
+        for sub in range(M_SUB):
+            sub_rows = [r for r in cb_rows if r["sub"] == sub]
+            assert [r["code"] for r in sub_rows] == list(range(N_CODES)), (
+                "non-contiguous codebook codes"
+            )
+            mat = np.array([list(r["cvec"]) for r in sub_rows], dtype=np.float64)
+            sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
+            adc[:, sub, :] = _seq_sq_l2(sl, mat)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                if has_qid:
+                    qidx = np.array(
+                        [qpos[int(q)] for q in pdf["query_id"]], dtype=np.int64
+                    )
+                    s = np.zeros(len(C))
+                    for j in range(M_SUB):
+                        s += adc[qidx, j, C[:, j]]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"].to_numpy(),
+                            "id": pdf["id"].to_numpy(),
+                            "approx_dist": np.sqrt(s),
+                        }
+                    )
+                else:
+                    n_v = len(C)
+                    s = np.zeros((n_v, len(qids)))
+                    for j in range(M_SUB):
+                        s += adc[:, j, C[:, j]].T
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                qids[None, :], n_v, axis=0
+                            ).ravel(),
+                            "id": np.repeat(pdf["id"].to_numpy(), len(qids)),
+                            "approx_dist": np.sqrt(s).ravel(),
+                        }
+                    )
+
+        return codes_arr.mapInPandas(
+            gen, "query_id long, id long, approx_dist double"
+        )
+
     adc_long = queries.crossJoin(F.broadcast(codebook)).select(
         "query_id",
         "sub",
@@ -195,15 +278,7 @@ def pq_adc_candidates(
             lambda x: x["d"],
         ).alias("adc")
     )
-    codes_arr = codes.groupBy(
-        *(["query_id", "id"] if "query_id" in codes.columns else ["id"])
-    ).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("sub", "code"))),
-            lambda x: x["code"],
-        ).alias("codes")
-    )
-    if "query_id" in codes.columns:
+    if has_qid:
         pairs = codes_arr.join(F.broadcast(adc_tab), on="query_id")
     else:
         pairs = codes_arr.crossJoin(F.broadcast(adc_tab))
