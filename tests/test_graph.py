@@ -54,6 +54,35 @@ def test_random_graph_matches_union_find(spark):
     assert got == _uf_components(edges)
 
 
+def test_impl_parity_random_graph(spark):
+    """star and propagate reach the identical (unique) fixpoint."""
+    rng = random.Random(21)
+    edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(100)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    star = {r["id"]: r["label"] for r in connected_components(df, impl="star").collect()}
+    prop = {
+        r["id"]: r["label"]
+        for r in connected_components(df, impl="propagate").collect()
+    }
+    assert star == prop == _uf_components(edges)
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    """A 64-node chain (diameter 63) converges for star well inside 12
+    rounds — propagate would need 63. This is the scale property the
+    alternation buys (Kiveris et al., SoCC'14)."""
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["label"] for r in connected_components(df, impl="star", max_iter=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_self_loop_isolated_node(spark):
+    edges = spark.createDataFrame([(7, 7), (1, 2)], "src bigint, dst bigint")
+    got = {r["id"]: r["label"] for r in connected_components(edges, impl="star").collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
 def test_nonconvergence_raises(spark):
     # a 4-node path has diameter 3 > 1 round
     edges = spark.createDataFrame(
