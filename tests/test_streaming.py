@@ -88,6 +88,27 @@ def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
         assert got[k] == want[k]
 
 
+def test_stream_range_join_matches_batch(spark, sf_dir, events_dir):
+    """Inner stream-stream joins emit every match regardless of
+    watermark finalization, so the availableNow run must equal the
+    batch range_join_click_purchase result exactly."""
+    from vector_search_go_spark.queries_pipeline import range_join_click_purchase
+    from vector_search_go_spark.streaming.events import range_join_stream
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(range_join_stream(stream), "range_join")
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in spark.table("range_join").collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in range_join_click_purchase(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir, events_dir):
     stream = read_events_stream(spark, events_dir)
     run_to_memory(sessionize_stream(stream), "sessions")

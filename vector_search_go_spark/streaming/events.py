@@ -8,7 +8,11 @@ index is batch-rebuilt on every Train). Patterns covered:
     batch path in io.py);
   - tumbling event-time windows with a watermark for late data;
   - arbitrary stateful sessionization via applyInPandasWithState
-    (gap-based sessions, the custom-stateful-operator slot).
+    (gap-based sessions, the custom-stateful-operator slot);
+  - a watermarked stream-stream range self-join (click before purchase
+    within a gap) — the streaming twin of the batch
+    range_join_click_purchase query, with state bounded by the
+    time-range condition + watermarks on both sides.
 
 Tests drive these with Trigger.availableNow into a memory sink and
 assert equality with the batch equivalents (time_bucket_events /
@@ -131,6 +135,55 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def range_join_stream(
+    events: DataFrame,
+    max_gap_us: int = 300_000_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream range join: click-purchase pairs within
+    ``max_gap_us`` per user — the streaming twin of the batch
+    ``range_join_click_purchase`` query (identical output schema and
+    rows; pinned in tests/test_streaming.py).
+
+    Both sides carry a watermark and the join condition bounds
+    click_ts to [purchase_ts - gap, purchase_ts], so Spark can expire
+    buffered state: a click older than (watermark + gap) can never join
+    a future purchase and is dropped. Without the time-range condition
+    the state store would grow without bound — this is the canonical
+    bounded-state stream-stream join shape."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {max_gap_us} MICROSECOND"
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
     )
 
 
