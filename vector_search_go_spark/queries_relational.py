@@ -885,3 +885,78 @@ def correlated_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT s.s_nationkey, count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators.skew.salted_join): the small
+    side is replicated n_salt times, the big side salts its key from
+    its own rows, and the equi-join on (key, salt) spreads any hot
+    suppkey over n_salt reducers instead of one straggler task. The
+    result is row-for-row identical to the plain join (the oracle IS
+    the plain join), which is the whole point: salting changes the
+    shuffle layout, never the answer. DECIMAL sum keeps the aggregate
+    order-independent so the comparison is bit-exact."""
+    from vector_search_go_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, s, on="l_suppkey", n_salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables (io.write_bucketed): both
+    sides are persisted bucketed+sorted on the join key with the same
+    bucket count, so the sort-merge join reads buckets directly — no
+    Exchange on either side (plan property pinned in
+    tests/test_bucketing.py with broadcast disabled). At 100 TB this is
+    the difference between re-shuffling the fact table on every join
+    and paying the partition layout once at write time."""
+    from vector_search_go_spark.io import write_bucketed
+
+    write_bucketed(
+        table(spark, sf_dir, "orders"), "orders_colo", "o_orderkey", 8, "o_orderkey"
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem"),
+        "lineitem_colo",
+        "l_orderkey",
+        8,
+        "l_orderkey",
+    )
+    o = spark.table("orders_colo")
+    li = spark.table("lineitem_colo")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum("l_extendedprice").alias("total_price"),
+        )
+    )
