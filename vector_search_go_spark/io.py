@@ -9,6 +9,9 @@ operator stays in the DataFrame API.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,6 +128,17 @@ def write_bucketed(
     shuffle exchange — the physical layout the big fact-fact joins
     (orders x lineitem on orderkey) want at 100 TB. Verified by plan
     inspection in tests/test_bucketing.py."""
+    spark = df.sparkSession
+    # A leftover warehouse directory from a previous session is not in
+    # this session's (in-memory) catalog, so saveAsTable(overwrite)
+    # refuses with LOCATION_ALREADY_EXISTS instead of replacing it.
+    # Drop the catalog entry AND clear the orphaned location first.
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
