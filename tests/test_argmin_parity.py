@@ -84,6 +84,9 @@ def test_lsh_search_impl_parity(spark, metric):
     b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
          lsh_search(idx, queries, metric=metric, k=5, impl="arrow").collect()]
     assert sorted(a) == sorted(b)
+    c = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         lsh_search(idx, queries, metric=metric, k=5, impl="fanin").collect()]
+    assert sorted(a) == sorted(c)
 
 
 def test_pq_encode_impl_parity(spark, corpus):

@@ -30,6 +30,8 @@ def main(
     k: int = 10,
     n_queries: int = 50,
     sample_size: int = 20_000,
+    n_trees: int = 40,
+    k_min_vecs: int = 100,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -61,7 +63,13 @@ def main(
 
     # bounded build sample (the 100 TB posture): plane quality saturates
     # well below the corpus size, and driver build time is O(sample)
-    cfg = LshConfig(dims=dims, n_trees=40, k_min_vecs=100, seed=42, sample_size=sample_size)
+    cfg = LshConfig(
+        dims=dims,
+        n_trees=n_trees,
+        k_min_vecs=k_min_vecs,
+        seed=42,
+        sample_size=sample_size,
+    )
     t0 = time.time()
     idx = LshIndex.train(spark, corpus, cfg)
     idx.buckets = idx.buckets.cache()
@@ -171,6 +179,24 @@ def pq_probe(n: int = 1_000_000, dims: int = 64, k: int = 10, n_queries: int = 5
 
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--baseline"]:
+        # Fashion-MNIST-shaped probe: the reference's own benchmark
+        # scale (60k x 784-d, README.md:150-154) with the reference's
+        # F-MNIST config (NTrees=10, KMinVecs=200,
+        # annbench_test.go:140-150). Synthetic clustered data, so
+        # recall is not comparable number-for-number — the comparable
+        # quantities are train wall time and per-query search cost at
+        # identical (n, dims). Prints a row for the SCALE.md baseline
+        # section; does not splice.
+        main(
+            n=60_000,
+            dims=784,
+            n_queries=100,
+            sample_size=20_000,
+            n_trees=10,
+            k_min_vecs=200,
+        )
+        sys.exit(0)
     # rows splice into SCALE.md between the lsh-table markers; the rest
     # of SCALE.md (PQ, bloom sections) is curated text with its own
     # measured numbers and is left untouched

@@ -185,6 +185,76 @@ def argmin_id_arrow_grouped(
     return nearest
 
 
+def fanin_query_scorer(queries: DataFrame, metric: str,
+                       qid_col: str = "query_id", qvec_col: str = "qvec",
+                       tol: float = 1e-6):
+    """Fan-in candidate scorer for LSH search: consumes rows
+    ``(id, qids array, vec)`` — one row per candidate CORPUS vector with
+    the list of query ids it must be scored against — and emits
+    ``(query_id, id, dist)`` pairs.
+
+    Why this shape: the pairwise scorer joins each candidate pair to
+    BOTH vectors, so a corpus vector hit by q queries crosses the
+    Arrow boundary q times and every pair row carries a duplicated
+    qvec. At high dims that transfer dominates the search (measured at
+    the 60k x 784-d baseline shape, 100 queries: 39 s -> 13 s warm,
+    84 s -> 16 s cold).
+    Here the query matrix rides in the closure (queries are the small,
+    broadcastable side by assumption — same bound as broadcast_queries)
+    and each candidate corpus vector transfers exactly once.
+
+    Distances use the same sequential per-dimension IEEE adds as the
+    fold expression and the pairwise kernel, with identical operand
+    order (A = query, B = corpus), so results are bit-identical to
+    impl='expr' (pinned in tests/test_argmin_parity.py)."""
+    rows = queries.select(qid_col, qvec_col).collect()
+    Q = np.array([list(r[qvec_col]) for r in rows], dtype=np.float64)
+    qpos = {r[qid_col]: i for i, r in enumerate(rows)}
+    is_cos = metric in ("cosine", "angular")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            qlists = pdf["qids"].tolist()
+            lens = np.array([len(l) for l in qlists], dtype=np.int64)
+            flat_qids = [q for lst in qlists for q in lst]
+            qidx = np.array([qpos[q] for q in flat_qids], dtype=np.int64)
+            rep = np.repeat(np.arange(len(pdf)), lens)
+            A = Q[qidx]
+            B = V[rep]
+            if not is_cos:
+                s = np.zeros(len(A))
+                for d in range(A.shape[1]):
+                    diff = A[:, d] - B[:, d]
+                    s += diff * diff
+                dist = np.sqrt(s)
+            else:
+                def _norm(M):
+                    t = np.zeros(M.shape[0])
+                    for d in range(M.shape[1]):
+                        t += M[:, d] * M[:, d]
+                    return np.sqrt(t)
+
+                na, nb = _norm(A), _norm(B)
+                dot = np.zeros(len(A))
+                for d in range(A.shape[1]):
+                    dot += A[:, d] * B[:, d]
+                raw = 1.0 - dot / (na * nb)
+                dist = np.where(raw < tol, 0.0, raw)
+                dist = np.where((na <= tol) | (nb <= tol), 1.0, dist)
+            yield pd.DataFrame(
+                {
+                    "query_id": flat_qids,
+                    "id": np.asarray(pdf["id"])[rep],
+                    "dist": dist,
+                }
+            )
+
+    return score
+
+
 def pairwise_dist_udf(metric: str, tol: float = 1e-6):
     """Arrow-batched row-pair distance (both vectors in the row): the
     vectorized twin of functions.metrics.metric_dist, with sequential
