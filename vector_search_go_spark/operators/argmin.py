@@ -222,28 +222,39 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
             flat_qids = [q for lst in qlists for q in lst]
             qidx = np.array([qpos[q] for q in flat_qids], dtype=np.int64)
             rep = np.repeat(np.arange(len(pdf)), lens)
-            A = Q[qidx]
-            B = V[rep]
-            if not is_cos:
-                s = np.zeros(len(A))
-                for d in range(A.shape[1]):
-                    diff = A[:, d] - B[:, d]
-                    s += diff * diff
-                dist = np.sqrt(s)
-            else:
-                def _norm(M):
-                    t = np.zeros(M.shape[0])
-                    for d in range(M.shape[1]):
-                        t += M[:, d] * M[:, d]
-                    return np.sqrt(t)
+            n_pairs = len(rep)
+            dist = np.empty(n_pairs)
 
-                na, nb = _norm(A), _norm(B)
-                dot = np.zeros(len(A))
-                for d in range(A.shape[1]):
-                    dot += A[:, d] * B[:, d]
-                raw = 1.0 - dot / (na * nb)
-                dist = np.where(raw < tol, 0.0, raw)
-                dist = np.where((na <= tol) | (nb <= tol), 1.0, dist)
+            def _norm(M):
+                t = np.zeros(M.shape[0])
+                for d in range(M.shape[1]):
+                    t += M[:, d] * M[:, d]
+                return np.sqrt(t)
+
+            # Chunk the pair dimension: the gathered (A, B) operand
+            # pair is n_pairs x dims doubles EACH — at high fan-in
+            # (large query batches) materializing it whole is GBs per
+            # Arrow batch and the copy, not the FLOPs, dominates.
+            # 8192 x 784-d = ~51 MB per operand per chunk.
+            chunk = 8192
+            for s0 in range(0, n_pairs, chunk):
+                sl = slice(s0, min(s0 + chunk, n_pairs))
+                A = Q[qidx[sl]]
+                B = V[rep[sl]]
+                if not is_cos:
+                    s = np.zeros(A.shape[0])
+                    for d in range(A.shape[1]):
+                        diff = A[:, d] - B[:, d]
+                        s += diff * diff
+                    dist[sl] = np.sqrt(s)
+                else:
+                    na, nb = _norm(A), _norm(B)
+                    dot = np.zeros(A.shape[0])
+                    for d in range(A.shape[1]):
+                        dot += A[:, d] * B[:, d]
+                    raw = 1.0 - dot / (na * nb)
+                    dc = np.where(raw < tol, 0.0, raw)
+                    dist[sl] = np.where((na <= tol) | (nb <= tol), 1.0, dc)
             yield pd.DataFrame(
                 {
                     "query_id": flat_qids,
