@@ -124,3 +124,19 @@ def test_sq8_search_impl_parity(spark):
     b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
          sq8_search(queries, codes, stats, corpus, 64, impl="arrow").collect()]
     assert sorted(a) == sorted(b)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_ivf_search_impl_parity(spark, metric):
+    from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
+    from vector_search_go_spark.operators.exact_knn import embeddings_split
+    from vector_search_go_spark.operators.kmeans import kmeans_init
+
+    queries, corpus = embeddings_split(spark, SF_DIR)
+    cents = kmeans_init(corpus, k=8)
+    cells = assign_cells(corpus, cents, metric=metric)
+    a = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         ivf_search(queries, cells, cents, metric=metric, k=5, nprobe=3, impl="expr").collect()]
+    b = [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in
+         ivf_search(queries, cells, cents, metric=metric, k=5, nprobe=3, impl="arrow").collect()]
+    assert sorted(a) == sorted(b)

@@ -70,9 +70,18 @@ def ivf_search(
     metric: str = "cosine",
     k: int = 10,
     nprobe: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """queries(query_id, qvec) -> (query_id, id, dist, rn), probing the
-    nprobe nearest cells per query."""
+    nprobe nearest cells per query.
+
+    The candidate distance (the hot expression — every probed-cell
+    member per query) uses the Arrow pairwise kernel by default;
+    Spark's higher-order fold evaluates interpreted per element, so at
+    large cells the lambda dispatch dominates. Bit-identical to
+    ``impl='expr'`` (same sequential IEEE adds; parity pinned in
+    tests/test_argmin_parity.py). The tiny query x centroid probe stays
+    a Catalyst fold either way."""
     qprobe = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", metric_dist(metric, F.col("qvec"), F.col("cvec")))
@@ -82,8 +91,12 @@ def ivf_search(
     ).select("query_id", "qvec", F.col("cid").alias("cell"))
     # queries x nprobe rows — always the small side; without the hint
     # Catalyst picks SortMergeJoin and shuffles the whole cell store.
-    cand = F.broadcast(probes).join(cells, on="cell").withColumn(
-        "dist", metric_dist(metric, F.col("qvec"), F.col("vec"))
-    )
+    if impl == "arrow":
+        from vector_search_go_spark.operators.argmin import pairwise_dist_udf
+
+        dist_col = pairwise_dist_udf(metric)(F.col("qvec"), F.col("vec"))
+    else:
+        dist_col = metric_dist(metric, F.col("qvec"), F.col("vec"))
+    cand = F.broadcast(probes).join(cells, on="cell").withColumn("dist", dist_col)
     top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
