@@ -106,3 +106,35 @@ def test_dedup_embedding_lsh_recall(spark, tmp_path, monkeypatch):
     # every LSH pair must be exact-verified (cos_dist filter) — no
     # false positives against the same threshold
     assert got_bounded <= want or recall == 1.0
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_point_search_matches_batch(spark, tmp_path, metric):
+    """Point lookup over the persisted store == batch search over the
+    live index, row for row (ids, bit-exact dists, ranks) — on the real
+    sf0.01 embeddings."""
+    from vector_search_go_spark.lsh.search import lsh_point_search
+    from vector_search_go_spark.operators.exact_knn import embeddings_split
+
+    queries, corpus = embeddings_split(spark, "/root/testdata/sf0.01")
+    cfg = LshConfig(
+        dims=64, n_trees=8, k_min_vecs=50, seed=13, is_angular=(metric != "l2")
+    )
+    idx = LshIndex.train(spark, corpus, cfg)
+    path = str(tmp_path / f"idx_{metric}")
+    idx.save(path)
+    qrows = queries.limit(3).collect()
+    batch = lsh_search(
+        idx, spark.createDataFrame(qrows, queries.schema), metric=metric, k=5
+    ).collect()
+    for qr in qrows:
+        want = sorted(
+            (r["id"], r["dist"], r["rn"]) for r in batch if r["query_id"] == qr["query_id"]
+        )
+        got = sorted(
+            (r["id"], r["dist"], r["rn"])
+            for r in lsh_point_search(
+                spark, path, qr["qvec"], metric=metric, k=5
+            ).collect()
+        )
+        assert got == want

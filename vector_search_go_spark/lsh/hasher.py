@@ -184,6 +184,66 @@ class Forest:
             }
         )
 
+    def to_node_rows(self) -> list[tuple]:
+        """Flattened ``(tree, idx, n, d, left, right)`` node rows — the
+        parquet model format. The JSON wire format stays for small
+        models/tests, but a trained forest is one json.dumps LINE and
+        Spark's JSON reader rejects single records past ~tens of MB
+        (observed: 100 MB model at 1M x 64-d, sample 100k) — a node
+        table has no per-record ceiling and round-trips float64
+        losslessly through parquet."""
+        rows: list[tuple] = []
+        for t in range(len(self.trees)):
+            flat = self._flat_tree(t)
+            if flat is None:
+                continue
+            N, D, left, right = flat
+            for i in range(len(D)):
+                rows.append(
+                    (
+                        t,
+                        i,
+                        [float(x) for x in N[i]],
+                        float(D[i]),
+                        int(left[i]),
+                        int(right[i]),
+                    )
+                )
+        return rows
+
+    @classmethod
+    def from_node_rows(cls, config: LshConfig, rows) -> Forest:
+        """Rebuild the tree graph from flattened node rows (inverse of
+        to_node_rows; indices are the BFS order _flat_tree emits)."""
+        by_tree: dict[int, list] = {}
+        for r in rows:
+            by_tree.setdefault(r["tree"], []).append(r)
+        trees: list[TreeNode | None] = [None] * config.n_trees
+        for t, rs in by_tree.items():
+            rs = sorted(rs, key=lambda r: r["idx"])
+            nodes = [
+                TreeNode(
+                    plane=Plane(n=np.asarray(r["n"], dtype=np.float64), d=float(r["d"]))
+                )
+                for r in rs
+            ]
+            for node, r in zip(nodes, rs):
+                node.left = nodes[r["left"]] if r["left"] >= 0 else None
+                node.right = nodes[r["right"]] if r["right"] >= 0 else None
+            trees[t] = nodes[0]
+        return cls(config=config, trees=trees)
+
+    def config_dict(self) -> dict:
+        return {
+            "dims": self.config.dims,
+            "n_trees": self.config.n_trees,
+            "k_min_vecs": self.config.k_min_vecs,
+            "is_angular": self.config.is_angular,
+            "max_candidates": self.config.max_candidates,
+            "seed": self.config.seed,
+            "sample_size": self.config.sample_size,
+        }
+
     @classmethod
     def from_json(cls, payload: str) -> Forest:
         obj = json.loads(payload)

@@ -22,6 +22,7 @@ row groups; the model itself is tiny (KBs-MBs) and rides the broadcast.
 
 from __future__ import annotations
 
+import json
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -131,9 +132,18 @@ class LshIndex:
 
     def save(self, path: str) -> None:
         spark = self.vectors.sparkSession
+        # Model = config (one tiny JSON row) + flattened node table as
+        # parquet. The old single-JSON-line model hit Spark's JSON
+        # reader record ceiling once trained forests passed ~tens of MB
+        # (100 MB at 1M vectors / 100k build sample); a node table has
+        # no such ceiling. load() still reads legacy 'model' dirs.
         spark.createDataFrame(
-            [(self.forest.to_json(),)], "model_json string"
-        ).coalesce(1).write.mode("overwrite").json(f"{path}/model")
+            [(json.dumps(self.forest.config_dict()),)], "config_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/model_config")
+        spark.createDataFrame(
+            self.forest.to_node_rows(),
+            "tree int, idx int, n array<double>, d double, left int, right int",
+        ).write.mode("overwrite").parquet(f"{path}/model_nodes")
         (
             # range-partition a handful of trees per task: one file per
             # tree directory without hashing 40 trees across 32 shuffle
@@ -146,10 +156,27 @@ class LshIndex:
         )
         self.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
 
+    @staticmethod
+    def load_forest(spark: SparkSession, path: str) -> Forest:
+        """Load just the tree model (the reference's LoadHasher half).
+        Reads the parquet node-table format; falls back to the legacy
+        single-JSON-line 'model' dir for indexes saved before it."""
+        import os
+
+        from vector_search_go_spark.config import LshConfig
+
+        if os.path.exists(os.path.join(path, "model_nodes")):
+            cfg_json = spark.read.json(f"{path}/model_config").collect()[0][
+                "config_json"
+            ]
+            rows = spark.read.parquet(f"{path}/model_nodes").collect()
+            return Forest.from_node_rows(LshConfig(**json.loads(cfg_json)), rows)
+        model_json = spark.read.json(f"{path}/model").collect()[0]["model_json"]
+        return Forest.from_json(model_json)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LshIndex":
-        model_json = spark.read.json(f"{path}/model").collect()[0]["model_json"]
-        forest = Forest.from_json(model_json)
+        forest = cls.load_forest(spark, path)
         buckets = spark.read.parquet(f"{path}/buckets").select(
             F.col("tree").cast("int"), "hash", "id"
         )

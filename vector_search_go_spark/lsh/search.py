@@ -140,3 +140,84 @@ def lsh_search(
         ).drop("_cand_rank")
     top = topk_per_group(scored, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+def lsh_point_search(
+    spark,
+    index_path: str,
+    qvec,
+    metric: str,
+    k: int = 10,
+    threshold: float | None = None,
+    forest=None,
+    query_id: int = 0,
+) -> DataFrame:
+    """Single-query point lookup against a PERSISTED index — the
+    serving-latency twin of the reference's one-query Search
+    (lsh/lsh.go:137-197).
+
+    Batch ``lsh_search`` streams the whole bucket store past each query
+    batch — right for throughput, wrong for one query (at 1M x 64-d
+    the cached-store batch path costs ~6 s/query; this path measures
+    ~3 s warm, dominated by Spark's fixed per-job latency — the probed
+    buckets themselves read in ~0.1 s each). The shape difference:
+
+      - hashes compute DRIVER-side (``Forest.hash_batch`` on a 1-row
+        matrix — microseconds, no Spark job, exactly the reference's
+        in-process getHashes);
+      - the bucket read is one pruned scan PER TREE, unioned: a simple
+        ``tree = t AND hash IN (h, probe)`` predicate prunes the tree's
+        partition directory and — because ``LshIndex.save`` sorts by
+        hash within each tree — parquet min/max row-group statistics
+        skip everything but the probed buckets (measured at 1M x 64-d,
+        40 trees: 0.11 s per tree scan, ~1.5 s for the union; the
+        single 40-branch OR filter defeats pushdown entirely and costs
+        ~25 s). I/O scales with bucket size, not corpus size — the
+        100 TB serving story: the store need not be cached or even fit
+        in memory;
+      - candidate ids broadcast into the vectors read; the distance is
+        one numpy pass over candidates only
+        (operators.argmin.single_query_dist_udf — bit-identical to the
+        batch path, pinned in tests/test_lsh_e2e.py).
+
+    Pass ``forest`` to skip re-reading the model per call (a serving
+    process loads it once, like the reference holds its hasher)."""
+    from functools import reduce
+
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import single_query_dist_udf
+
+    if forest is None:
+        forest = LshIndex.load_forest(spark, index_path)
+    q = np.asarray(list(qvec), dtype=np.float64)[None, :]
+    hashes = forest.hash_batch(q)
+    probes = forest.probe_batch(hashes)
+    buckets = spark.read.parquet(f"{index_path}/buckets")
+    parts = []
+    for t in range(hashes.shape[1]):
+        hs = sorted({int(hashes[0, t]), int(probes[0, t])})
+        parts.append(
+            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select("id")
+        )
+    # Materialize the candidate set once: it feeds a broadcast, and an
+    # unmaterialized plan would re-run all tree scans to build it.
+    cand = (
+        reduce(lambda a, b: a.union(b), parts)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    scored = vectors.join(F.broadcast(cand), on="id").withColumn(
+        "dist", single_query_dist_udf(metric, q[0])(F.col("vec"))
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("dist") <= F.lit(float(threshold)))
+    top = topk_per_group(
+        scored.withColumn("query_id", F.lit(query_id)),
+        ["query_id"],
+        "dist",
+        k,
+        tiebreak_cols=["id"],
+    )
+    return top.select("query_id", "id", "dist", "rn")

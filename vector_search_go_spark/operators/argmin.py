@@ -266,6 +266,46 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
     return score
 
 
+def single_query_dist_udf(metric: str, qvec, tol: float = 1e-6):
+    """Distance from ONE fixed query vector (closure) to the row's
+    vector — the point-lookup scorer (lsh.search.lsh_point_search).
+    Same sequential per-dimension IEEE adds and operand order
+    (A = query, B = corpus) as every other kernel, so results are
+    bit-identical to the fold expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(qvec), dtype=np.float64)
+    is_cos = metric in ("cosine", "angular")
+    if is_cos:
+        nq = 0.0
+        for d in range(q.shape[0]):
+            nq += q[d] * q[d]
+        nq = np.sqrt(nq)
+
+    @pandas_udf("double")
+    def dist(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        if not is_cos:
+            s = np.zeros(len(V))
+            for d in range(V.shape[1]):
+                diff = q[d] - V[:, d]
+                s += diff * diff
+            return pd.Series(np.sqrt(s))
+        nv = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            nv += V[:, d] * V[:, d]
+        nv = np.sqrt(nv)
+        dot = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            dot += q[d] * V[:, d]
+        raw = 1.0 - dot / (nq * nv)
+        out = np.where(raw < tol, 0.0, raw)
+        out = np.where((nq <= tol) | (nv <= tol), 1.0, out)
+        return pd.Series(out)
+
+    return dist
+
+
 def pairwise_dist_udf(metric: str, tol: float = 1e-6):
     """Arrow-batched row-pair distance (both vectors in the row): the
     vectorized twin of functions.metrics.metric_dist, with sequential
