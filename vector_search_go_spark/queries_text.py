@@ -124,7 +124,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this workload — the synthetic corpus shares one small vocabulary, so
     prefixes still collide (215k candidates for 256 true pairs) and the
     full-array verification join costs more than it saves."""
-    sh = _shingled_docs(spark, sf_dir)
+    # Materialize the shingled docs once: both join inputs (a, b) and
+    # the size table derive from it, and an unmaterialized plan scans +
+    # re-shingles the documents three times (measured at sf0.1: 5.5 s
+    # -> 1.6 s). At 100 TB the same applies — shingling is the
+    # expensive map stage and must be paid once.
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=True)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     a = e.select(F.col("doc_id").alias("doc_a"), "s")
