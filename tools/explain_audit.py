@@ -122,6 +122,52 @@ def audit_assignment_operators(spark, sections, failures) -> None:
         print(f"{name}: " + ("OK" if ok else "FAIL"))
 
 
+def audit_point_search(spark, sections, failures) -> None:
+    """The point-lookup serving path must read the bucket store with
+    partition pruning (tree dirs) AND parquet filter pushdown on hash —
+    not a post-scan filter over the whole store. Asserted on the live
+    plan of a real saved index at sf0.01."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import point_bucket_candidates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cfg = LshConfig(dims=64, n_trees=4, k_min_vecs=50, seed=3)
+    idx = LshIndex.train(spark, corpus, cfg)
+    path = tempfile.mkdtemp(prefix="audit_point_idx_")
+    idx.save(path)
+    qvec = emb.limit(1).collect()[0]["embedding"]
+    q = np.asarray(list(qvec), dtype=np.float64)[None, :]
+    hashes = idx.forest.hash_batch(q)
+    probes = idx.forest.probe_batch(hashes)
+    plan = plan_text(point_bucket_candidates(spark, path, hashes, probes))
+    has_part = "PartitionFilters: [" in plan and "tree" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    has_push = any(
+        seg.lstrip().startswith("In(hash")
+        for seg in plan.split("PushedFilters: [")[1:]
+    )
+    ok = has_part and has_push
+    line1 = f"  - [{'x' if has_part else ' '}] bucket scan prunes tree partition dirs"
+    line2 = f"  - [{'x' if has_push else ' '}] hash IN (...) pushed to parquet (row-group skipping)"
+    if not ok:
+        failures.append(
+            f"op:lsh_point_search: partition/pushdown missing (part={has_part}, push={has_push})"
+        )
+    sections.append(
+        f"## op:lsh_point_search\n\n{line1}\n{line2}\n\n```\n{plan}\n```\n"
+    )
+    print("op:lsh_point_search: " + ("OK" if ok else "FAIL"))
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -194,6 +240,7 @@ def main() -> int:
         print(f"{name}: " + ("OK" if not any(name in f for f in failures) else "FAIL"))
 
     audit_assignment_operators(spark, sections, failures)
+    audit_point_search(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(

@@ -142,6 +142,24 @@ def lsh_search(
     return top.select("query_id", "id", "dist", "rn")
 
 
+def point_bucket_candidates(spark, index_path: str, hashes, probes) -> DataFrame:
+    """Candidate ids for one hashed query: one pruned scan per tree,
+    unioned + distinct. Kept as its own builder so the plan-audit
+    (tools/explain_audit.py op:lsh_point_search) can assert partition
+    pruning and hash pushdown on the exact production plan — the
+    eager checkpoint in lsh_point_search otherwise hides the scans."""
+    from functools import reduce
+
+    buckets = spark.read.parquet(f"{index_path}/buckets")
+    parts = []
+    for t in range(hashes.shape[1]):
+        hs = sorted({int(hashes[0, t]), int(probes[0, t])})
+        parts.append(
+            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select("id")
+        )
+    return reduce(lambda a, b: a.union(b), parts).distinct()
+
+
 def lsh_point_search(
     spark,
     index_path: str,
@@ -182,8 +200,6 @@ def lsh_point_search(
 
     Pass ``forest`` to skip re-reading the model per call (a serving
     process loads it once, like the reference holds its hasher)."""
-    from functools import reduce
-
     import numpy as np
 
     from vector_search_go_spark.operators.argmin import single_query_dist_udf
@@ -193,19 +209,10 @@ def lsh_point_search(
     q = np.asarray(list(qvec), dtype=np.float64)[None, :]
     hashes = forest.hash_batch(q)
     probes = forest.probe_batch(hashes)
-    buckets = spark.read.parquet(f"{index_path}/buckets")
-    parts = []
-    for t in range(hashes.shape[1]):
-        hs = sorted({int(hashes[0, t]), int(probes[0, t])})
-        parts.append(
-            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select("id")
-        )
     # Materialize the candidate set once: it feeds a broadcast, and an
     # unmaterialized plan would re-run all tree scans to build it.
-    cand = (
-        reduce(lambda a, b: a.union(b), parts)
-        .distinct()
-        .localCheckpoint(eager=True)
+    cand = point_bucket_candidates(spark, index_path, hashes, probes).localCheckpoint(
+        eager=True
     )
     vectors = spark.read.parquet(f"{index_path}/vectors")
     scored = vectors.join(F.broadcast(cand), on="id").withColumn(
