@@ -66,3 +66,25 @@ def test_untrained_raises(spark, corpus):
         eng.search_vector([0.0, 0.0])
     with pytest.raises(ValueError):
         VectorSearchEngine(spark, backend="nope")
+
+
+def test_engine_point_search_matches_live(spark, tmp_path):
+    """engine.point_search over the saved store == engine.search_vector
+    on the live index (ids and bit-exact dists)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    df = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    eng = VectorSearchEngine(
+        spark, LshConfig(dims=64, n_trees=6, k_min_vecs=50, seed=5), metric="l2"
+    )
+    eng.train(df)
+    path = str(tmp_path / "engine_idx")
+    eng.save(path)
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    live = [(r["id"], r["dist"]) for r in eng.search_vector(qvec, k=5)]
+    stored = [(r["id"], r["dist"]) for r in eng.point_search(path, qvec, k=5)]
+    assert stored == live

@@ -103,6 +103,35 @@ class VectorSearchEngine:
         )
         return self.search(q, k, threshold).orderBy("rn").collect()
 
+    def point_search(
+        self,
+        path: str,
+        vec: list[float],
+        k: int = 10,
+        threshold: float | None = None,
+    ) -> list:
+        """Serve ONE query from a saved index directory (the
+        reference's single-query Search against its store): pruned
+        bucket reads instead of streaming the store — see
+        lsh.search.lsh_point_search. Results are bit-identical to
+        search_vector on the live index."""
+        from vector_search_go_spark.lsh.search import lsh_point_search
+
+        forest = self._index.forest if self._index is not None else None
+        return (
+            lsh_point_search(
+                self.spark,
+                path,
+                vec,
+                metric=self.metric,
+                k=k,
+                threshold=threshold,
+                forest=forest,
+            )
+            .orderBy("rn")
+            .collect()
+        )
+
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 
     def save(self, path: str) -> None:
