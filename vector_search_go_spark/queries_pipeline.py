@@ -531,8 +531,9 @@ fin AS (
                               ORDER BY {sql_sq_l2('c.vec', 'p.cvec')}, p.cid) AS _r
     FROM c CROSS JOIN {km_final} p) WHERE _r = 1),
 g AS (SELECT cell, count(*) AS n FROM fin GROUP BY cell)
-SELECT p.cid, COALESCE(g.n, CAST(0 AS BIGINT)) AS n, p.cvec AS centroid
-FROM {km_final} p LEFT JOIN g ON p.cid = g.cell
+SELECT p.cid, COALESCE(g.n, CAST(0 AS BIGINT)) AS n,
+       _i.pos - 1 AS pos, CAST(p.cvec[_i.pos] AS DOUBLE) AS x
+FROM {km_final} p LEFT JOIN g ON p.cid = g.cell, range(1, 65) _i(pos)
 """
 
 
@@ -563,10 +564,18 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = kmeans_assign(corpus, cents).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n")
     )
-    return cents.join(F.broadcast(counts), cents["cid"] == counts["cell"], "left").select(
-        "cid",
-        F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
-        F.col("cvec").alias("centroid"),
+    # Centroids are emitted as exploded (cid, n, pos, x) rows: the
+    # driver's canonicalizer sorts pandas columns and cannot hash
+    # array-valued cells, so array outputs must leave the query boundary
+    # as scalars (VERDICT r2 "what's wrong" #1).
+    return (
+        cents.join(F.broadcast(counts), cents["cid"] == counts["cell"], "left")
+        .select(
+            "cid",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+            F.posexplode("cvec").alias("pos", "x"),
+        )
+        .select("cid", "n", F.col("pos").cast("bigint").alias("pos"), "x")
     )
 
 
@@ -805,14 +814,17 @@ q AS (
     "sq8_encode_codes",
     oracle=f"""
 WITH {_SQL_SQ8_PRELUDE}
-SELECT id, codes FROM codes
+SELECT id, _i.pos - 1 AS pos, codes[_i.pos] AS code
+FROM codes, range(1, {_SQ_DIM + 1}) _i(pos)
 """,
 )
 def sq8_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar quantization (operators.sq8): per-dimension affine
     codes from corpus min/max — a 4x vector compression with near-exact
     distance fidelity. One per-dim min/max aggregation (map-side
-    combined), stats broadcast, encode is a pure map stage."""
+    combined), stats broadcast, encode is a pure map stage. Codes leave
+    the query boundary exploded to (id, pos, code) scalars — the
+    driver's canonicalizer cannot hash array cells."""
     from vector_search_go_spark.operators.sq8 import sq8_encode, sq8_stats
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -821,7 +833,10 @@ def sq8_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
     )
-    return sq8_encode(corpus, sq8_stats(corpus, _SQ_DIM), _SQ_DIM)
+    codes = sq8_encode(corpus, sq8_stats(corpus, _SQ_DIM), _SQ_DIM)
+    return codes.select(
+        "id", F.posexplode("codes").alias("pos", "code")
+    ).select("id", F.col("pos").cast("bigint").alias("pos"), "code")
 
 
 def _sql_sq8_dequant_diff(qv: str, i: str) -> str:
@@ -1273,7 +1288,8 @@ reach(id, r) AS (
   SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
 ),
 comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
-SELECT group_id, count(*) AS n_docs, list_sort(list(id)) AS doc_ids
+SELECT group_id, count(*) AS n_docs,
+       array_to_string(list_sort(list(id)), ',') AS doc_ids
 FROM comp GROUP BY group_id
 """,
 )
@@ -1281,15 +1297,19 @@ def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-GROUP resolution: near-dup pairs (exact n-gram jaccard
     >= 0.8, same edge set as dedup_ngram_jaccard) -> connected
     components (operators.graph, min-label propagation) -> one row per
-    duplicate cluster with its canonical min doc id and sorted members.
-    The oracle states the same closure as a recursive CTE. This is the
-    step that turns pairwise dedup candidates into 'keep one copy per
-    group' at corpus scale."""
+    duplicate cluster with its canonical min doc id and sorted members
+    (comma-joined string — the driver's canonicalizer cannot hash array
+    cells). The oracle states the same closure as a recursive CTE. This
+    is the step that turns pairwise dedup candidates into 'keep one copy
+    per group' at corpus scale."""
     from vector_search_go_spark.operators.graph import duplicate_groups
     from vector_search_go_spark.queries_text import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return duplicate_groups(pairs)
+    groups = duplicate_groups(pairs)
+    return groups.select(
+        "group_id", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids")
+    )
 
 
 @register(
@@ -1372,11 +1392,11 @@ def grouped_map_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS id,
        CAST(length(text) AS INT) AS n_bytes,
-       list_transform(range(0, 16),
-         _b -> CAST(len(list_filter(range(1, length(text) + 1),
-                      _i -> ascii(text[_i:_i]) // 16 = _b)) AS BIGINT)) AS byte_hist,
+       _b.bin AS bin,
+       CAST(len(list_filter(range(1, length(text) + 1),
+            _i -> ascii(text[_i:_i]) // 16 = _b.bin)) AS BIGINT) AS bin_count,
        'application/octet-stream' AS mime
-FROM documents
+FROM documents, range(0, 16) _b(bin)
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,14 +1404,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.multimodal.fake_decode_features; decode itself is stubbed
     — no codec libs in this container). The ORACLE recomputes the 16-bin
     byte histogram in pure SQL over the ASCII corpus (byte == codepoint,
-    bin == byte >> 4), so even the Python extractor is value-checked."""
+    bin == byte >> 4), so even the Python extractor is value-checked.
+    The histogram leaves the query boundary exploded to (id, bin,
+    bin_count) scalars — the driver's canonicalizer cannot hash array
+    cells."""
     from vector_search_go_spark.operators.multimodal import (
         attach_binary_payload,
         fake_decode_features,
     )
 
     docs = table(spark, sf_dir, "documents")
-    return fake_decode_features(attach_binary_payload(docs))
+    feats = fake_decode_features(attach_binary_payload(docs))
+    return feats.select(
+        "id", "n_bytes", "mime", F.posexplode("byte_hist").alias("bin", "bin_count")
+    ).select(
+        "id", "n_bytes", F.col("bin").cast("bigint").alias("bin"), "bin_count", "mime"
+    )
 
 
 def _shard_sql(n_shards: int) -> str:
