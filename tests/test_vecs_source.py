@@ -1,0 +1,125 @@
+"""Custom `vecs` data source (fvecs/bvecs/ivecs — TEXMEX/SIFT layout):
+splittable byte-range reads, Arrow-batched scan, id-filter partition
+pruning, distributed writer round-trip."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_vecs_source(spark)
+
+
+def _write_ivecs(path, mat):
+    mat = np.asarray(mat, dtype="<i4")
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(row.tobytes())
+
+
+def _write_bvecs(path, mat):
+    mat = np.asarray(mat, dtype=np.uint8)
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(row.tobytes())
+
+
+def test_fvecs_roundtrip_values(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((100, 8)).astype("float32")
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, mat)
+    df = spark.read.format("vecs").load(p)
+    assert df.schema.simpleString() == "struct<id:bigint,vec:array<float>>"
+    rows = {r["id"]: r["vec"] for r in df.collect()}
+    assert len(rows) == 100
+    for i in (0, 57, 99):
+        assert np.array_equal(np.array(rows[i], dtype="float32"), mat[i])
+
+
+def test_partitioned_read_and_multifile_ids(spark, tmp_path):
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((30, 4)).astype("float32")
+    b = rng.standard_normal((20, 4)).astype("float32")
+    write_fvecs(str(tmp_path / "a.fvecs"), a)
+    write_fvecs(str(tmp_path / "b.fvecs"), b)
+    df = (
+        spark.read.format("vecs")
+        .option("records_per_partition", 8)
+        .load(str(tmp_path))
+    )
+    # ceil(30/8) + ceil(20/8) = 4 + 3 byte-range splits
+    assert df.rdd.getNumPartitions() == 7
+    rows = {r["id"]: r["vec"] for r in df.collect()}
+    assert len(rows) == 50
+    # ids are file-path-sorted then sequential: a.fvecs -> 0..29, b -> 30..49
+    assert np.array_equal(np.array(rows[29], dtype="float32"), a[29])
+    assert np.array_equal(np.array(rows[30], dtype="float32"), b[0])
+
+
+def test_id_filter_prunes_partitions(spark, tmp_path):
+    mat = np.arange(640, dtype="float32").reshape(80, 8)
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, mat)
+    df = (
+        spark.read.format("vecs")
+        .option("records_per_partition", 10)
+        .load(p)
+    )
+    got = df.filter("id >= 65 AND id < 72")
+    # bounds keep only the 2 covering byte ranges (60..69, 70..79)
+    assert got.rdd.getNumPartitions() == 2
+    assert sorted(r["id"] for r in got.collect()) == list(range(65, 72))
+    one = df.filter("id = 3")
+    assert one.rdd.getNumPartitions() == 1
+    assert [r["vec"][0] for r in one.collect()] == [24.0]
+
+
+def test_bvecs_and_ivecs(spark, tmp_path):
+    bm = (np.arange(60) % 256).reshape(10, 6).astype(np.uint8)
+    im = (np.arange(40) * 3).reshape(10, 4).astype("<i4")
+    _write_bvecs(str(tmp_path / "x.bvecs"), bm)
+    _write_ivecs(str(tmp_path / "y.ivecs"), im)
+    bdf = spark.read.format("vecs").load(str(tmp_path / "x.bvecs"))
+    idf = spark.read.format("vecs").load(str(tmp_path / "y.ivecs"))
+    assert bdf.schema.simpleString() == "struct<id:bigint,vec:array<int>>"
+    brows = {r["id"]: r["vec"] for r in bdf.collect()}
+    assert brows[9] == [int(v) for v in bm[9]]
+    irows = {r["id"]: r["vec"] for r in idf.collect()}
+    assert irows[0] == [0, 3, 6, 9]
+
+
+def test_write_then_read_distributed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.select(F.col("embedding").alias("vec")).repartition(4)
+    out = str(tmp_path / "out")
+    src.write.format("vecs").option("kind", "fvecs").mode("append").save(out)
+    parts = [f for f in os.listdir(out) if f.endswith(".fvecs")]
+    assert 1 <= len(parts) <= 4
+    back = spark.read.format("vecs").load(out)
+    assert back.count() == emb.count()
+    # multiset of vectors survives (ids are positional, order differs)
+    orig = sorted(tuple(r["embedding"]) for r in emb.collect())
+    got = sorted(tuple(r["vec"]) for r in back.collect())
+    assert got == orig
+
+
+def test_corrupt_file_rejected(spark, tmp_path):
+    p = str(tmp_path / "bad.fvecs")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<i", 4))
+        f.write(b"\x00" * 13)  # not a multiple of record size
+    with pytest.raises(Exception, match="not a multiple"):
+        spark.read.format("vecs").load(p).collect()

@@ -1674,3 +1674,58 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(
         F.broadcast(dups.withColumn("_d", F.lit(True))), on="id", how="left"
     ).select("id", "cell", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+
+
+@register(
+    "source_fvecs_roundtrip",
+    oracle="""
+WITH ordered AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id, embedding AS vec
+  FROM embeddings
+)
+SELECT id, _i.pos - 1 AS pos, CAST(vec[_i.pos] AS FLOAT) AS x
+FROM ordered, range(1, 65) _i(pos)
+""",
+)
+def source_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom `vecs` data source round-trip (sources.vecs): write the
+    embeddings corpus as a TEXMEX-layout .fvecs file through the
+    distributed sink, read it back through the splittable Arrow-batched
+    reader, and emit (id, pos, x float) scalars. The oracle is DuckDB
+    reading the SAME vectors from parquet — so the whole binary format
+    path (struct packing, byte-range splits, float32 fidelity) is held
+    to bit-exact equality. The write side is coalesce(1)+sorted here
+    because fvecs carries no ids (ids are positional); the read side
+    still splits the single file into byte-range partitions. This
+    replaces the reference's single-node HDF5 benchmark ingestion
+    (annbench/annbench.go:195-218) with a distributed scan of the other
+    de-facto ANN corpus format."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from vector_search_go_spark.sources import register_vecs_source
+
+    register_vecs_source(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vecs_roundtrip_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    (
+        emb.coalesce(1)
+        .sortWithinPartitions("vec_id")
+        .select(F.col("embedding").alias("vec"))
+        .write.format("vecs")
+        .option("kind", "fvecs")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("vecs")
+        .option("records_per_partition", 4096)
+        .load(out)
+    )
+    return back.select(
+        "id", F.posexplode("vec").alias("pos", "x")
+    ).select("id", F.col("pos").cast("bigint").alias("pos"), "x")

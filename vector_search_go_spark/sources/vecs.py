@@ -1,0 +1,344 @@
+"""Custom Spark data source for the classic ANN benchmark vector
+formats: ``.fvecs`` (float32), ``.bvecs`` (uint8), ``.ivecs`` (int32) —
+the TEXMEX/SIFT layout where every record is ``[int32 dim][dim values]``.
+
+The reference ingests its benchmark corpora from HDF5 on a single node
+(annbench/annbench.go:195-218 reads the whole dataset into RAM before
+building); parquet replaces that for the engine's own tables (SURVEY §2
+O24), and this source covers the other de-facto-standard distribution
+format for vector corpora so a reference user can point the engine at
+SIFT1B-style files directly.
+
+Spark-first design (Python DataSource API, Spark 4):
+
+- **Splittable reads.** Records are fixed-size once the (constant) dim
+  is known, so a file splits at exact record boundaries with no
+  synchronization marks — ``partitions()`` plans byte-ranges of
+  ``records_per_partition`` records each and every executor seeks
+  straight to its slice. A 100 TB corpus of .bvecs shards scans with
+  the same parallelism as parquet.
+- **Arrow batches, not rows.** ``read()`` yields pyarrow RecordBatches
+  built from one vectorized ``np.frombuffer`` reshape — no per-row
+  Python in the scan path.
+- **Partition pruning via filter pushdown.** ``pushFilters`` accepts
+  range/equality filters on ``id`` (the global record index) and drops
+  whole byte-ranges that cannot match; every filter is also left for
+  Spark to re-apply, so pruning can never change results.
+
+Deterministic ids: files sort by path, records number sequentially
+across the sorted list — the same corpus always gets the same ids.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_KINDS = {
+    # kind -> (numpy dtype, bytes per value, spark element type)
+    "fvecs": (np.dtype("<f4"), 4, FloatType()),
+    "bvecs": (np.dtype("u1"), 1, IntegerType()),
+    "ivecs": (np.dtype("<i4"), 4, IntegerType()),
+}
+
+DEFAULT_RECORDS_PER_PARTITION = 65536
+
+
+def _infer_kind(path: str, opt: str | None) -> str:
+    if opt:
+        if opt not in _KINDS:
+            raise ValueError(f"unknown vecs kind {opt!r}; one of {sorted(_KINDS)}")
+        return opt
+    for k in _KINDS:
+        if path.endswith("." + k) or any(
+            f.endswith("." + k) for f in _list_files(path)
+        ):
+            return k
+    raise ValueError(
+        f"cannot infer vecs kind from {path!r}; pass .option('kind', 'fvecs')"
+    )
+
+
+def _list_files(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.rsplit(".", 1)[-1] in _KINDS
+        )
+    return [path] if os.path.exists(path) else []
+
+
+def _file_layout(path: str, kind: str) -> Tuple[int, int, int]:
+    """(dim, record_bytes, n_records); validates the fixed-record layout."""
+    _, vbytes, _ = _KINDS[kind]
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0, 0, 0
+    with open(path, "rb") as f:
+        (dim,) = struct.unpack("<i", f.read(4))
+    if dim <= 0:
+        raise ValueError(f"{path}: invalid leading dim {dim}")
+    rec = 4 + dim * vbytes
+    if size % rec != 0:
+        raise ValueError(
+            f"{path}: size {size} not a multiple of record size {rec} "
+            f"(dim={dim}, kind={kind}) — mixed-dim files are not supported"
+        )
+    return dim, rec, size // rec
+
+
+@dataclass
+class VecsPartition(InputPartition):
+    path: str
+    kind: str
+    dim: int
+    start_record: int  # within the file
+    num_records: int
+    base_id: int  # global id of start_record
+
+
+class VecsReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vecs source requires a path")
+        self.kind = _infer_kind(self.path, options.get("kind"))
+        self.rpp = int(
+            options.get("records_per_partition", DEFAULT_RECORDS_PER_PARTITION)
+        )
+        if self.rpp <= 0:
+            raise ValueError("records_per_partition must be positive")
+        self._id_lo = None  # inclusive lower bound on id from pushed filters
+        self._id_hi = None  # inclusive upper bound
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        # Collect [lo, hi] bounds on the generated `id` column to prune
+        # whole partitions. All filters are returned as unsupported so
+        # Spark re-applies them post-scan — pruning is an optimization,
+        # never the correctness mechanism.
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("id",):
+                if isinstance(f, EqualTo):
+                    self._tighten(f.value, f.value)
+                elif isinstance(f, GreaterThan):
+                    self._tighten(f.value + 1, None)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._tighten(f.value, None)
+                elif isinstance(f, LessThan):
+                    self._tighten(None, f.value - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    self._tighten(None, f.value)
+                elif isinstance(f, In):
+                    vals = list(f.values)
+                    if vals:
+                        self._tighten(min(vals), max(vals))
+            yield f
+
+    def _tighten(self, lo, hi) -> None:
+        if lo is not None:
+            self._id_lo = lo if self._id_lo is None else max(self._id_lo, lo)
+        if hi is not None:
+            self._id_hi = hi if self._id_hi is None else min(self._id_hi, hi)
+
+    def partitions(self) -> Sequence[VecsPartition]:
+        parts: List[VecsPartition] = []
+        base = 0
+        for path in _list_files(self.path):
+            dim, _rec, n = _file_layout(path, self.kind)
+            for start in range(0, n, self.rpp):
+                cnt = min(self.rpp, n - start)
+                pid = base + start
+                if self._id_hi is not None and pid > self._id_hi:
+                    continue
+                if self._id_lo is not None and pid + cnt - 1 < self._id_lo:
+                    continue
+                parts.append(
+                    VecsPartition(
+                        path=path,
+                        kind=self.kind,
+                        dim=dim,
+                        start_record=start,
+                        num_records=cnt,
+                        base_id=pid,
+                    )
+                )
+            base += n
+        # Spark requires >= 1 partition even for an empty corpus.
+        return parts or [
+            VecsPartition(
+                path="", kind=self.kind, dim=0, start_record=0, num_records=0,
+                base_id=0,
+            )
+        ]
+
+    def read(self, partition: VecsPartition):
+        import pyarrow as pa
+
+        dtype, vbytes, _ = _KINDS[partition.kind]
+        if partition.num_records == 0:
+            yield pa.record_batch(
+                [pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.list_(_arrow_elem(partition.kind)))],
+                names=["id", "vec"],
+            )
+            return
+        rec = 4 + partition.dim * vbytes
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start_record * rec)
+            buf = f.read(partition.num_records * rec)
+        raw = np.frombuffer(buf, dtype=np.uint8).reshape(partition.num_records, rec)
+        dims = raw[:, :4].view("<i4").ravel()
+        if not (dims == partition.dim).all():
+            bad = int(dims[dims != partition.dim][0])
+            raise ValueError(
+                f"{partition.path}: record dim {bad} != file dim {partition.dim}"
+            )
+        vals = np.ascontiguousarray(raw[:, 4:]).view(dtype)
+        if partition.kind in ("bvecs",):
+            vals = vals.astype(np.int32)  # uint8 -> int for Spark
+        ids = np.arange(
+            partition.base_id, partition.base_id + partition.num_records, dtype=np.int64
+        )
+        flat = pa.array(vals.ravel(), type=_arrow_elem(partition.kind))
+        offsets = pa.array(
+            np.arange(0, (partition.num_records + 1) * partition.dim, partition.dim,
+                      dtype=np.int32)
+        )
+        yield pa.record_batch(
+            [pa.array(ids), pa.ListArray.from_arrays(offsets, flat)],
+            names=["id", "vec"],
+        )
+
+
+def _arrow_elem(kind: str):
+    import pyarrow as pa
+
+    return pa.float32() if kind == "fvecs" else pa.int32()
+
+
+@dataclass
+class VecsCommitMessage(WriterCommitMessage):
+    path: str
+    count: int
+
+
+class VecsWriter(DataSourceWriter):
+    """One ``part-<pid>.<kind>`` file per input partition — a normal
+    distributed sink (no driver funnel); files land under ``path``."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vecs sink requires a path")
+        self.kind = options.get("kind", "fvecs")
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown vecs kind {self.kind!r}")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> VecsCommitMessage:
+        from pyspark import TaskContext
+
+        dtype, _, _ = _KINDS[self.kind]
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.{self.kind}")
+        n = 0
+        with open(out, "wb") as f:
+            for row in iterator:
+                vec = np.asarray(row["vec"], dtype=dtype)
+                f.write(struct.pack("<i", len(vec)))
+                f.write(vec.tobytes())
+                n += 1
+        if n == 0:
+            os.remove(out)
+        return VecsCommitMessage(path=out, count=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            keep = {m.path for m in messages if m is not None}
+            for f in os.listdir(self.path):
+                fp = os.path.join(self.path, f)
+                if fp not in keep and f.rsplit(".", 1)[-1] in _KINDS:
+                    os.remove(fp)
+        return None
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class VecsDataSource(DataSource):
+    """``spark.read.format("vecs").option("kind", "fvecs").load(path)``
+    -> DataFrame(id bigint, vec array<float|int>). See module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vecs"
+
+    def schema(self) -> StructType:
+        kind = _infer_kind(self.options.get("path", ""), self.options.get("kind"))
+        _, _, elem = _KINDS[kind]
+        return StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("vec", ArrayType(elem, False), False),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> VecsReader:
+        return VecsReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> VecsWriter:
+        return VecsWriter(self.options, overwrite)
+
+
+def register_vecs_source(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` of the vecs format.
+    Also enables Python-datasource filter pushdown (runtime-settable),
+    which `pushFilters` partition pruning requires."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(VecsDataSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+
+
+def write_fvecs(path: str, mat: np.ndarray) -> None:
+    """Driver-side helper: write a (n, dim) float array as one .fvecs
+    file (test fixtures / oracle round-trips)."""
+    mat = np.asarray(mat, dtype="<f4")
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(row.tobytes())
