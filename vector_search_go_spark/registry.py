@@ -79,38 +79,40 @@ _PRIORITY: tuple[str, ...] = (
     "curate_training_corpus",
     "split_train_val_test",
     "dedup_cluster_groups",
-    # Exact-KNN oracle family (transitively validates top-k)
-    "knn_exact_l2",
-    "knn_exact_cosine",
-    "knn_exact_filtered",
-    # r2 canonicalization fixes — keep in-window to prove them green
-    "vector_scale_standard",
-    "scalar_array_funcs",
-    "approx_aggregates",
-    # Dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    # Never-driver-checked dedup / text entries
     "dedup_semantic_clusters",
-    "dedup_global_ngrams",
-    # Text analysis
-    "text_token_count",
-    "text_quality_score",
+    "dedup_embedding_lsh",
     "text_tfidf_top_terms",
     "text_langid_accuracy",
-    "text_fingerprint",
-    # Vector stats
-    "metric_conversions",
-    "vector_stats_mad",
-    # Relational flagship
-    "q1_pricing_summary",
-    # LLM-pipeline extras
+    # LLM-pipeline extras (never driver-checked)
     "decontaminate_train_split",
     "pack_training_sequences",
     "sample_rebalance_langs",
     "multimodal_features",
+    "multimodal_byte_stats",
+    "doc_embedding_join",
+    "sessionize_events",
+    "sketch_rollup_daily",
+    # Scale-shape operators (never driver-checked)
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "join_bloom_pruned",
+    # Custom-UDF surfaces + custom source (never driver-checked)
+    "udaf_median_order_value",
+    "grouped_map_label_centroids",
+    "source_fvecs_roundtrip",
+    # Re-check slots: r2 rows errored in the driver canonicalizer...
+    "vector_scale_standard",
+    "scalar_array_funcs",
+    "approx_aggregates",
+    # ...or the implementation changed materially since its r2-green row
+    # (Arrow exact-KNN kernel; shingle materialization; all-pairs bound
+    # assertion) — everything else r2-green stays covered by the local
+    # oracle mirror + EXPECTED_HASHES.
+    "knn_exact_l2",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
 )
 
 
