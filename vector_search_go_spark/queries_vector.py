@@ -321,3 +321,44 @@ def knn_exact_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = topk_per_group(cand, ["query_id"], "dist", 10, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+def _projection_oracle() -> str:
+    from vector_search_go_spark.operators.projection import (
+        projection_matrix,
+        sql_projection_fold,
+        sql_projection_matrix_cte,
+    )
+
+    pm = projection_matrix(64, 16, seed=7)
+    return f"""
+WITH {sql_projection_matrix_cte(pm)}
+SELECT vec_id, j.pos - 1 AS pos, {sql_projection_fold(pm)} AS x
+FROM embeddings, mat, range(1, 17) j(pos)
+"""
+
+
+@register("embed_random_projection", oracle=_projection_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Johnson-Lindenstrauss random projection 64-d -> 16-d
+    (operators.projection): the standard dim-reduction stage in front of
+    high-dimensional ANN indexing. Pure per-row map — no shuffle, the
+    matrix rides in the Arrow kernel's closure — and the accumulation
+    order matches the oracle's list_reduce fold, so even with the
+    Gaussian matrix inlined into the SQL as a literal the comparison is
+    bit-exact. Output exploded to (vec_id, pos, x) scalars. The
+    reference indexes raw vectors only (lsh/hasher.go:100-138); this is
+    the width-reduction a 784-d-at-100-TB deployment would bolt on
+    first."""
+    from vector_search_go_spark.operators.projection import (
+        project_arrow,
+        projection_matrix,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = project_arrow(projection_matrix(64, 16, seed=7))
+    return (
+        emb.select("vec_id", proj(F.col("embedding")).alias("y"))
+        .select("vec_id", F.posexplode("y").alias("pos", "x"))
+        .select("vec_id", F.col("pos").cast("bigint").alias("pos"), "x")
+    )

@@ -112,7 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_l2",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    # New this round (never checked by definition)
+    "embed_random_projection",
 )
 
 
