@@ -178,7 +178,76 @@ def pq_probe(n: int = 1_000_000, dims: int = 64, k: int = 10, n_queries: int = 5
 
 
 
+def vecs_probe(n: int = 1_000_000, dims: int = 64) -> None:
+    """Throughput probe for the custom fvecs source (sources.vecs):
+    full-scan aggregate vs the same data as parquet, plus the pruned
+    point read. Prints a SCALE.md-able row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+
+    spark = get_spark("vecs-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    register_vecs_source(spark)
+    base = tempfile.mkdtemp(prefix="vecs_probe_")
+    try:
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((n, dims)).astype("float32")
+        fpath = os.path.join(base, "corpus.fvecs")
+        write_fvecs(fpath, X)
+        mb = os.path.getsize(fpath) / 1e6
+
+        # spin up the Python workers first: the cold first job costs
+        # ~6 s regardless of source and would swamp the scan number
+        spark.range(1000).select(F.sum("id")).collect()
+        spark.read.format("vecs").load(fpath).count()
+
+        t0 = time.time()
+        fsum = (
+            spark.read.format("vecs")
+            .load(fpath)
+            .agg(F.sum(F.element_at("vec", 1)).alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        t_scan = time.time() - t0
+
+        ppath = os.path.join(base, "corpus.parquet")
+        spark.read.format("vecs").load(fpath).write.parquet(ppath)
+        t0 = time.time()
+        psum = (
+            spark.read.parquet(ppath)
+            .agg(F.sum(F.element_at("vec", 1)).alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        t_parquet = time.time() - t0
+        assert fsum["n"] == psum["n"] == n
+
+        t0 = time.time()
+        row = (
+            spark.read.format("vecs")
+            .load(fpath)
+            .filter(F.col("id") == n // 2)
+            .collect()
+        )
+        t_point = time.time() - t0
+        assert len(row) == 1
+
+        print(
+            f"| {n:,} x {dims} | {mb:.0f} MB | {t_scan:.2f} s "
+            f"({mb / t_scan:.0f} MB/s) | {t_parquet:.2f} s | {t_point:.2f} s |"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--vecs"]:
+        vecs_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--baseline"]:
         # Fashion-MNIST-shaped probe: the reference's own benchmark
         # scale (60k x 784-d, README.md:150-154) with the reference's

@@ -68,7 +68,12 @@ _KINDS = {
     "ivecs": (np.dtype("<i4"), 4, IntegerType()),
 }
 
-DEFAULT_RECORDS_PER_PARTITION = 65536
+# Warm-measured at 1M x 64-d (260 MB, local[32]): any chunking from
+# 16384-65536 records scans in ~0.7-1.2 s — parity with parquet on the
+# same data (~1.0 s); below 8192 the per-partition overhead starts to
+# win (4096 -> ~2 s). 16384 (~4 MB of floats) keeps split granularity
+# fine enough to feed wide clusters without paying that overhead.
+DEFAULT_RECORDS_PER_PARTITION = 16384
 
 
 def _infer_kind(path: str, opt: str | None) -> str:
@@ -336,9 +341,11 @@ def register_vecs_source(spark) -> None:
 
 def write_fvecs(path: str, mat: np.ndarray) -> None:
     """Driver-side helper: write a (n, dim) float array as one .fvecs
-    file (test fixtures / oracle round-trips)."""
-    mat = np.asarray(mat, dtype="<f4")
-    with open(path, "wb") as f:
-        for row in mat:
-            f.write(struct.pack("<i", len(row)))
-            f.write(row.tobytes())
+    file (test fixtures / oracle round-trips / scale probes). One
+    vectorized interleave + tofile, no per-row Python."""
+    mat = np.ascontiguousarray(mat, dtype="<f4")
+    n, dim = mat.shape
+    out = np.empty((n, 4 + dim * 4), dtype=np.uint8)
+    out[:, :4] = np.frombuffer(struct.pack("<i", dim), dtype=np.uint8)
+    out[:, 4:] = mat.view(np.uint8)
+    out.tofile(path)
