@@ -122,6 +122,56 @@ def audit_assignment_operators(spark, sections, failures) -> None:
         print(f"{name}: " + ("OK" if ok else "FAIL"))
 
 
+def audit_projection(spark, sections, failures) -> None:
+    """Random projection must be a pure map stage end to end: scan ->
+    Arrow kernel -> posexplode, with NO Exchange anywhere (the matrix
+    rides in the UDF closure, never as a joined side)."""
+    from vector_search_go_spark import registry
+
+    df = registry.queries()["embed_random_projection"](spark, SF_DIR)
+    plan = plan_text(df)
+    ok = "Exchange" not in plan
+    line = f"  - [{'x' if ok else ' '}] no Exchange (projection is a pure map stage)"
+    if not ok:
+        failures.append("op:embed_random_projection: Exchange present in plan")
+    sections.append(
+        f"## op:embed_random_projection\n\n{line}\n\n```\n{plan}\n```\n"
+    )
+    print("op:embed_random_projection: " + ("OK" if ok else "FAIL"))
+
+
+def audit_vecs_source(spark, sections, failures) -> None:
+    """The custom vecs source plans its byte-range splits driver-side;
+    id-filter pruning is invisible in plan text, so assert the actual
+    scheduled partition counts on a live file: full read = ceil(n/rpp)
+    splits, an id-bounded read schedules only the covering ranges."""
+    import tempfile
+
+    import numpy as np
+
+    from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+
+    register_vecs_source(spark)
+    with tempfile.TemporaryDirectory(prefix="audit_vecs_") as d:
+        path = os.path.join(d, "x.fvecs")
+        write_fvecs(path, np.zeros((1000, 8), dtype="float32"))
+        rd = spark.read.format("vecs").option("records_per_partition", 100).load(path)
+        full = rd.rdd.getNumPartitions()
+        pruned = rd.filter("id >= 450 AND id < 550").rdd.getNumPartitions()
+        plan = plan_text(rd.filter("id >= 450 AND id < 550"))
+    ok = full == 10 and pruned == 2
+    line = (
+        f"  - [{'x' if ok else ' '}] byte-range splits: full scan {full}/10 "
+        f"partitions, id-bounded read {pruned}/2 covering ranges"
+    )
+    if not ok:
+        failures.append(
+            f"op:vecs_source: partition planning off (full={full}, pruned={pruned})"
+        )
+    sections.append(f"## op:vecs_source\n\n{line}\n\n```\n{plan}\n```\n")
+    print("op:vecs_source: " + ("OK" if ok else "FAIL"))
+
+
 def audit_point_search(spark, sections, failures) -> None:
     """The point-lookup serving path must read the bucket store with
     partition pruning (tree dirs) AND parquet filter pushdown on hash —
@@ -240,6 +290,8 @@ def main() -> int:
         print(f"{name}: " + ("OK" if not any(name in f for f in failures) else "FAIL"))
 
     audit_assignment_operators(spark, sections, failures)
+    audit_projection(spark, sections, failures)
+    audit_vecs_source(spark, sections, failures)
     audit_point_search(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
