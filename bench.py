@@ -61,6 +61,8 @@ HEADLINE = [
     "ivf_pq_search",
     "ivf_pq_recall_vs_exact",
     "kmeans_train_centroids",
+    "embed_random_projection",
+    "source_fvecs_roundtrip",
 ]
 
 
