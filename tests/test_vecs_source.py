@@ -123,3 +123,58 @@ def test_corrupt_file_rejected(spark, tmp_path):
         f.write(b"\x00" * 13)  # not a multiple of record size
     with pytest.raises(Exception, match="not a multiple"):
         spark.read.format("vecs").load(p).collect()
+
+
+def test_stream_shard_arrival_incremental(spark, tmp_path):
+    """Microbatch 1 reads the first shard; microbatch 2 (same
+    checkpoint) reads ONLY the delta: a new shard plus records appended
+    to the first one."""
+    import struct as _struct
+
+    import numpy as np
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(11)
+    a1 = rng.standard_normal((10, 4)).astype("float32")
+    write_fvecs(str(src / "shard-a.fvecs"), a1)
+
+    def run_batch(name):
+        rows = {}
+
+        def sink(df, _epoch):
+            rows.update({r["id"]: r["vec"] for r in df.collect()})
+
+        q = (
+            spark.readStream.format("vecs")
+            .option("kind", "fvecs")
+            .option("records_per_partition", 4)
+            .load(str(src))
+            .writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return rows
+
+    got1 = run_batch("vecs_stream_b1")
+    assert len(got1) == 10
+
+    # new shard + 3 records appended to the existing one
+    b = rng.standard_normal((6, 4)).astype("float32")
+    write_fvecs(str(src / "shard-b.fvecs"), b)
+    a2 = rng.standard_normal((3, 4)).astype("float32")
+    with open(src / "shard-a.fvecs", "ab") as f:
+        for row in a2:
+            f.write(_struct.pack("<i", 4) + row.tobytes())
+
+    got2 = run_batch("vecs_stream_b2")
+    assert len(got2) == 9  # only the delta
+    vecs2 = sorted(tuple(v) for v in got2.values())
+    expect = sorted(tuple(map(float, r)) for r in np.vstack([b, a2]))
+    assert vecs2 == expect
+    # ids: stable per-shard bases, no collisions with batch 1
+    assert not (set(got1) & set(got2))

@@ -41,6 +41,7 @@ import numpy as np
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -206,48 +207,131 @@ class VecsReader(DataSourceReader):
         ]
 
     def read(self, partition: VecsPartition):
-        import pyarrow as pa
+        return _read_partition(partition)
 
-        dtype, vbytes, _ = _KINDS[partition.kind]
-        if partition.num_records == 0:
-            yield pa.record_batch(
-                [pa.array([], type=pa.int64()),
-                 pa.array([], type=pa.list_(_arrow_elem(partition.kind)))],
-                names=["id", "vec"],
-            )
-            return
-        rec = 4 + partition.dim * vbytes
-        with open(partition.path, "rb") as f:
-            f.seek(partition.start_record * rec)
-            buf = f.read(partition.num_records * rec)
-        raw = np.frombuffer(buf, dtype=np.uint8).reshape(partition.num_records, rec)
-        dims = raw[:, :4].view("<i4").ravel()
-        if not (dims == partition.dim).all():
-            bad = int(dims[dims != partition.dim][0])
-            raise ValueError(
-                f"{partition.path}: record dim {bad} != file dim {partition.dim}"
-            )
-        vals = np.ascontiguousarray(raw[:, 4:]).view(dtype)
-        if partition.kind in ("bvecs",):
-            vals = vals.astype(np.int32)  # uint8 -> int for Spark
-        ids = np.arange(
-            partition.base_id, partition.base_id + partition.num_records, dtype=np.int64
-        )
-        flat = pa.array(vals.ravel(), type=_arrow_elem(partition.kind))
-        offsets = pa.array(
-            np.arange(0, (partition.num_records + 1) * partition.dim, partition.dim,
-                      dtype=np.int32)
-        )
+
+def _read_partition(partition: VecsPartition):
+    import pyarrow as pa
+
+    dtype, vbytes, _ = _KINDS[partition.kind]
+    if partition.num_records == 0:
         yield pa.record_batch(
-            [pa.array(ids), pa.ListArray.from_arrays(offsets, flat)],
+            [pa.array([], type=pa.int64()),
+             pa.array([], type=pa.list_(_arrow_elem(partition.kind)))],
             names=["id", "vec"],
         )
+        return
+    rec = 4 + partition.dim * vbytes
+    with open(partition.path, "rb") as f:
+        f.seek(partition.start_record * rec)
+        buf = f.read(partition.num_records * rec)
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(partition.num_records, rec)
+    dims = raw[:, :4].view("<i4").ravel()
+    if not (dims == partition.dim).all():
+        bad = int(dims[dims != partition.dim][0])
+        raise ValueError(
+            f"{partition.path}: record dim {bad} != file dim {partition.dim}"
+        )
+    vals = np.ascontiguousarray(raw[:, 4:]).view(dtype)
+    if partition.kind in ("bvecs",):
+        vals = vals.astype(np.int32)  # uint8 -> int for Spark
+    ids = np.arange(
+        partition.base_id, partition.base_id + partition.num_records, dtype=np.int64
+    )
+    flat = pa.array(vals.ravel(), type=_arrow_elem(partition.kind))
+    offsets = pa.array(
+        np.arange(0, (partition.num_records + 1) * partition.dim, partition.dim,
+                  dtype=np.int32)
+    )
+    yield pa.record_batch(
+        [pa.array(ids), pa.ListArray.from_arrays(offsets, flat)],
+        names=["id", "vec"],
+    )
 
 
 def _arrow_elem(kind: str):
     import pyarrow as pa
 
     return pa.float32() if kind == "fvecs" else pa.int32()
+
+
+def _stream_base_id(path: str) -> int:
+    """Deterministic per-file id base for streaming reads: record ids
+    within a file are ``base + record_index``. Arrival order is not
+    reproducible, so streaming cannot number files sequentially the way
+    the batch reader does; a 32-bit basename hash shifted past any
+    realistic per-file record count keeps ids stable per shard and
+    unique across shards (collision needs two shards whose basenames
+    CRC-collide in the same directory). 31 hash bits << 32 keeps
+    base + index inside int64 for shards up to 4B records."""
+    import zlib
+
+    return (zlib.crc32(os.path.basename(path).encode()) & 0x7FFFFFFF) << 32
+
+
+class VecsStreamReader(DataSourceStreamReader):
+    """Shard-arrival streaming for vecs directories: every microbatch
+    reads the byte ranges appended since the last committed offset —
+    new files AND records appended to known files (fixed-size records
+    make append detection exact: n_records is size/rec). The offset is
+    ``{"files": {path: n_records_consumed}}``; planning touches only
+    file sizes (no data reads), and each delta splits into the same
+    byte-range partitions as the batch reader, executed distributed.
+
+    This is the ingestion edge for corpora shipped as numbered shards
+    (SIFT1B-style): point the stream at the landing directory and feed
+    the incremental LSH bucket ingest (streaming/ingest.py) without a
+    conversion hop."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vecs stream source requires a path (directory)")
+        kind_opt = options.get("kind")
+        if not kind_opt and not _list_files(self.path):
+            raise ValueError(
+                "vecs stream on an empty directory needs .option('kind', ...)"
+            )
+        self.kind = _infer_kind(self.path, kind_opt)
+        self.rpp = int(
+            options.get("records_per_partition", DEFAULT_RECORDS_PER_PARTITION)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {
+            "files": {
+                p: _file_layout(p, self.kind)[2] for p in _list_files(self.path)
+            }
+        }
+
+    def partitions(self, start: dict, end: dict) -> Sequence[VecsPartition]:
+        done = start.get("files", {})
+        parts: List[VecsPartition] = []
+        for path in sorted(end.get("files", {})):
+            n_end = end["files"][path]
+            n_start = done.get(path, 0)
+            if n_end <= n_start:
+                continue
+            dim, _rec, _n = _file_layout(path, self.kind)
+            base = _stream_base_id(path)
+            for s in range(n_start, n_end, self.rpp):
+                cnt = min(self.rpp, n_end - s)
+                parts.append(
+                    VecsPartition(
+                        path=path, kind=self.kind, dim=dim,
+                        start_record=s, num_records=cnt, base_id=base + s,
+                    )
+                )
+        return parts
+
+    def read(self, partition: VecsPartition):
+        return _read_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
 
 
 @dataclass
@@ -322,6 +406,9 @@ class VecsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VecsReader:
         return VecsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> VecsStreamReader:
+        return VecsStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> VecsWriter:
         return VecsWriter(self.options, overwrite)
