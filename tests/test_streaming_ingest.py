@@ -68,3 +68,48 @@ def test_search_over_streamed_buckets(spark, corpus_file_dir, tmp_path):
     assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[3])) == sorted(
         [tuple(r) for r in b], key=lambda t: (t[0], t[3])
     )
+
+def test_vecs_stream_feeds_lsh_ingest(spark, corpus_file_dir, tmp_path):
+    """Vectors arriving as .fvecs shards stream straight into the
+    bucket store — the SIFT-shard landing directory composed with
+    incremental LSH ingest, no parquet conversion hop. Bucket rows must
+    equal the driver-side forest hashes of the shard's vectors."""
+    import numpy as np
+
+    from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+    from vector_search_go_spark.sources.vecs import _stream_base_id
+
+    register_vecs_source(spark)
+    corpus = spark.read.parquet(corpus_file_dir)
+    cfg = LshConfig(dims=64, n_trees=4, k_min_vecs=50, seed=11)
+    idx = LshIndex.train(spark, corpus, cfg)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rng = np.random.default_rng(5)
+    new = rng.standard_normal((50, 64)).astype("float32")
+    write_fvecs(str(land / "new-0.fvecs"), new)
+
+    stream = (
+        spark.readStream.format("vecs")
+        .option("kind", "fvecs")
+        .load(str(land))
+        .selectExpr("id", "cast(vec as array<double>) as vec")
+    )
+    bucket_path = str(tmp_path / "vbuckets")
+    ingest_to_bucket_store(
+        spark, stream, idx.forest, bucket_path, str(tmp_path / "vckpt")
+    )
+
+    base = _stream_base_id("new-0.fvecs")
+    want_h = idx.forest.hash_batch(new.astype(np.float64))
+    want = {
+        (t, int(want_h[i][t]), base + i)
+        for i in range(len(new))
+        for t in range(cfg.n_trees)
+    }
+    got = {
+        (r["tree"], r["hash"], r["id"])
+        for r in spark.read.parquet(bucket_path).collect()
+    }
+    assert got == want
