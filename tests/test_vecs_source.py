@@ -178,3 +178,56 @@ def test_stream_shard_arrival_incremental(spark, tmp_path):
     assert vecs2 == expect
     # ids: stable per-shard bases, no collisions with batch 1
     assert not (set(got1) & set(got2))
+
+
+def test_isin_filter_pushdown(spark, tmp_path):
+    """IN-list filters must prune and return rows (pyspark's In filter
+    stores its list in `value`, not `values` — crash regression)."""
+    from pyspark.sql import functions as F
+
+    mat = np.arange(160, dtype="float32").reshape(40, 4)
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, mat)
+    df = (
+        spark.read.format("vecs")
+        .option("records_per_partition", 10)
+        .load(p)
+    )
+    got = df.filter(F.col("id").isin(5, 17))
+    assert got.rdd.getNumPartitions() == 2  # ranges 0..9 and 10..19
+    assert sorted(r["id"] for r in got.collect()) == [5, 17]
+
+
+def test_mixed_kind_directory_isolated(spark, tmp_path):
+    """A TEXMEX-style directory mixes base .fvecs with groundtruth
+    .ivecs; each read must only parse its own kind (bit reinterpretation
+    regression)."""
+    fm = np.full((5, 4), 1.5, dtype="float32")
+    im = np.arange(20, dtype="<i4").reshape(5, 4)
+    write_fvecs(str(tmp_path / "base.fvecs"), fm)
+    _write_ivecs(str(tmp_path / "groundtruth.ivecs"), im)
+    fdf = spark.read.format("vecs").option("kind", "fvecs").load(str(tmp_path))
+    idf = spark.read.format("vecs").option("kind", "ivecs").load(str(tmp_path))
+    assert fdf.count() == 5 and idf.count() == 5
+    assert all(r["vec"] == [1.5] * 4 for r in fdf.collect())
+    assert sorted(r["vec"][0] for r in idf.collect()) == [0, 4, 8, 12, 16]
+
+
+def test_append_mode_preserves_existing(spark, tmp_path):
+    """Two append writes into one directory must accumulate (same-name
+    clobber regression: part files carry unique suffixes and stage
+    through _temporary)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "acc")
+    d1 = spark.range(10).select(F.array(F.col("id").cast("float")).alias("vec"))
+    d2 = spark.range(7).select(F.array(F.col("id").cast("float") + 100).alias("vec"))
+    d1.write.format("vecs").option("kind", "fvecs").mode("append").save(out)
+    d2.write.format("vecs").option("kind", "fvecs").mode("append").save(out)
+    back = spark.read.format("vecs").load(out)
+    assert back.count() == 17
+    assert not _os.path.exists(_os.path.join(out, "_temporary"))
+    vals = sorted(r["vec"][0] for r in back.collect())
+    assert vals == [float(i) for i in range(10)] + [float(100 + i) for i in range(7)]

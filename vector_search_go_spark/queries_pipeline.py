@@ -544,8 +544,8 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep their previous centroid. The exact-fold mean path makes the
     trained centroids bit-identical to the DuckDB oracle's — an
     iterative ML algorithm held to the same hash-equality bar as the
-    relational pack. Returns (cid, n, centroid) with the final member
-    counts. The reference has no trained quantizer (its LSH planes are
+    relational pack. Returns exploded (cid, n, pos, x) rows with the
+    final member counts. The reference has no trained quantizer (its LSH planes are
     random, lsh/hasher.go:100-188); this is the training half of the
     IVF scale path (ann_ivf.py)."""
     from vector_search_go_spark.operators.kmeans import kmeans_assign, kmeans_fit
@@ -1708,7 +1708,12 @@ def source_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.sources import register_vecs_source
 
     register_vecs_source(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # key the scratch dir by (sf_dir, spark app id): deterministic
+    # within a session, but two concurrent sessions (driver harness +
+    # bench) never rmtree each other's in-flight files
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"vecs_roundtrip_{tag}")
     shutil.rmtree(out, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")

@@ -83,37 +83,46 @@ def _infer_kind(path: str, opt: str | None) -> str:
             raise ValueError(f"unknown vecs kind {opt!r}; one of {sorted(_KINDS)}")
         return opt
     for k in _KINDS:
-        if path.endswith("." + k) or any(
-            f.endswith("." + k) for f in _list_files(path)
-        ):
+        if path.endswith("." + k) or _list_files(path, k):
             return k
     raise ValueError(
         f"cannot infer vecs kind from {path!r}; pass .option('kind', 'fvecs')"
     )
 
 
-def _list_files(path: str) -> List[str]:
+def _list_files(path: str, kind: str) -> List[str]:
+    """Files of ONE kind only: a TEXMEX download directory mixes
+    sift_base.fvecs with sift_groundtruth.ivecs, whose record sizes
+    coincide at equal dim — parsing them under a single kind would
+    silently reinterpret int32 bits as float32."""
     if os.path.isdir(path):
         return sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
-            if f.rsplit(".", 1)[-1] in _KINDS
+            if f.endswith("." + kind)
         )
-    return [path] if os.path.exists(path) else []
+    if not os.path.exists(path):
+        return []
+    ext = path.rsplit(".", 1)[-1]
+    # a single file matches its own kind; an unknown extension is
+    # allowed when the kind was forced via option
+    return [path] if (ext == kind or ext not in _KINDS) else []
 
 
-def _file_layout(path: str, kind: str) -> Tuple[int, int, int]:
-    """(dim, record_bytes, n_records); validates the fixed-record layout."""
+def _file_layout(path: str, kind: str, strict: bool = True) -> Tuple[int, int, int]:
+    """(dim, record_bytes, n_records); validates the fixed-record layout.
+    strict=False floors to complete records instead of raising on a
+    partial tail (streaming polls may race an in-progress append)."""
     _, vbytes, _ = _KINDS[kind]
     size = os.path.getsize(path)
-    if size == 0:
+    if size < 4:
         return 0, 0, 0
     with open(path, "rb") as f:
         (dim,) = struct.unpack("<i", f.read(4))
     if dim <= 0:
         raise ValueError(f"{path}: invalid leading dim {dim}")
     rec = 4 + dim * vbytes
-    if size % rec != 0:
+    if size % rec != 0 and strict:
         raise ValueError(
             f"{path}: size {size} not a multiple of record size {rec} "
             f"(dim={dim}, kind={kind}) — mixed-dim files are not supported"
@@ -164,7 +173,8 @@ class VecsReader(DataSourceReader):
                 elif isinstance(f, LessThanOrEqual):
                     self._tighten(None, f.value)
                 elif isinstance(f, In):
-                    vals = list(f.values)
+                    # pyspark's In dataclass stores its list in `value`
+                    vals = list(f.value)
                     if vals:
                         self._tighten(min(vals), max(vals))
             yield f
@@ -178,7 +188,7 @@ class VecsReader(DataSourceReader):
     def partitions(self) -> Sequence[VecsPartition]:
         parts: List[VecsPartition] = []
         base = 0
-        for path in _list_files(self.path):
+        for path in _list_files(self.path, self.kind):
             dim, _rec, n = _file_layout(path, self.kind)
             for start in range(0, n, self.rpp):
                 cnt = min(self.rpp, n - start)
@@ -222,31 +232,42 @@ def _read_partition(partition: VecsPartition):
         )
         return
     rec = 4 + partition.dim * vbytes
+    # Emit in chunks: Arrow list offsets are int32, so one batch must
+    # keep num_records * dim < 2^31 even under a huge
+    # records_per_partition (SIFT1B-sized rpp at dim=128 would wrap
+    # otherwise); the 1M cap also bounds per-batch memory.
+    chunk = min(
+        partition.num_records,
+        max(1, (2**31 - 1) // partition.dim),
+        1_048_576,
+    )
     with open(partition.path, "rb") as f:
-        f.seek(partition.start_record * rec)
-        buf = f.read(partition.num_records * rec)
-    raw = np.frombuffer(buf, dtype=np.uint8).reshape(partition.num_records, rec)
-    dims = raw[:, :4].view("<i4").ravel()
-    if not (dims == partition.dim).all():
-        bad = int(dims[dims != partition.dim][0])
-        raise ValueError(
-            f"{partition.path}: record dim {bad} != file dim {partition.dim}"
-        )
-    vals = np.ascontiguousarray(raw[:, 4:]).view(dtype)
-    if partition.kind in ("bvecs",):
-        vals = vals.astype(np.int32)  # uint8 -> int for Spark
-    ids = np.arange(
-        partition.base_id, partition.base_id + partition.num_records, dtype=np.int64
-    )
-    flat = pa.array(vals.ravel(), type=_arrow_elem(partition.kind))
-    offsets = pa.array(
-        np.arange(0, (partition.num_records + 1) * partition.dim, partition.dim,
-                  dtype=np.int32)
-    )
-    yield pa.record_batch(
-        [pa.array(ids), pa.ListArray.from_arrays(offsets, flat)],
-        names=["id", "vec"],
-    )
+        for off in range(0, partition.num_records, chunk):
+            cnt = min(chunk, partition.num_records - off)
+            f.seek((partition.start_record + off) * rec)
+            buf = f.read(cnt * rec)
+            raw = np.frombuffer(buf, dtype=np.uint8).reshape(cnt, rec)
+            dims = raw[:, :4].view("<i4").ravel()
+            if not (dims == partition.dim).all():
+                bad = int(dims[dims != partition.dim][0])
+                raise ValueError(
+                    f"{partition.path}: record dim {bad} != file dim "
+                    f"{partition.dim}"
+                )
+            vals = np.ascontiguousarray(raw[:, 4:]).view(dtype)
+            if partition.kind in ("bvecs",):
+                vals = vals.astype(np.int32)  # uint8 -> int for Spark
+            base = partition.base_id + off
+            ids = np.arange(base, base + cnt, dtype=np.int64)
+            flat = pa.array(vals.ravel(), type=_arrow_elem(partition.kind))
+            offsets = pa.array(
+                np.arange(0, (cnt + 1) * partition.dim, partition.dim,
+                          dtype=np.int32)
+            )
+            yield pa.record_batch(
+                [pa.array(ids), pa.ListArray.from_arrays(offsets, flat)],
+                names=["id", "vec"],
+            )
 
 
 def _arrow_elem(kind: str):
@@ -288,7 +309,7 @@ class VecsStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("vecs stream source requires a path (directory)")
         kind_opt = options.get("kind")
-        if not kind_opt and not _list_files(self.path):
+        if not kind_opt and not any(_list_files(self.path, k) for k in _KINDS):
             raise ValueError(
                 "vecs stream on an empty directory needs .option('kind', ...)"
             )
@@ -296,16 +317,22 @@ class VecsStreamReader(DataSourceStreamReader):
         self.rpp = int(
             options.get("records_per_partition", DEFAULT_RECORDS_PER_PARTITION)
         )
+        if self.rpp <= 0:
+            raise ValueError("records_per_partition must be positive")
 
     def initialOffset(self) -> dict:
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        return {
-            "files": {
-                p: _file_layout(p, self.kind)[2] for p in _list_files(self.path)
-            }
-        }
+        # Floor to COMPLETE records: a producer may be mid-append when
+        # the poll lands, and raising on a partial tail record would
+        # kill the stream — the tail is picked up by the next poll.
+        files = {}
+        for p in _list_files(self.path, self.kind):
+            dim, rec, n = _file_layout(p, self.kind, strict=False)
+            if n > 0:
+                files[p] = n
+        return {"files": files}
 
     def partitions(self, start: dict, end: dict) -> Sequence[VecsPartition]:
         done = start.get("files", {})
@@ -315,7 +342,7 @@ class VecsStreamReader(DataSourceStreamReader):
             n_start = done.get(path, 0)
             if n_end <= n_start:
                 continue
-            dim, _rec, _n = _file_layout(path, self.kind)
+            dim, _rec, _n = _file_layout(path, self.kind, strict=False)
             base = _stream_base_id(path)
             for s in range(n_start, n_end, self.rpp):
                 cnt = min(self.rpp, n_end - s)
@@ -336,13 +363,22 @@ class VecsStreamReader(DataSourceStreamReader):
 
 @dataclass
 class VecsCommitMessage(WriterCommitMessage):
-    path: str
+    staged: str
+    final: str
     count: int
 
 
+_STAGING_DIR = "_temporary"
+
+
 class VecsWriter(DataSourceWriter):
-    """One ``part-<pid>.<kind>`` file per input partition — a normal
-    distributed sink (no driver funnel); files land under ``path``."""
+    """One ``part-<pid>-<uuid>.<kind>`` file per input partition — a
+    normal distributed sink, two-phase: tasks stage into
+    ``path/_temporary/`` (readers never see it — file listing only
+    picks kind-suffixed files in the directory itself), commit renames
+    staged files into place. Unique names mean append jobs, speculative
+    retries, and concurrent writers can never truncate each other's
+    data; a failed job's leftovers stay quarantined in the staging dir."""
 
     def __init__(self, options, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -354,36 +390,72 @@ class VecsWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> VecsCommitMessage:
+        import uuid
+
         from pyspark import TaskContext
 
-        dtype, _, _ = _KINDS[self.kind]
+        dtype, vbytes, _ = _KINDS[self.kind]
         pid = TaskContext.get().partitionId()
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.{self.kind}")
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.{self.kind}"
+        stage_dir = os.path.join(self.path, _STAGING_DIR)
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, name)
         n = 0
-        with open(out, "wb") as f:
+        dim = None
+        batch: list = []
+        with open(staged, "wb") as f:
+
+            def flush() -> None:
+                if not batch:
+                    return
+                mat = np.asarray(batch, dtype=dtype)
+                out = np.empty((len(mat), 4 + dim * vbytes), dtype=np.uint8)
+                out[:, :4] = np.frombuffer(struct.pack("<i", dim), dtype=np.uint8)
+                out[:, 4:] = np.ascontiguousarray(mat).view(np.uint8)
+                f.write(out.tobytes())
+                batch.clear()
+
             for row in iterator:
-                vec = np.asarray(row["vec"], dtype=dtype)
-                f.write(struct.pack("<i", len(vec)))
-                f.write(vec.tobytes())
+                vec = row["vec"]
+                if dim is None:
+                    dim = len(vec)
+                elif len(vec) != dim:
+                    raise ValueError(
+                        f"vecs sink requires a constant dim per write: "
+                        f"got {len(vec)} after {dim}"
+                    )
+                batch.append(vec)
                 n += 1
+                if len(batch) >= 65536:
+                    flush()
+            flush()
         if n == 0:
-            os.remove(out)
-        return VecsCommitMessage(path=out, count=n)
+            os.remove(staged)
+        return VecsCommitMessage(
+            staged=staged, final=os.path.join(self.path, name), count=n
+        )
 
     def commit(self, messages):
+        import shutil
+
+        keep = set()
+        for m in messages:
+            if m is None or m.count == 0:
+                continue
+            os.replace(m.staged, m.final)
+            keep.add(m.final)
         if self.overwrite:
-            keep = {m.path for m in messages if m is not None}
             for f in os.listdir(self.path):
                 fp = os.path.join(self.path, f)
                 if fp not in keep and f.rsplit(".", 1)[-1] in _KINDS:
                     os.remove(fp)
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
         return None
 
     def abort(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
 
 class VecsDataSource(DataSource):
