@@ -73,3 +73,41 @@ def test_equal_vectors_always_collide(seed):
     f = Forest.build(X, cfg)
     h = f.hash_batch(X)
     assert np.array_equal(h[:5], h[30:])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 300),
+    st.integers(1, 40),
+    st.integers(1, 64),
+    st.integers(0, 2**31 - 1),
+)
+def test_vecs_partition_roundtrip(n, dim, rpp, seed):
+    """Driver-free property: any (n, dim) float32 matrix written as
+    fvecs survives partition planning + the chunked Arrow parse
+    bitwise, for any records_per_partition."""
+    import os
+    import tempfile
+
+    from vector_search_go_spark.sources.vecs import (
+        VecsReader,
+        _read_partition,
+        write_fvecs,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype("float32")
+    with tempfile.TemporaryDirectory(prefix="vecs_prop_") as d:
+        p = os.path.join(d, "m.fvecs")
+        write_fvecs(p, mat)
+        reader = VecsReader({"path": p, "records_per_partition": str(rpp)})
+        parts = reader.partitions()
+        assert len(parts) == -(-n // rpp)
+        got = {}
+        for part in parts:
+            for batch in _read_partition(part):
+                tbl = batch.to_pydict()
+                for i, vec in zip(tbl["id"], tbl["vec"]):
+                    got[i] = np.asarray(vec, dtype="float32")
+    assert sorted(got) == list(range(n))
+    assert all(np.array_equal(got[i], mat[i]) for i in range(n))
