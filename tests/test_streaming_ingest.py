@@ -113,3 +113,60 @@ def test_vecs_stream_feeds_lsh_ingest(spark, corpus_file_dir, tmp_path):
         for r in spark.read.parquet(bucket_path).collect()
     }
     assert got == want
+
+
+def test_compact_bucket_store(spark, corpus_file_dir, tmp_path):
+    """Two ingest microbatch runs fragment the store; compaction must
+    (1) preserve the exact bucket-row set, (2) collapse to one file per
+    tree, (3) leave every file hash-sorted with row-group stats — the
+    properties the point-lookup's row-group skipping needs — and
+    (4) answer searches identically."""
+    import pyarrow.parquet as pq
+
+    from vector_search_go_spark.streaming.ingest import compact_bucket_store
+
+    corpus = spark.read.parquet(corpus_file_dir)
+    cfg = LshConfig(dims=64, n_trees=4, k_min_vecs=50, seed=11)
+    idx = LshIndex.train(spark, corpus, cfg)
+
+    half_a = corpus.filter("id % 2 = 0")
+    half_b = corpus.filter("id % 2 = 1")
+    d = tmp_path / "frag"
+    half_a.write.parquet(str(d / "in_a"))
+    half_b.write.parquet(str(d / "in_b"))
+    bucket_path = str(d / "buckets")
+    for i, src in enumerate(("in_a", "in_b")):
+        stream = spark.readStream.schema("id bigint, vec array<double>").parquet(
+            str(d / src)
+        )
+        ingest_to_bucket_store(
+            spark, stream, idx.forest, bucket_path, str(d / f"ckpt{i}")
+        )
+
+    before = {
+        (r["tree"], r["hash"], r["id"])
+        for r in spark.read.parquet(bucket_path).collect()
+    }
+    stats = compact_bucket_store(spark, bucket_path)
+    after_df = spark.read.parquet(bucket_path)
+    after = {(r["tree"], r["hash"], r["id"]) for r in after_df.collect()}
+    assert after == before
+    assert stats["rows"] == len(before)
+    assert stats["files_after"] <= cfg.n_trees < stats["files_before"]
+
+    import glob
+
+    for f in glob.glob(f"{bucket_path}/tree=*/**/*.parquet", recursive=True):
+        pf = pq.ParquetFile(f)
+        hashes = pf.read(columns=["hash"]).column("hash").to_pylist()
+        assert hashes == sorted(hashes)
+        assert pf.metadata.row_group(0).column(0).statistics is not None
+
+    idx_c = LshIndex(
+        cfg, idx.forest, corpus,
+        after_df.select(F.col("tree").cast("int"), "hash", "id"),
+    )
+    queries = corpus.limit(3).selectExpr("id as query_id", "vec as qvec")
+    a = lsh_search(idx, queries, metric="l2", k=5).collect()
+    b = lsh_search(idx_c, queries, metric="l2", k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -45,15 +45,88 @@ def ingest_to_bucket_store(
     checkpoint_path: str,
     timeout: int = 120,
 ) -> None:
-    """Drain the stream (availableNow) into the parquet bucket store."""
+    """Drain the stream (availableNow) into the parquet bucket store.
+
+    The sink is a foreachBatch plain append, NOT the parquet file sink:
+    the file sink pins the output directory to ONE checkpoint via its
+    _spark_metadata log — a later ingest run with a different checkpoint
+    silently contributes nothing (its batch ids collide with committed
+    ones), and compaction (compact_bucket_store) would invalidate the
+    log by rewriting files. foreachBatch appends are at-least-once
+    (a batch retried across a crash can append twice); duplicate bucket
+    rows are harmless to search correctness — candidates are deduped
+    (lsh/search.py dropDuplicates, the reference's O29 set semantics) —
+    and compaction is the natural place to also dropDuplicates if store
+    size matters."""
     buckets = stream_bucketize(spark, vec_stream, forest)
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("append").partitionBy("tree").parquet(bucket_path)
+
     q = (
-        buckets.writeStream.format("parquet")
-        .option("path", bucket_path)
+        buckets.writeStream.foreachBatch(append)
         .option("checkpointLocation", checkpoint_path)
-        .partitionBy("tree")
-        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout)
+
+
+def compact_bucket_store(spark: SparkSession, bucket_path: str) -> dict:
+    """Rewrite an append-fragmented bucket store back into the trained
+    layout: one hash-sorted file per tree directory.
+
+    Streaming ingest appends one small UNSORTED file per microbatch per
+    tree — after a day of microbatches the store is thousands of files
+    whose row-group hash ranges all overlap, so the point-lookup's
+    pushed ``hash IN`` predicate (lsh.search.lsh_point_search) can no
+    longer skip row groups and every probe reads every fragment. This is
+    the standard lakehouse small-file problem applied to the index;
+    compaction restores both the file count and the sort order that
+    row-group statistics pruning depends on.
+
+    Same plan as ``LshIndex.save``: range-partition by tree (a handful
+    of trees per task), sort within partitions by (tree, hash), write
+    partitioned by tree. The swap is two directory renames (write to a
+    sibling tmp dir, move the old store aside, move the new one in) —
+    on a real deployment this swap is a table-format metadata commit
+    (Iceberg/Delta), not a filesystem rename; the rewrite plan is
+    identical either way.
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import os
+    import shutil
+
+    def _parquet_files(root: str) -> int:
+        return sum(
+            1
+            for dirp, _dirs, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _parquet_files(bucket_path)
+    df = spark.read.parquet(bucket_path).select(
+        F.col("tree").cast("int"), F.col("hash"), F.col("id")
+    )
+    n_rows = df.count()
+    tmp = bucket_path.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartitionByRange(8, "tree")
+        .sortWithinPartitions("tree", "hash")
+        .write.mode("overwrite")
+        .partitionBy("tree")
+        .parquet(tmp)
+    )
+    old = bucket_path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(bucket_path, old)
+    os.replace(tmp, bucket_path)
+    shutil.rmtree(old)
+    return {
+        "files_before": before,
+        "files_after": _parquet_files(bucket_path),
+        "rows": n_rows,
+    }
