@@ -170,3 +170,36 @@ def test_compact_bucket_store(spark, corpus_file_dir, tmp_path):
     a = lsh_search(idx, queries, metric="l2", k=5).collect()
     b = lsh_search(idx_c, queries, metric="l2", k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_engine_compact_heals_replayed_store(spark, corpus_file_dir, tmp_path):
+    """Engine-level maintenance loop: save -> an at-least-once replay
+    appends duplicate bucket rows -> compact(dedup=True) restores the
+    exact trained row set, and point_search answers identically."""
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    corpus = spark.read.parquet(corpus_file_dir)
+    cfg = LshConfig(dims=64, n_trees=4, k_min_vecs=50, seed=11)
+    eng = VectorSearchEngine(spark, cfg, metric="l2", backend="lsh")
+    eng.train(corpus)
+    path = str(tmp_path / "idx")
+    eng.save(path)
+    want = {(r["tree"], r["hash"], r["id"]) for r in eng._index.buckets.collect()}
+
+    replay = spark.readStream.schema("id bigint, vec array<double>").parquet(
+        corpus_file_dir
+    )
+    ingest_to_bucket_store(
+        spark, replay, eng._index.forest, f"{path}/buckets", str(tmp_path / "ck")
+    )
+    qvec = [float(x) for x in corpus.limit(1).collect()[0]["vec"]]
+    r1 = [tuple(r) for r in eng.point_search(path, qvec, k=5)]
+
+    stats = VectorSearchEngine.compact(spark, path, dedup=True)
+    got = {
+        (r["tree"], r["hash"], r["id"])
+        for r in spark.read.parquet(f"{path}/buckets").collect()
+    }
+    assert got == want and stats["rows"] == len(want)
+    r2 = [tuple(r) for r in eng.point_search(path, qvec, k=5)]
+    assert r1 == r2

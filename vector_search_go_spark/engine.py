@@ -132,6 +132,20 @@ class VectorSearchEngine:
             .collect()
         )
 
+    # -- Maintenance ---------------------------------------------------
+
+    @staticmethod
+    def compact(spark: SparkSession, path: str, dedup: bool = False) -> dict:
+        """Compact a saved index's bucket store after streaming ingest
+        (streaming.ingest.compact_bucket_store): restores the
+        one-hash-sorted-file-per-tree layout that point_search's
+        row-group skipping relies on. The reference has no incremental
+        path at all (Train rebuilds the store, lsh/lsh.go:107-110);
+        ingest+compact replaces that full rebuild."""
+        from vector_search_go_spark.streaming.ingest import compact_bucket_store
+
+        return compact_bucket_store(spark, f"{path}/buckets", dedup=dedup)
+
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 
     def save(self, path: str) -> None:

@@ -72,7 +72,9 @@ def ingest_to_bucket_store(
     q.awaitTermination(timeout)
 
 
-def compact_bucket_store(spark: SparkSession, bucket_path: str) -> dict:
+def compact_bucket_store(
+    spark: SparkSession, bucket_path: str, dedup: bool = False
+) -> dict:
     """Rewrite an append-fragmented bucket store back into the trained
     layout: one hash-sorted file per tree directory.
 
@@ -110,6 +112,10 @@ def compact_bucket_store(spark: SparkSession, bucket_path: str) -> dict:
     df = spark.read.parquet(bucket_path).select(
         F.col("tree").cast("int"), F.col("hash"), F.col("id")
     )
+    if dedup:
+        # collapse at-least-once replay duplicates from the foreachBatch
+        # sink; an exact-duplicate row can only come from a retried batch
+        df = df.dropDuplicates(["tree", "hash", "id"])
     n_rows = df.count()
     tmp = bucket_path.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
