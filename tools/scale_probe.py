@@ -244,7 +244,40 @@ def vecs_probe(n: int = 1_000_000, dims: int = 64) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def projection_probe(n: int = 1_000_000, dims: int = 64, out_dims: int = 16) -> None:
+    """Throughput of the JL projection Arrow kernel at corpus scale —
+    a pure map stage, so cost must track rows linearly with no shuffle."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.projection import (
+        project_arrow,
+        projection_matrix,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("proj-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((n, dims))
+    df = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    df.cache().count()
+    proj = project_arrow(projection_matrix(dims, out_dims, seed=7))
+    spark.range(1000).select(F.sum("id")).collect()  # worker warm-up
+    t0 = time.time()
+    agg = df.select(proj(F.col("vec")).alias("y")).agg(
+        F.sum(F.element_at("y", 1)).alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    t = time.time() - t0
+    assert agg["n"] == n
+    print(f"| {n:,} x {dims} -> {out_dims} | {t:.2f} s | {n / t / 1e6:.1f} M vec/s |")
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--projection"]:
+        projection_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--vecs"]:
         vecs_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
