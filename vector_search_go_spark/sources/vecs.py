@@ -329,7 +329,7 @@ class VecsStreamReader(DataSourceStreamReader):
         # kill the stream — the tail is picked up by the next poll.
         files = {}
         for p in _list_files(self.path, self.kind):
-            dim, rec, n = _file_layout(p, self.kind, strict=False)
+            n = _file_layout(p, self.kind, strict=False)[2]
             if n > 0:
                 files[p] = n
         return {"files": files}
