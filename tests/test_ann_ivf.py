@@ -56,3 +56,61 @@ def test_ivf_full_probe_equals_exact(spark, sf_dir):
     got = {(r["query_id"], r["id"]) for r in pred.collect()}
     want = {(r["query_id"], r["id"]) for r in truth.collect()}
     assert got == want
+
+
+def test_ivf_point_search_store(spark, tmp_path):
+    """Saved-store point lookup: (1) with nprobe=all cells the result is
+    bit-identical to exact KNN for that query; (2) at partial nprobe it
+    matches the live distributed ivf_search on the same centroids; (3)
+    the cells scan prunes partitions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import (
+        ivf_point_search,
+        ivf_save,
+        ivf_search,
+    )
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 50 != 0").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as vec"
+    )
+    cents = emb.filter("vec_id % 125 = 0").selectExpr(
+        "cast(vec_id / 125 as int) as cid", "cast(embedding as array<double>) as cvec"
+    )
+    n_cells = cents.count()
+    path = str(tmp_path / "ivf")
+    ivf_save(spark, corpus, cents, path, metric="cosine")
+
+    qrow = emb.filter("vec_id % 50 = 0").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, qvec array<double>"
+    )
+
+    # (1) all-cells probe == exact KNN, bit for bit
+    full = ivf_point_search(spark, path, qvec, "cosine", k=5, nprobe=n_cells)
+    exact = exact_knn_join(queries, corpus, metric="cosine", k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+    # (2) partial probe == live distributed search on the same model
+    cells_live = spark.read.parquet(f"{path}/cells")
+    live = ivf_search(queries, cells_live, cents, "cosine", k=5, nprobe=2)
+    pt = ivf_point_search(spark, path, qvec, "cosine", k=5, nprobe=2)
+    assert sorted(map(tuple, pt.collect())) == sorted(map(tuple, live.collect()))
+
+    # (3) partition pruning reaches the scan
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell").isin([1, 2])
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]

@@ -172,6 +172,35 @@ def audit_vecs_source(spark, sections, failures) -> None:
     print("op:vecs_source: " + ("OK" if ok else "FAIL"))
 
 
+def audit_ivf_point_search(spark, sections, failures) -> None:
+    """The IVF serving twin: the saved cells store must be read with a
+    cell partition filter (I/O proportional to probed cells)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import ivf_point_search, ivf_save
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cents = emb.filter(F.col("vec_id") % 500 == 0).select(
+        (F.col("vec_id") / 500).cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    path = tempfile.mkdtemp(prefix="audit_ivf_idx_")
+    ivf_save(spark, corpus, cents, path, metric="cosine")
+    qvec = emb.limit(1).collect()[0]["embedding"]
+    plan = plan_text(ivf_point_search(spark, path, qvec, "cosine", k=5, nprobe=3))
+    ok = "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    line = f"  - [{'x' if ok else ' '}] cells scan prunes cell partition dirs"
+    if not ok:
+        failures.append("op:ivf_point_search: cell partition filter missing")
+    sections.append(f"## op:ivf_point_search\n\n{line}\n\n```\n{plan}\n```\n")
+    print("op:ivf_point_search: " + ("OK" if ok else "FAIL"))
+
+
 def audit_point_search(spark, sections, failures) -> None:
     """The point-lookup serving path must read the bucket store with
     partition pruning (tree dirs) AND parquet filter pushdown on hash —
@@ -293,6 +322,7 @@ def main() -> int:
     audit_projection(spark, sections, failures)
     audit_vecs_source(spark, sections, failures)
     audit_point_search(spark, sections, failures)
+    audit_ivf_point_search(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(

@@ -100,3 +100,78 @@ def ivf_search(
     cand = F.broadcast(probes).join(cells, on="cell").withColumn("dist", dist_col)
     top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+def ivf_save(
+    spark, corpus: DataFrame, centroids: DataFrame, path: str,
+    metric: str = "cosine",
+) -> None:
+    """Persist an IVF index as a serving store: ``{path}/cells`` =
+    (id, vec) parquet partitioned by cell, ``{path}/centroids`` = the
+    model. Unlike the LSH bucket store (ids duplicated across trees, so
+    vectors live in a separate table), IVF assigns each id exactly once
+    — vectors COLOCATE with their cell and a point lookup reads them
+    straight out of the pruned partitions, no second fetch join.
+
+    Layout mirrors LshIndex.save: a handful of cells per task via range
+    partitioning, rows sorted by (cell, id) for row-group locality."""
+    cells = assign_cells(corpus, centroids, metric=metric)
+    (
+        cells.repartitionByRange(8, "cell")
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_point_search(
+    spark,
+    path: str,
+    qvec,
+    metric: str = "cosine",
+    k: int = 10,
+    nprobe: int = 4,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Serve ONE query from a saved IVF store (the IVF twin of
+    lsh.search.lsh_point_search): centroids load driver-side (model
+    KBs), the nprobe nearest cells are picked in numpy with the SAME
+    sequential-IEEE distance and (dist, cid) tie-break as the
+    distributed probe, and the cells scan carries ``cell IN (...)`` as
+    a partition filter — bucket I/O is proportional to the probed
+    cells, not the corpus. Returns (query_id=0, id, dist, rn)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import (
+        _seq_sq_l2,
+        _seq_cosine,
+        single_query_dist_udf,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cid"]
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
+    q = np.asarray([list(qvec)], dtype=np.float64)
+    if metric == "l2":
+        d = np.sqrt(_seq_sq_l2(q, C))[0]
+    else:
+        d = _seq_cosine(q, C)[0]
+    # same (dist, cid) order as topk_per_group over the Catalyst probe
+    probe_cells = [int(cids[i]) for i in np.lexsort((cids, d))[:nprobe]]
+
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    dist = single_query_dist_udf(metric, qvec)
+    cand = cells.select(
+        F.lit(0).cast("bigint").alias("query_id"), "id", dist(F.col("vec")).alias("dist")
+    )
+    if threshold is not None:
+        cand = cand.filter(F.col("dist") <= threshold)
+    top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
