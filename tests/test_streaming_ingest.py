@@ -203,3 +203,46 @@ def test_engine_compact_heals_replayed_store(spark, corpus_file_dir, tmp_path):
     assert got == want and stats["rows"] == len(want)
     r2 = [tuple(r) for r in eng.point_search(path, qvec, k=5)]
     assert r1 == r2
+
+
+def test_ivf_stream_ingest_and_compact(spark, corpus_file_dir, tmp_path):
+    """IVF maintenance loop: save -> stream an at-least-once replay into
+    the cells store (frozen centroids; assignment must equal the batch
+    one, or dedup could not collapse it) -> compact(dedup=True) restores
+    the exact saved row set and point lookups answer identically."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_point_search, ivf_save
+    from vector_search_go_spark.streaming.ingest import (
+        compact_cells_store,
+        ingest_to_ivf_store,
+    )
+
+    corpus = spark.read.parquet(corpus_file_dir)
+    cents = corpus.filter("id % 125 = 0").selectExpr(
+        "cast(id / 125 as int) as cid", "vec as cvec"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_save(spark, corpus, cents, path, metric="cosine")
+    want = {
+        (r["cell"], r["id"])
+        for r in spark.read.parquet(f"{path}/cells").select("cell", "id").collect()
+    }
+    qvec = [float(x) for x in corpus.limit(1).collect()[0]["vec"]]
+    r1 = [tuple(r) for r in ivf_point_search(spark, path, qvec, "cosine", 5, 2).collect()]
+
+    replay = spark.readStream.schema("id bigint, vec array<double>").parquet(
+        corpus_file_dir
+    )
+    ingest_to_ivf_store(
+        spark, replay, cents, f"{path}/cells", str(tmp_path / "ck"), metric="cosine"
+    )
+    doubled = spark.read.parquet(f"{path}/cells").count()
+    assert doubled == 2 * len(want)
+
+    stats = compact_cells_store(spark, f"{path}/cells", dedup=True)
+    got = {
+        (r["cell"], r["id"])
+        for r in spark.read.parquet(f"{path}/cells").select("cell", "id").collect()
+    }
+    assert got == want and stats["rows"] == len(want)
+    r2 = [tuple(r) for r in ivf_point_search(spark, path, qvec, "cosine", 5, 2).collect()]
+    assert r1 == r2

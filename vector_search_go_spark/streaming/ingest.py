@@ -97,42 +97,112 @@ def compact_bucket_store(
 
     Returns {"files_before", "files_after", "rows"}.
     """
+    return _compact_store(
+        spark,
+        bucket_path,
+        part_col="tree",
+        sort_cols=["tree", "hash"],
+        select=[F.col("tree").cast("int"), F.col("hash"), F.col("id")],
+        dedup_cols=["tree", "hash", "id"] if dedup else None,
+    )
+
+
+def ingest_to_ivf_store(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    centroids: DataFrame,
+    cells_path: str,
+    checkpoint_path: str,
+    metric: str = "cosine",
+    timeout: int = 120,
+) -> None:
+    """Frozen-centroid IVF twin of ingest_to_bucket_store: stream
+    (id, vec) -> Arrow argmin cell assignment (the centroid matrix
+    rides in the kernel closure — a pure map stage on the stream) ->
+    append (id, vec) rows partitioned by cell to a store saved by
+    ann_ivf.ivf_save. Same foreachBatch-append contract and the same
+    drift caveat: centroids are the frozen model; a distribution shift
+    degrades cell balance and the answer is a periodic batch re-train,
+    monitored with the recall harness."""
+    from vector_search_go_spark.operators.argmin import argmin_id_arrow
+
+    nearest = argmin_id_arrow(
+        centroids, metric="l2" if metric == "l2" else "cosine"
+    )
+    assigned = vec_stream.select(
+        "id", "vec", nearest(F.col("vec")).alias("cell")
+    )
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("append").partitionBy("cell").parquet(cells_path)
+
+    q = (
+        assigned.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def compact_cells_store(
+    spark: SparkSession, cells_path: str, dedup: bool = False
+) -> dict:
+    """IVF twin of compact_bucket_store: restore the ivf_save layout
+    (a few cells per task, rows sorted by (cell, id)) after streaming
+    appends fragment the store."""
+    return _compact_store(
+        spark,
+        cells_path,
+        part_col="cell",
+        sort_cols=["cell", "id"],
+        select=[F.col("cell").cast("int"), F.col("id"), F.col("vec")],
+        dedup_cols=["cell", "id"] if dedup else None,
+    )
+
+
+def _compact_store(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    sort_cols: list,
+    select: list,
+    dedup_cols: list | None,
+) -> dict:
     import os
     import shutil
 
     def _parquet_files(root: str) -> int:
         return sum(
             1
-            for dirp, _dirs, files in os.walk(root)
+            for _dirp, _dirs, files in os.walk(root)
             for f in files
             if f.endswith(".parquet")
         )
 
-    before = _parquet_files(bucket_path)
-    df = spark.read.parquet(bucket_path).select(
-        F.col("tree").cast("int"), F.col("hash"), F.col("id")
-    )
-    if dedup:
+    before = _parquet_files(path)
+    df = spark.read.parquet(path).select(*select)
+    if dedup_cols:
         # collapse at-least-once replay duplicates from the foreachBatch
         # sink; an exact-duplicate row can only come from a retried batch
-        df = df.dropDuplicates(["tree", "hash", "id"])
+        df = df.dropDuplicates(dedup_cols)
     n_rows = df.count()
-    tmp = bucket_path.rstrip("/") + ".compact-tmp"
+    tmp = path.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        df.repartitionByRange(8, "tree")
-        .sortWithinPartitions("tree", "hash")
+        df.repartitionByRange(8, part_col)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .partitionBy("tree")
+        .partitionBy(part_col)
         .parquet(tmp)
     )
-    old = bucket_path.rstrip("/") + ".compact-old"
+    old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(old, ignore_errors=True)
-    os.replace(bucket_path, old)
-    os.replace(tmp, bucket_path)
+    os.replace(path, old)
+    os.replace(tmp, path)
     shutil.rmtree(old)
     return {
         "files_before": before,
-        "files_after": _parquet_files(bucket_path),
+        "files_after": _parquet_files(path),
         "rows": n_rows,
     }
