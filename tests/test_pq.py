@@ -117,3 +117,51 @@ def test_ivf_pq_composition(spark, sf_dir):
     avg = sum(r["recall"] for r in rec) / len(rec)
     # trained k=32 cells, nprobe=16: ~0.87 measured; floor with margin
     assert avg >= 0.7, avg
+
+
+def test_ivfpq_point_search_store(spark, tmp_path):
+    """Saved IVFADC store: with every cell probed and a corpus-sized
+    shortlist the exact rerank makes the point lookup bit-identical to
+    exact KNN; at partial nprobe it returns k well-formed rows whose
+    ids come from the probed cells' members only."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_point_search,
+        ivfpq_save,
+        pq_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 50 != 0").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as vec"
+    )
+    cents = emb.filter("vec_id % 125 = 0").selectExpr(
+        "cast(vec_id / 125 as int) as cid", "cast(embedding as array<double>) as cvec"
+    )
+    n_cells = cents.count()
+    n_corpus = corpus.count()
+    path = str(tmp_path / "ivfpq")
+    ivfpq_save(spark, corpus, cents, pq_codebook(emb), path, metric="l2")
+
+    qvec = [float(x) for x in emb.filter("vec_id % 50 = 0").limit(1).collect()[0]["embedding"]]
+    queries = spark.createDataFrame([(0, qvec)], "query_id bigint, qvec array<double>")
+
+    full = ivfpq_point_search(
+        spark, path, qvec, "l2", k=5, nprobe=n_cells, shortlist=n_corpus
+    )
+    exact = exact_knn_join(queries, corpus, metric="l2", k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+    part = ivfpq_point_search(spark, path, qvec, "l2", k=5, nprobe=2).collect()
+    assert len(part) == 5 and [r["rn"] for r in sorted(part, key=lambda r: r["rn"])] == [1, 2, 3, 4, 5]
+    probed = probe_cells_for(spark, f"{path}/centroids", qvec, "l2", 2)
+    members = {
+        r["id"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probed))
+        .collect()
+    }
+    assert {r["id"] for r in part} <= members

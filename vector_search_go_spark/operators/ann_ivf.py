@@ -126,6 +126,27 @@ def ivf_save(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def probe_cells_for(
+    spark, centroids_path: str, qvec, metric: str, nprobe: int
+) -> list:
+    """Driver-side coarse probe for a saved store: load the model-sized
+    centroid table, score with the SAME sequential-IEEE kernels as the
+    distributed path, return the nprobe nearest cell ids under the
+    (dist, cid) tie-break topk_per_group would apply."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import _seq_cosine, _seq_sq_l2
+
+    rows = sorted(
+        spark.read.parquet(centroids_path).collect(), key=lambda r: r["cid"]
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
+    q = np.asarray([list(qvec)], dtype=np.float64)
+    d = np.sqrt(_seq_sq_l2(q, C))[0] if metric == "l2" else _seq_cosine(q, C)[0]
+    return [int(cids[i]) for i in np.lexsort((cids, d))[:nprobe]]
+
+
 def ivf_point_search(
     spark,
     path: str,
@@ -142,27 +163,10 @@ def ivf_point_search(
     distributed probe, and the cells scan carries ``cell IN (...)`` as
     a partition filter — bucket I/O is proportional to the probed
     cells, not the corpus. Returns (query_id=0, id, dist, rn)."""
-    import numpy as np
-
-    from vector_search_go_spark.operators.argmin import (
-        _seq_sq_l2,
-        _seq_cosine,
-        single_query_dist_udf,
-    )
+    from vector_search_go_spark.operators.argmin import single_query_dist_udf
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cid"]
-    )
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    C = np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
-    q = np.asarray([list(qvec)], dtype=np.float64)
-    if metric == "l2":
-        d = np.sqrt(_seq_sq_l2(q, C))[0]
-    else:
-        d = _seq_cosine(q, C)[0]
-    # same (dist, cid) order as topk_per_group over the Catalyst probe
-    probe_cells = [int(cids[i]) for i in np.lexsort((cids, d))[:nprobe]]
+    probe_cells = probe_cells_for(spark, f"{path}/centroids", qvec, metric, nprobe)
 
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)

@@ -142,10 +142,13 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> Da
             corpus.crossJoin(F.broadcast(cb)).select("id", "sub", code.alias("code"))
         )
 
-    from pyspark.sql.functions import pandas_udf
+    return corpus.select(
+        "id", F.posexplode(pq_codes_udf(codebook)(F.col("vec"))).alias("sub", "code")
+    )
 
-    from vector_search_go_spark.operators.argmin import _seq_sq_l2
 
+def _codebook_mats(codebook: DataFrame):
+    """codebook -> ({sub: code ids sorted}, {sub: matrix}) closure payload."""
     rows = sorted(
         codebook.select("sub", "code", "cvec").collect(),
         key=lambda r: (r["sub"], r["code"]),
@@ -156,6 +159,19 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> Da
         sub_rows = [r for r in rows if r["sub"] == sub]
         ids[sub] = np.array([r["code"] for r in sub_rows], dtype=np.int64)
         mats[sub] = np.array([list(r["cvec"]) for r in sub_rows], dtype=np.float64)
+    return ids, mats
+
+
+def pq_codes_udf(codebook: DataFrame):
+    """Arrow kernel: full-width vector -> packed array<int> of M_SUB
+    codes in one pass (the codebook rides in the closure, KBs).
+    Sequential per-dimension adds + first-min argmin over ascending
+    code ids == the Catalyst min(struct(d, code)) fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+    ids, mats = _codebook_mats(codebook)
     m_sub, d_sub = M_SUB, D_SUB
 
     @pandas_udf("array<int>")
@@ -169,9 +185,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> Da
             out[:, sub] = ids[sub][D.argmin(axis=1)]
         return pd.Series(list(out))
 
-    return corpus.select(
-        "id", F.posexplode(codes_udf(F.col("vec"))).alias("sub", "code")
-    )
+    return codes_udf
 
 
 def pq_adc_candidates(
@@ -338,3 +352,118 @@ def pq_adc_search(
     order so the float result is bit-portable."""
     approx = pq_adc_candidates(queries, codes, codebook)
     return pq_rerank(approx, queries, corpus, k, shortlist)
+
+
+def ivfpq_save(
+    spark,
+    corpus: DataFrame,
+    coarse_cents: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    metric: str = "l2",
+) -> None:
+    """Persist a composed IVF+PQ index (the FAISS IVFADC layout) as a
+    serving store:
+
+      {path}/cells      (id, codes array<int>) partitioned by cell —
+                        16x-compressed codes colocated with their
+                        coarse cell, scanned only when probed
+      {path}/vectors    (id, vec) — full-precision rows for the exact
+                        rerank fetch (a semi-join against the tiny
+                        shortlist; at 100 TB this table can live on
+                        cold storage, only shortlist rows are read)
+      {path}/centroids  coarse model      {path}/codebook  PQ model
+
+    Assignment and encoding are both closure-kernel map stages — the
+    corpus is scanned once and never shuffled except the partitioned
+    write itself."""
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+
+    cells = assign_cells(corpus, coarse_cents, metric=metric).select(
+        "cell", "id", pq_codes_udf(codebook)(F.col("vec")).alias("codes")
+    )
+    (
+        cells.repartitionByRange(8, "cell")
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    corpus.select("id", "vec").write.mode("overwrite").parquet(f"{path}/vectors")
+    coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_point_search(
+    spark,
+    path: str,
+    qvec,
+    metric: str = "l2",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Serve ONE query from a saved IVF+PQ store: coarse probe and the
+    query's ADC lookup table are computed driver-side (both models are
+    KBs); the codes scan reads ONLY the probed cell partitions and
+    scores each candidate with M_SUB table lookups (no vector math, no
+    full vectors read); the exact rerank fetches just the shortlist
+    rows from the vectors table. I/O = probed-cell codes + shortlist
+    vectors — both corpus-size-independent. Returns
+    (query_id=0, id, dist, rn)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+    from vector_search_go_spark.operators.argmin import (
+        _seq_sq_l2,
+        single_query_dist_udf,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    if shortlist is None:
+        shortlist = pq_shortlist(k)
+    probe_cells = probe_cells_for(spark, f"{path}/centroids", qvec, metric, nprobe)
+
+    # ADC lookup table: LUT[sub][code] = squared L2 from the query's
+    # sub-th subvector to that codeword (same sequential adds as sq_l2)
+    ids, mats = _codebook_mats(
+        spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
+    )
+    q = np.asarray(list(qvec), dtype=np.float64)
+    n_codes = max(int(ids[s].max()) for s in ids) + 1
+    lut = np.zeros((M_SUB, n_codes))
+    for sub in range(M_SUB):
+        sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+        lut[sub, ids[sub]] = _seq_sq_l2(sl, mats[sub])[0]
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)
+        acc = np.zeros(len(C))
+        for sub in range(M_SUB):
+            acc = acc + lut[sub][C[:, sub]]
+        return pd.Series(np.sqrt(acc))
+
+    cand = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.lit(0).cast("bigint").alias("query_id"),
+            "id",
+            adc(F.col("codes")).alias("adc_dist"),
+        )
+    )
+    short = topk_per_group(
+        cand, ["query_id"], "adc_dist", shortlist, tiebreak_cols=["id"],
+        rank_name="_s",
+    ).select("query_id", "id")
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    dist = single_query_dist_udf(metric, qvec)
+    rer = F.broadcast(short).join(vectors, on="id").select(
+        "query_id", "id", dist(F.col("vec")).alias("dist")
+    )
+    top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
