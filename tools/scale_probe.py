@@ -274,7 +274,77 @@ def projection_probe(n: int = 1_000_000, dims: int = 64, out_dims: int = 16) -> 
     print(f"| {n:,} x {dims} -> {out_dims} | {t:.2f} s | {n / t / 1e6:.1f} M vec/s |")
 
 
+def serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None:
+    """Point-lookup latency of the persisted IVF and IVF+PQ stores at
+    corpus scale (the serving twins of lsh_point_search's ~3 s/query
+    figure). Store build cost printed for context; lookups are the
+    number that must stay corpus-size-independent."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import ivf_point_search, ivf_save
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_point_search,
+        ivfpq_save,
+        pq_codebook,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("serve-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    step = max(1, n // k_cells)
+    cents = corpus.filter(F.col("id") % step == 0).select(
+        (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    emb_like = corpus.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    base = tempfile.mkdtemp(prefix="serve_probe_")
+    try:
+        t0 = time.time()
+        ivf_save(spark, corpus, cents, f"{base}/ivf", metric="l2")
+        t_save_ivf = time.time() - t0
+        t0 = time.time()
+        ivfpq_save(
+            spark, corpus, cents, pq_codebook(emb_like), f"{base}/ivfpq", metric="l2"
+        )
+        t_save_pq = time.time() - t0
+        qvec = X[12345].tolist()
+        for name, fn in (
+            ("ivf", lambda: ivf_point_search(
+                spark, f"{base}/ivf", qvec, "l2", k=10, nprobe=8)),
+            ("ivfpq", lambda: ivfpq_point_search(
+                spark, f"{base}/ivfpq", qvec, "l2", k=10, nprobe=8)),
+        ):
+            fn().collect()  # warm
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                rows = fn().collect()
+                times.append(time.time() - t0)
+                assert len(rows) == 10
+            save_t = t_save_ivf if name == "ivf" else t_save_pq
+            print(
+                f"| {name} | {n:,} x {dims}, {k_cells} cells | build {save_t:.1f} s "
+                f"| lookup {min(times):.2f} s (nprobe=8) |"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--serve"]:
+        serve_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--projection"]:
         projection_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
