@@ -101,15 +101,15 @@ def test_ivf_point_search_store(spark, tmp_path):
     pt = ivf_point_search(spark, path, qvec, "cosine", k=5, nprobe=2)
     assert sorted(map(tuple, pt.collect())) == sorted(map(tuple, live.collect()))
 
-    # (3) partition pruning reaches the scan
+    # (3) partition pruning reaches the scan of the ACTUAL serving plan
     import io as _io
     import contextlib
 
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
-        spark.read.parquet(f"{path}/cells").filter(
-            F.col("cell").isin([1, 2])
-        ).explain("formatted")
+        ivf_point_search(spark, path, qvec, "cosine", k=5, nprobe=2).explain(
+            "formatted"
+        )
     plan = buf.getvalue()
     assert "PartitionFilters: [" in plan and "cell" in plan.split(
         "PartitionFilters: ["

@@ -165,3 +165,46 @@ def test_ivfpq_point_search_store(spark, tmp_path):
         .collect()
     }
     assert {r["id"] for r in part} <= members
+
+
+def test_ivfpq_preloaded_models_and_pushed_rerank(spark, tmp_path):
+    """models= must skip the per-call model collects without changing
+    results, and the rerank must push `id IN` into the vectors scan."""
+    import contextlib
+    import io as _io
+
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_point_search,
+        ivfpq_save,
+        load_ivfpq_models,
+        pq_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as vec")
+    cents = emb.filter("vec_id % 125 = 0").selectExpr(
+        "cast(vec_id / 125 as int) as cid", "cast(embedding as array<double>) as cvec"
+    )
+    path = str(tmp_path / "ivfpq2")
+    ivfpq_save(spark, corpus, cents, pq_codebook(emb), path, metric="l2")
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+
+    cold = ivfpq_point_search(spark, path, qvec, "l2", k=5, nprobe=2).collect()
+    models = load_ivfpq_models(spark, path)
+    warm = ivfpq_point_search(
+        spark, path, qvec, "l2", k=5, nprobe=2, models=models
+    ).collect()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, warm))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivfpq_point_search(
+            spark, path, qvec, "l2", k=5, nprobe=2, models=models
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert any("In(id" in seg for seg in plan.split("PushedFilters: [")[1:])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="squared L2"):
+        ivfpq_point_search(spark, path, qvec, "cosine", k=5)

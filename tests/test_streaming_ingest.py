@@ -246,3 +246,35 @@ def test_ivf_stream_ingest_and_compact(spark, corpus_file_dir, tmp_path):
     assert got == want and stats["rows"] == len(want)
     r2 = [tuple(r) for r in ivf_point_search(spark, path, qvec, "cosine", 5, 2).collect()]
     assert r1 == r2
+
+
+def test_sink_log_guard_refuses_legacy_store(spark, tmp_path):
+    """A store carrying a parquet file-sink _spark_metadata log must be
+    refused by both append ingest and compaction — reads through such a
+    directory resolve files via the log, so appends outside it would be
+    invisible and a compaction would silently discard them."""
+    import os
+
+    import pytest
+
+    from vector_search_go_spark.streaming.ingest import compact_bucket_store
+
+    store = tmp_path / "legacy"
+    (store / "_spark_metadata").mkdir(parents=True)
+    (store / "tree=0").mkdir()
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_bucket_store(spark, str(store))
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as vec"
+    )
+    cfg = LshConfig(dims=64, n_trees=2, k_min_vecs=50, seed=3)
+    idx = LshIndex.train(spark, corpus, cfg)
+    src = str(tmp_path / "in")
+    corpus.limit(10).write.parquet(src)
+    stream = spark.readStream.schema("id bigint, vec array<double>").parquet(src)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        ingest_to_bucket_store(
+            spark, stream, idx.forest, str(store), str(tmp_path / "ck")
+        )
+    assert not os.listdir(store / "tree=0")  # nothing was appended

@@ -141,7 +141,13 @@ class VectorSearchEngine:
         one-hash-sorted-file-per-tree layout that point_search's
         row-group skipping relies on. The reference has no incremental
         path at all (Train rebuilds the store, lsh/lsh.go:107-110);
-        ingest+compact replaces that full rebuild."""
+        ingest+compact replaces that full rebuild.
+
+        The swap replaces the files on disk: any LIVE DataFrame over the
+        old store (an engine returned by ``load`` before the compact)
+        holds a stale file index and its next action fails with
+        FileNotFoundException — re-``load`` after compacting.
+        ``point_search`` re-reads the path per call and is safe."""
         from vector_search_go_spark.streaming.ingest import compact_bucket_store
 
         return compact_bucket_store(spark, f"{path}/buckets", dedup=dedup)

@@ -126,22 +126,30 @@ def ivf_save(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def load_ivf_model(spark, centroids_path: str):
+    """Collect a saved store's centroid table to the (ids, matrix)
+    closure payload (operators.argmin.collect_centroids — model-sized).
+    Serving processes load once and pass the result to every
+    ivf_point_search/ivfpq_point_search call, so a lookup pays no extra
+    model-collect job."""
+    from vector_search_go_spark.operators.argmin import collect_centroids
+
+    return collect_centroids(spark.read.parquet(centroids_path))
+
+
 def probe_cells_for(
-    spark, centroids_path: str, qvec, metric: str, nprobe: int
+    spark, centroids_path: str, qvec, metric: str, nprobe: int, model=None
 ) -> list:
-    """Driver-side coarse probe for a saved store: load the model-sized
-    centroid table, score with the SAME sequential-IEEE kernels as the
-    distributed path, return the nprobe nearest cell ids under the
-    (dist, cid) tie-break topk_per_group would apply."""
+    """Driver-side coarse probe for a saved store: score the centroids
+    with the SAME sequential-IEEE kernels as the distributed path,
+    return the nprobe nearest cell ids under the (dist, cid) tie-break
+    topk_per_group would apply. ``model`` = a preloaded
+    load_ivf_model() result (skips the per-call collect)."""
     import numpy as np
 
     from vector_search_go_spark.operators.argmin import _seq_cosine, _seq_sq_l2
 
-    rows = sorted(
-        spark.read.parquet(centroids_path).collect(), key=lambda r: r["cid"]
-    )
-    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-    C = np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
+    cids, C = model if model is not None else load_ivf_model(spark, centroids_path)
     q = np.asarray([list(qvec)], dtype=np.float64)
     d = np.sqrt(_seq_sq_l2(q, C))[0] if metric == "l2" else _seq_cosine(q, C)[0]
     return [int(cids[i]) for i in np.lexsort((cids, d))[:nprobe]]
@@ -155,10 +163,13 @@ def ivf_point_search(
     k: int = 10,
     nprobe: int = 4,
     threshold: float | None = None,
+    model=None,
 ) -> DataFrame:
     """Serve ONE query from a saved IVF store (the IVF twin of
     lsh.search.lsh_point_search): centroids load driver-side (model
-    KBs), the nprobe nearest cells are picked in numpy with the SAME
+    KBs; pass a preloaded ``model`` = load_ivf_model() to amortize the
+    collect across lookups, the forest= pattern of lsh_point_search),
+    the nprobe nearest cells are picked in numpy with the SAME
     sequential-IEEE distance and (dist, cid) tie-break as the
     distributed probe, and the cells scan carries ``cell IN (...)`` as
     a partition filter — bucket I/O is proportional to the probed
@@ -166,7 +177,9 @@ def ivf_point_search(
     from vector_search_go_spark.operators.argmin import single_query_dist_udf
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    probe_cells = probe_cells_for(spark, f"{path}/centroids", qvec, metric, nprobe)
+    probe_cells = probe_cells_for(
+        spark, f"{path}/centroids", qvec, metric, nprobe, model=model
+    )
 
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)

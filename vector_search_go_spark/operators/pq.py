@@ -369,16 +369,27 @@ def ivfpq_save(
                         16x-compressed codes colocated with their
                         coarse cell, scanned only when probed
       {path}/vectors    (id, vec) — full-precision rows for the exact
-                        rerank fetch (a semi-join against the tiny
-                        shortlist; at 100 TB this table can live on
-                        cold storage, only shortlist rows are read)
+                        rerank fetch, range-partitioned and sorted by
+                        id so the shortlist's pushed ``id IN (...)``
+                        skips row groups; at 100 TB this table can
+                        live on cold storage, only shortlist row
+                        groups are read
       {path}/centroids  coarse model      {path}/codebook  PQ model
+
+    The ADC shortlist stage ranks by squared L2, so the store is
+    L2-only; for cosine, L2-normalize vectors upstream (ordering is
+    then equivalent) and keep metric='l2'.
 
     Assignment and encoding are both closure-kernel map stages — the
     corpus is scanned once and never shuffled except the partitioned
-    write itself."""
+    writes themselves."""
     from vector_search_go_spark.operators.ann_ivf import assign_cells
 
+    if metric != "l2":
+        raise ValueError(
+            "IVFADC ranks its shortlist by squared L2; for cosine, "
+            "L2-normalize the corpus and queries and use metric='l2'"
+        )
     cells = assign_cells(corpus, coarse_cents, metric=metric).select(
         "cell", "id", pq_codes_udf(codebook)(F.col("vec")).alias("codes")
     )
@@ -389,9 +400,29 @@ def ivfpq_save(
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
-    corpus.select("id", "vec").write.mode("overwrite").parquet(f"{path}/vectors")
+    (
+        corpus.select("id", "vec")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
     coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def load_ivfpq_models(spark, path: str):
+    """Collect both model tables of a saved IVFADC store once:
+    (coarse (cids, matrix), codebook ({sub: ids}, {sub: mats})). Pass
+    to ivfpq_point_search(models=...) so serving lookups pay no
+    model-collect jobs."""
+    from vector_search_go_spark.operators.ann_ivf import load_ivf_model
+
+    coarse = load_ivf_model(spark, f"{path}/centroids")
+    cb = _codebook_mats(
+        spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
+    )
+    return coarse, cb
 
 
 def ivfpq_point_search(
@@ -402,15 +433,19 @@ def ivfpq_point_search(
     k: int = 10,
     nprobe: int = 4,
     shortlist: int | None = None,
+    models=None,
 ) -> DataFrame:
     """Serve ONE query from a saved IVF+PQ store: coarse probe and the
     query's ADC lookup table are computed driver-side (both models are
-    KBs); the codes scan reads ONLY the probed cell partitions and
-    scores each candidate with M_SUB table lookups (no vector math, no
-    full vectors read); the exact rerank fetches just the shortlist
-    rows from the vectors table. I/O = probed-cell codes + shortlist
-    vectors — both corpus-size-independent. Returns
-    (query_id=0, id, dist, rn)."""
+    KBs; pass ``models`` = load_ivfpq_models() to amortize the loads
+    across lookups); the codes scan reads ONLY the probed cell
+    partitions and scores each candidate with M_SUB table lookups (no
+    vector math, no full vectors read); the exact rerank collects the
+    shortlist ids (bounded: max(100, 4k) rows) and pushes ``id IN``
+    into the sorted vectors table, so only shortlist row groups are
+    read. I/O = probed-cell codes + shortlist vector row groups — both
+    corpus-size-independent. L2-only, like the store (see ivfpq_save).
+    Returns (query_id=0, id, dist, rn)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -422,13 +457,21 @@ def ivfpq_point_search(
     )
     from vector_search_go_spark.operators.topk import topk_per_group
 
+    if metric != "l2":
+        raise ValueError(
+            "IVFADC ranks its shortlist by squared L2; for cosine, "
+            "L2-normalize the corpus and queries and use metric='l2'"
+        )
     if shortlist is None:
         shortlist = pq_shortlist(k)
-    probe_cells = probe_cells_for(spark, f"{path}/centroids", qvec, metric, nprobe)
+    coarse_model, cb_model = models if models is not None else (None, None)
+    probe_cells = probe_cells_for(
+        spark, f"{path}/centroids", qvec, metric, nprobe, model=coarse_model
+    )
 
     # ADC lookup table: LUT[sub][code] = squared L2 from the query's
     # sub-th subvector to that codeword (same sequential adds as sq_l2)
-    ids, mats = _codebook_mats(
+    ids, mats = cb_model if cb_model is not None else _codebook_mats(
         spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
     )
     q = np.asarray(list(qvec), dtype=np.float64)
@@ -458,12 +501,21 @@ def ivfpq_point_search(
     short = topk_per_group(
         cand, ["query_id"], "adc_dist", shortlist, tiebreak_cols=["id"],
         rank_name="_s",
-    ).select("query_id", "id")
+    ).select("id")
 
-    vectors = spark.read.parquet(f"{path}/vectors")
+    # the shortlist is bounded (max(100, 4k) rows), so collecting it
+    # and pushing `id IN (...)` into the sorted vectors scan keeps the
+    # rerank I/O at shortlist row groups instead of a full-table join
+    # (the lsh_point_search candidate-fetch pattern)
+    short_ids = [r["id"] for r in short.collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("id").isin(short_ids)
+    )
     dist = single_query_dist_udf(metric, qvec)
-    rer = F.broadcast(short).join(vectors, on="id").select(
-        "query_id", "id", dist(F.col("vec")).alias("dist")
+    rer = vectors.select(
+        F.lit(0).cast("bigint").alias("query_id"),
+        "id",
+        dist(F.col("vec")).alias("dist"),
     )
     top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")

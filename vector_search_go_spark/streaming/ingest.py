@@ -59,17 +59,7 @@ def ingest_to_bucket_store(
     and compaction is the natural place to also dropDuplicates if store
     size matters."""
     buckets = stream_bucketize(spark, vec_stream, forest)
-
-    def append(batch_df: DataFrame, _epoch: int) -> None:
-        batch_df.write.mode("append").partitionBy("tree").parquet(bucket_path)
-
-    q = (
-        buckets.writeStream.foreachBatch(append)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout)
+    _drain_append(buckets, bucket_path, "tree", checkpoint_path, timeout)
 
 
 def compact_bucket_store(
@@ -132,17 +122,51 @@ def ingest_to_ivf_store(
     assigned = vec_stream.select(
         "id", "vec", nearest(F.col("vec")).alias("cell")
     )
+    _drain_append(assigned, cells_path, "cell", checkpoint_path, timeout)
+
+
+def _check_no_sink_log(path: str) -> None:
+    """Refuse to touch a store that carries a parquet FILE-SINK metadata
+    log: reads through such a directory resolve files via the log, so
+    rows appended outside it are invisible — and a compaction would
+    then silently discard them. Stores written by this module (or by
+    ivf_save/LshIndex.save) never have one; a _spark_metadata dir means
+    the store was produced by the old file-sink ingest and must be
+    migrated first (verify no uncommitted files, delete the log)."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} contains a streaming file-sink _spark_metadata log; "
+            "appends/compaction would silently lose rows. Migrate the "
+            "store first (verify the log matches the files, then delete "
+            "_spark_metadata)."
+        )
+
+
+def _drain_append(
+    df: DataFrame, path: str, part_col: str, checkpoint_path: str, timeout: int
+) -> None:
+    _check_no_sink_log(path)
 
     def append(batch_df: DataFrame, _epoch: int) -> None:
-        batch_df.write.mode("append").partitionBy("cell").parquet(cells_path)
+        batch_df.write.mode("append").partitionBy(part_col).parquet(path)
 
     q = (
-        assigned.writeStream.foreachBatch(append)
+        df.writeStream.foreachBatch(append)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        # a partially-drained store is consistent (whole microbatches),
+        # but returning as if done would let a follow-up compaction
+        # race the still-running appends — stop and say so
+        q.stop()
+        raise TimeoutError(
+            f"stream ingest into {path} still running after {timeout}s; "
+            "stopped mid-drain — rerun with the same checkpoint to resume"
+        )
 
 
 def compact_cells_store(
@@ -180,13 +204,13 @@ def _compact_store(
             if f.endswith(".parquet")
         )
 
+    _check_no_sink_log(path)
     before = _parquet_files(path)
     df = spark.read.parquet(path).select(*select)
     if dedup_cols:
         # collapse at-least-once replay duplicates from the foreachBatch
         # sink; an exact-duplicate row can only come from a retried batch
         df = df.dropDuplicates(dedup_cols)
-    n_rows = df.count()
     tmp = path.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -196,6 +220,9 @@ def _compact_store(
         .partitionBy(part_col)
         .parquet(tmp)
     )
+    # count from the written copy's footers — counting the lazy df
+    # would scan (and dedup-shuffle) the fragmented store a second time
+    n_rows = spark.read.parquet(tmp).count()
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
