@@ -231,3 +231,17 @@ def test_append_mode_preserves_existing(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(out, "_temporary"))
     vals = sorted(r["vec"][0] for r in back.collect())
     assert vals == [float(i) for i in range(10)] + [float(100 + i) for i in range(7)]
+
+
+def test_option_validation_errors(spark, tmp_path):
+    mat = np.zeros((4, 2), dtype="float32")
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, mat)
+    with pytest.raises(Exception, match="unknown vecs kind"):
+        spark.read.format("vecs").option("kind", "dvecs").load(p).collect()
+    with pytest.raises(Exception, match="must be positive"):
+        spark.read.format("vecs").option(
+            "records_per_partition", 0
+        ).load(p).collect()
+    with pytest.raises(Exception, match="cannot infer"):
+        spark.read.format("vecs").load(str(tmp_path / "nothing.bin")).collect()
