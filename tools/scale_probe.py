@@ -341,7 +341,63 @@ def serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None
         shutil.rmtree(base, ignore_errors=True)
 
 
+def compact_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 8) -> None:
+    """Cost of healing an append-fragmented bucket store at corpus
+    scale: train on the full corpus, re-ingest it in n_chunks streamed
+    batches (simulating a day of microbatches), compact with replay
+    dedup, and report fragment count and wall time."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.streaming.ingest import (
+        compact_bucket_store,
+        ingest_to_bucket_store,
+    )
+
+    spark = get_spark("compact-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((n, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    base = tempfile.mkdtemp(prefix="compact_probe_")
+    try:
+        cfg = LshConfig(dims=dims, n_trees=10, k_min_vecs=100, seed=7)
+        idx = LshIndex.train(spark, corpus, cfg)
+        idx.save(f"{base}/idx")
+        bp = f"{base}/idx/buckets"
+        for c in range(n_chunks):
+            src = f"{base}/in{c}"
+            corpus.filter(F.col("id") % n_chunks == c).write.parquet(src)
+            stream = spark.readStream.schema(
+                "id bigint, vec array<double>"
+            ).parquet(src)
+            ingest_to_bucket_store(
+                spark, stream, idx.forest, bp, f"{base}/ck{c}", timeout=600
+            )
+        t0 = time.time()
+        stats = compact_bucket_store(spark, bp, dedup=True)
+        t = time.time() - t0
+        print(
+            f"| {n:,} x {dims}, {cfg.n_trees} trees | "
+            f"{stats['files_before']} -> {stats['files_after']} files | "
+            f"{stats['rows']:,} rows | compact {t:.1f} s |"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--compact"]:
+        compact_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--serve"]:
         serve_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
