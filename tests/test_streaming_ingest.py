@@ -77,7 +77,6 @@ def test_vecs_stream_feeds_lsh_ingest(spark, corpus_file_dir, tmp_path):
     import numpy as np
 
     from vector_search_go_spark.sources import register_vecs_source, write_fvecs
-    from vector_search_go_spark.sources.vecs import _stream_base_id
 
     register_vecs_source(spark)
     corpus = spark.read.parquet(corpus_file_dir)
@@ -101,7 +100,8 @@ def test_vecs_stream_feeds_lsh_ingest(spark, corpus_file_dir, tmp_path):
         spark, stream, idx.forest, bucket_path, str(tmp_path / "vckpt")
     )
 
-    base = _stream_base_id("new-0.fvecs")
+    # first file seen by the stream gets sequential base index 0
+    base = 0 << 32
     want_h = idx.forest.hash_batch(new.astype(np.float64))
     want = {
         (t, int(want_h[i][t]), base + i)
@@ -153,6 +153,20 @@ def test_compact_bucket_store(spark, corpus_file_dir, tmp_path):
     assert after == before
     assert stats["rows"] == len(before)
     assert stats["files_after"] <= cfg.n_trees < stats["files_before"]
+
+    # pre-compaction copy survives until the caller confirms + gc's
+    import os
+
+    from vector_search_go_spark.streaming.ingest import gc_compacted_store
+
+    backup = stats["backup_path"]
+    assert os.path.isdir(backup)
+    assert {
+        (r["tree"], r["hash"], r["id"]) for r in spark.read.parquet(backup).collect()
+    } == before
+    assert gc_compacted_store(bucket_path) is True
+    assert not os.path.isdir(backup)
+    assert gc_compacted_store(bucket_path) is False
 
     import glob
 

@@ -245,3 +245,38 @@ def test_option_validation_errors(spark, tmp_path):
         ).load(p).collect()
     with pytest.raises(Exception, match="cannot infer"):
         spark.read.format("vecs").load(str(tmp_path / "nothing.bin")).collect()
+
+
+def test_isin_with_null_degrades_to_no_prune(spark, tmp_path):
+    """A null inside a pushed In-list must not crash planning — pruning
+    silently skips non-int members and Spark's re-applied filter keeps
+    the result correct."""
+    from pyspark.sql import functions as F
+
+    mat = np.arange(80, dtype="float32").reshape(20, 4)
+    p = str(tmp_path / "x.fvecs")
+    write_fvecs(p, mat)
+    df = spark.read.format("vecs").option("records_per_partition", 5).load(p)
+    got = df.filter(F.col("id").isin(F.lit(3), F.lit(None), F.lit(12)))
+    assert sorted(r["id"] for r in got.collect()) == [3, 12]
+
+
+def test_stream_base_derivation_restart_stable():
+    """Base assignment is a pure function of (start offset, end files):
+    replaying from a checkpointed offset — which lags the in-memory
+    view by one batch — reproduces the same per-file bases."""
+    from vector_search_go_spark.sources.vecs import _derive_bases
+
+    # batch 1: files z, m arrive (non-alphabetical arrival vs name order)
+    b1 = _derive_bases({"files": {}, "bases": {}}, {"z": 5, "m": 3})
+    assert b1 == {"m": 0, "z": 1}
+    # batch 2 in-memory continuation: file a arrives
+    b2 = _derive_bases({"files": {"z": 5, "m": 3}, "bases": b1}, {"z": 5, "m": 3, "a": 2})
+    assert b2 == {"m": 0, "z": 1, "a": 2}
+    # restart: logged start offset carries bases one batch BEHIND its
+    # file list (batch 2's end was planned before batch 2's partitions
+    # ran) — derivation must still land a at index 2, not resort it
+    # in front of m/z
+    logged = {"files": {"z": 5, "m": 3, "a": 2}, "bases": b1}
+    b2_replay = _derive_bases(logged, {"z": 5, "m": 3, "a": 2, "b": 1})
+    assert b2_replay == {"m": 0, "z": 1, "a": 2, "b": 3}

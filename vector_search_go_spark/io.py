@@ -136,9 +136,17 @@ def write_bucketed(
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
+        # The orphan-cleanup path math only holds for unqualified names
+        # in a local-filesystem warehouse (Spark lays out qualified
+        # 'db.tbl' as warehouse/db.db/tbl, and non-file warehouses
+        # aren't reachable via os paths) — skip it otherwise rather
+        # than rmtree the wrong location.
+        if "." not in table_name and (
+            "://" not in warehouse or warehouse.startswith("file:")
+        ):
+            loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

@@ -56,6 +56,12 @@ def lsh_search(
     canonical hashes)."""
     spark = queries.sparkSession
     n_trees = index.config.n_trees
+    if impl == "fanin" and not broadcast_queries:
+        # fanin ships the collected query matrix in its closure — it
+        # REQUIRES a driver-collectable query batch. broadcast_queries=
+        # False is the caller's signal that queries are large, so keep
+        # them distributed via the per-pair Arrow kernel instead.
+        impl = "arrow"
     hash_vec = _hash_probe_udf(spark, index.forest, with_probes=True)
 
     qhash = (

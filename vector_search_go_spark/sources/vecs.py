@@ -27,6 +27,14 @@ Spark-first design (Python DataSource API, Spark 4):
 
 Deterministic ids: files sort by path, records number sequentially
 across the sorted list — the same corpus always gets the same ids.
+
+.. warning:: **Batch and streaming reads number ids differently.** The
+   batch reader numbers records sequentially across the sorted file
+   list; the stream reader assigns each file a base in ARRIVAL order
+   (``(file_index << 32) + record_index``, file indices persisted in
+   the stream offset) because arrival order is not reproducible. Do
+   not join a batch read and a stream read of the same directory on
+   ``id``.
 """
 
 from __future__ import annotations
@@ -173,8 +181,11 @@ class VecsReader(DataSourceReader):
                 elif isinstance(f, LessThanOrEqual):
                     self._tighten(None, f.value)
                 elif isinstance(f, In):
-                    # pyspark's In dataclass stores its list in `value`
-                    vals = list(f.value)
+                    # pyspark's In dataclass stores its list in `value`.
+                    # Pruning is optional, so silently skip non-int
+                    # members (isin(1, None) pushes a null through —
+                    # min/None comparison would fail the whole query).
+                    vals = [v for v in f.value if isinstance(v, int)]
                     if vals:
                         self._tighten(min(vals), max(vals))
             yield f
@@ -276,18 +287,35 @@ def _arrow_elem(kind: str):
     return pa.float32() if kind == "fvecs" else pa.int32()
 
 
-def _stream_base_id(path: str) -> int:
-    """Deterministic per-file id base for streaming reads: record ids
-    within a file are ``base + record_index``. Arrival order is not
-    reproducible, so streaming cannot number files sequentially the way
-    the batch reader does; a 32-bit basename hash shifted past any
-    realistic per-file record count keeps ids stable per shard and
-    unique across shards (collision needs two shards whose basenames
-    CRC-collide in the same directory). 31 hash bits << 32 keeps
-    base + index inside int64 for shards up to 4B records."""
-    import zlib
+def _derive_bases(start: dict, end_files) -> dict:
+    """Stable per-file id bases for streaming reads, carried in the
+    stream offset: record ids within a file are ``(base << 32) +
+    record_index``. Sequential file indices are collision-FREE for up
+    to 2^31 files x 4B records/file — replacing an earlier 31-bit
+    basename-CRC scheme whose birthday collisions (~2% odds at 10k
+    shards) could silently merge two shards' id spaces.
 
-    return (zlib.crc32(os.path.basename(path).encode()) & 0x7FFFFFFF) << 32
+    Assignment is a pure function of (start offset, end file set), so
+    a restarted query re-derives the same bases from the checkpoint:
+    bases already in ``start["bases"]`` are kept verbatim; files
+    missing a base get the next sequential indices in two sorted
+    groups — first files already listed in ``start["files"]`` (they
+    were assigned by the previous microbatch, whose logged offset lags
+    one batch behind the in-memory view; replaying the same rule
+    reproduces the same indices), then files new in this batch. Each
+    microbatch's new files form one sorted contiguous block, so the
+    derivation is stable across single restarts at any point.
+    Assumes an append-only landing directory (files are never removed
+    — already this source's model)."""
+    bases = dict(start.get("bases") or {})
+    nxt = max(bases.values(), default=-1) + 1
+    start_files = start.get("files") or {}
+    grp1 = sorted(p for p in start_files if p not in bases)
+    grp2 = sorted(p for p in end_files if p not in bases and p not in start_files)
+    for p in grp1 + grp2:
+        bases[p] = nxt
+        nxt += 1
+    return bases
 
 
 class VecsStreamReader(DataSourceStreamReader):
@@ -295,9 +323,13 @@ class VecsStreamReader(DataSourceStreamReader):
     reads the byte ranges appended since the last committed offset —
     new files AND records appended to known files (fixed-size records
     make append detection exact: n_records is size/rec). The offset is
-    ``{"files": {path: n_records_consumed}}``; planning touches only
-    file sizes (no data reads), and each delta splits into the same
-    byte-range partitions as the batch reader, executed distributed.
+    ``{"files": {path: n_records_consumed}, "bases": {path: index}}``;
+    planning touches only file sizes (no data reads), and each delta
+    splits into the same byte-range partitions as the batch reader,
+    executed distributed. Ids are ``(base << 32) + record_index`` with
+    per-file bases assigned in arrival order (see _derive_bases) — NOT
+    the batch reader's sorted sequential numbering (see the module
+    warning).
 
     This is the ingestion edge for corpora shipped as numbered shards
     (SIFT1B-style): point the stream at the landing directory and feed
@@ -319,9 +351,10 @@ class VecsStreamReader(DataSourceStreamReader):
         )
         if self.rpp <= 0:
             raise ValueError("records_per_partition must be positive")
+        self._bases: dict | None = None
 
     def initialOffset(self) -> dict:
-        return {"files": {}}
+        return {"files": {}, "bases": {}}
 
     def latestOffset(self) -> dict:
         # Floor to COMPLETE records: a producer may be mid-append when
@@ -332,18 +365,33 @@ class VecsStreamReader(DataSourceStreamReader):
             n = _file_layout(p, self.kind, strict=False)[2]
             if n > 0:
                 files[p] = n
-        return {"files": files}
+        # Embed the base map known so far (lags one batch — see
+        # _derive_bases) so partitions() after a restart can rebuild
+        # assignments from the checkpointed offset alone.
+        return {"files": files, "bases": dict(self._bases or {})}
 
     def partitions(self, start: dict, end: dict) -> Sequence[VecsPartition]:
         done = start.get("files", {})
+        end_files = end.get("files", {})
+        if self._bases:
+            # In-memory view is one batch AHEAD of any logged offset;
+            # extend it with this batch's new files.
+            bases = dict(self._bases)
+            nxt = max(bases.values(), default=-1) + 1
+            for p in sorted(p for p in end_files if p not in bases):
+                bases[p] = nxt
+                nxt += 1
+        else:
+            bases = _derive_bases(start, end_files)
+        self._bases = bases
         parts: List[VecsPartition] = []
-        for path in sorted(end.get("files", {})):
-            n_end = end["files"][path]
+        for path in sorted(end_files):
+            n_end = end_files[path]
             n_start = done.get(path, 0)
             if n_end <= n_start:
                 continue
             dim, _rec, _n = _file_layout(path, self.kind, strict=False)
-            base = _stream_base_id(path)
+            base = bases[path] << 32
             for s in range(n_start, n_end, self.rpp):
                 cnt = min(self.rpp, n_end - s)
                 parts.append(

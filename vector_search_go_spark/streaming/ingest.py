@@ -225,11 +225,32 @@ def _compact_store(
     n_rows = spark.read.parquet(tmp).count()
     old = path.rstrip("/") + ".compact-old"
     shutil.rmtree(old, ignore_errors=True)
+    # Swap window: a crash between these two replaces leaves no store
+    # at `path` — but `.compact-old` (the intact pre-compaction copy)
+    # and `.compact-tmp` (the complete compacted copy) both survive,
+    # so recovery is one manual rename. The old copy is deliberately
+    # KEPT after the swap: callers confirm the new store (or just run
+    # gc_compacted_store) once they're satisfied, so a latent problem
+    # in the compacted copy (e.g. dedup=True collapsing rows it
+    # shouldn't) stays recoverable.
     os.replace(path, old)
     os.replace(tmp, path)
-    shutil.rmtree(old)
     return {
         "files_before": before,
         "files_after": _parquet_files(path),
         "rows": n_rows,
+        "backup_path": old,
     }
+
+
+def gc_compacted_store(path: str) -> bool:
+    """Delete the ``.compact-old`` backup kept by a prior compaction
+    once the caller has confirmed the compacted store. Returns whether
+    a backup existed."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".compact-old"
+    existed = os.path.isdir(old)
+    shutil.rmtree(old, ignore_errors=True)
+    return existed
