@@ -138,3 +138,91 @@ def test_point_search_matches_batch(spark, tmp_path, metric):
             ).collect()
         )
         assert got == want
+
+
+def test_hot_bucket_bound(spark, tmp_path, monkeypatch):
+    """Adversarial duplicate-heavy corpus — the unsplittable-bucket
+    regime (k_min_vecs bounds bucket MINIMUM size only; identical
+    vectors share every hash, so no tree can split them apart):
+
+    (a) search: bound_hot_buckets thins the hot bucket to ~cap members
+        deterministically, leaves healthy buckets untouched, and a
+        capped index still answers exactly inside and outside the
+        duplicate cluster;
+    (b) dedup: dedup_embedding_lsh emits a linear spanning star for
+        the oversized bucket — candidates linear in bucket size, every
+        duplicate still connected to the cluster anchor."""
+    import numpy as np
+
+    from vector_search_go_spark.lsh.search import bound_hot_buckets
+
+    rng = np.random.default_rng(7)
+    dup = rng.standard_normal(8)
+    dups = [(i, [float(x) for x in dup]) for i in range(2000)]
+    rand = [
+        (10_000 + i, [float(x) for x in rng.standard_normal(8)])
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(dups + rand, "id bigint, vec array<double>")
+    cfg = LshConfig(dims=8, n_trees=4, k_min_vecs=10, seed=7, max_bucket_size=50)
+    idx = LshIndex.train(spark, corpus, cfg)
+
+    stats = {(r["tree"], r["hash"]): r["sz"] for r in idx.bucket_stats().collect()}
+    assert max(stats.values()) >= 2000  # the adversarial bucket exists
+    thinned = (
+        bound_hot_buckets(idx.buckets, idx.bucket_stats(), 50)
+        .groupBy("tree", "hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .collect()
+    )
+    tstats = {(r["tree"], r["hash"]): r["sz"] for r in thinned}
+    for k, sz in tstats.items():
+        if stats[k] <= 50:
+            assert sz == stats[k]  # healthy buckets untouched
+        else:
+            assert sz <= 150  # ~cap in expectation, bounded
+    # idempotent-deterministic: same thinning on a second evaluation
+    again = {
+        (r["tree"], r["hash"]): r["sz"]
+        for r in bound_hot_buckets(idx.buckets, idx.bucket_stats(), 50)
+        .groupBy("tree", "hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .collect()
+    }
+    assert again == tstats
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in dup]), (1, rand[0][1])],
+        "query_id bigint, qvec array<double>",
+    )
+    got = lsh_search(idx, queries, metric="l2", k=10).collect()
+    in_cluster = [r for r in got if r["query_id"] == 0]
+    assert len(in_cluster) == 10 and all(r["dist"] == 0.0 for r in in_cluster)
+    outside = [r for r in got if r["query_id"] == 1 and r["rn"] == 1]
+    assert outside and outside[0]["id"] == 10_000 and outside[0]["dist"] == 0.0
+
+    # (b) dedup star on an oversized (>800) duplicate bucket
+    from vector_search_go_spark.operators import model_store
+    from vector_search_go_spark.queries_lsh import dedup_embedding_lsh
+
+    monkeypatch.setattr(model_store, "MODEL_DIR", str(tmp_path / "models"))
+    sf = tmp_path / "sf_adversarial"
+    sf.mkdir()
+    dup64 = rng.standard_normal(64)
+    rows = [(1000 + i, [float(x) for x in dup64]) for i in range(900)] + [
+        (5000 + i, [float(x) for x in rng.standard_normal(64)])
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    pairs = dedup_embedding_lsh(spark, str(sf)).collect()
+    dup_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in pairs
+        if r["id_a"] < 2000 and r["id_b"] < 2000
+    }
+    # linear star, not the 900*899/2 = 404550 all-pairs set
+    assert dup_pairs == {(1000, 1000 + i) for i in range(1, 900)}
+    assert all(r["cos_dist"] <= 0.6 for r in pairs)

@@ -39,17 +39,19 @@ def test_priority_window_covers_flagship_operators():
     assert len(qs) == len(set(qs))
 
 
-def test_window_plus_r2_artifacts_cover_every_query():
+def test_window_plus_prior_artifacts_cover_every_query():
     """Cross-round coverage: every registered query must either sit in
     this round's 50-slot driver window or already hold a driver verdict
-    from the round-2 artifact — so after this round NO query is
-    driver-unchecked (VERDICT r2: 39 registered queries had no verdict)."""
+    from a prior round's artifact (r2 ∪ r3) — so after this round NO
+    query is driver-unchecked (VERDICT r3 item 6)."""
     import json
 
-    with open("/root/repo/CORRECTNESS_r02.json") as f:
-        r2 = set(json.load(f))
+    checked = set()
+    for art in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        with open(f"/root/repo/{art}") as f:
+            checked |= set(json.load(f))
     qs = list(registry.queries())
-    uncovered = [q for q in qs[50:] if q not in r2]
+    uncovered = [q for q in qs[50:] if q not in checked]
     assert uncovered == [], f"never driver-checked and outside window: {uncovered}"
 
 

@@ -49,6 +49,16 @@ class LshConfig:
     max_candidates: int | None = None
     seed: int = 42
     sample_size: int = 100_000
+    # Hot-bucket bound. k_min_vecs bounds bucket MINIMUM size only: a
+    # tree that cannot split (duplicate-heavy / low-entropy data —
+    # exactly what a dedup corpus looks like) leaves one giant bucket,
+    # and search fan-in for that bucket explodes before any top-k cap
+    # applies. The reference bounds this at scan time with
+    # MaxCandidates (lsh/lsh.go:143,162) in nondeterministic map
+    # order; we bound it at candidate GENERATION with a deterministic
+    # id-hash thinning of buckets above this size (lsh/search.py).
+    # None = unbounded (the reference's MaxCandidates=inf tuning).
+    max_bucket_size: int | None = None
 
     def __post_init__(self) -> None:
         if self.dims <= 0:
@@ -57,3 +67,7 @@ class LshConfig:
             raise ValueError(f"n_trees must be positive, got {self.n_trees}")
         if self.k_min_vecs < 1:
             raise ValueError(f"k_min_vecs must be >= 1, got {self.k_min_vecs}")
+        if self.max_bucket_size is not None and self.max_bucket_size < 1:
+            raise ValueError(
+                f"max_bucket_size must be >= 1, got {self.max_bucket_size}"
+            )

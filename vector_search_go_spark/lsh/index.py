@@ -125,6 +125,24 @@ class LshIndex:
             .select(F.col("tree").cast("int"), "hash", "id")
         )
 
+    def bucket_stats(self) -> DataFrame:
+        """(tree, hash, sz) for every bucket — one aggregation over the
+        bucket store, cached (n_buckets rows, tiny next to the store).
+        Feeds the hot-bucket bound in lsh_search and the oversize
+        surfacing in lsh_bucket_profile: k_min_vecs bounds bucket
+        MINIMUM size only, so duplicate-heavy/low-entropy corpora can
+        leave unsplittable giant buckets (reference analog: the scan
+        regions MaxCandidates truncates, lsh/lsh.go:143,162)."""
+        stats = getattr(self, "_bucket_stats", None)
+        if stats is None:
+            stats = (
+                self.buckets.groupBy("tree", "hash")
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .cache()
+            )
+            self._bucket_stats = stats
+        return stats
+
     # ------------------------------------------------------------------
     # Persistence (reference DumpHasher/LoadHasher, lsh/lsh.go:200-207;
     # store Clear == overwrite mode)

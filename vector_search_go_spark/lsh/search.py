@@ -32,6 +32,32 @@ from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
 from vector_search_go_spark.operators.topk import topk_per_group
 
 
+def bound_hot_buckets(buckets: DataFrame, stats: DataFrame, cap: int) -> DataFrame:
+    """Deterministic hot-bucket thinning (the scan-time analog of the
+    reference's MaxCandidates truncation, lsh/lsh.go:143,162 — but by
+    stable id-hash instead of Go-map iteration order).
+
+    Buckets at or under ``cap`` pass through untouched. A bucket of
+    size sz > cap keeps members whose xxhash64(tree, hash, id) is
+    0 mod ceil(sz/cap) — ~cap survivors in expectation, the SAME
+    survivors for every query that probes the bucket, re-derivable
+    from (tree, hash, id) alone. Hashing tree+hash in decorrelates
+    trees: a vector thinned out of one tree's hot bucket stays
+    reachable through its other trees.
+
+    Scale shape: the oversize list broadcasts (it is the pathological
+    tail of the bucket-size distribution, not the store), so the
+    bound is a broadcast-join + filter on the bucket scan — no
+    shuffle, no window over the store."""
+    hot = stats.filter(F.col("sz") > cap)
+    thinned = buckets.join(F.broadcast(hot), on=["tree", "hash"], how="left")
+    keep_mod = F.ceil(F.col("sz") / F.lit(cap)).cast("long")
+    return thinned.filter(
+        F.col("sz").isNull()
+        | (F.pmod(F.xxhash64("tree", "hash", "id"), keep_mod) == 0)
+    ).drop("sz")
+
+
 def lsh_search(
     index: LshIndex,
     queries: DataFrame,
@@ -78,8 +104,13 @@ def lsh_search(
     if broadcast_queries:
         qhash = F.broadcast(qhash)
 
+    buckets = index.buckets
+    if index.config.max_bucket_size is not None:
+        buckets = bound_hot_buckets(
+            buckets, index.bucket_stats(), index.config.max_bucket_size
+        )
     cand = (
-        index.buckets.join(qhash, on=["tree", "hash"])
+        buckets.join(qhash, on=["tree", "hash"])
         .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
     )

@@ -30,6 +30,16 @@ from vector_search_go_spark.registry import register
 # the corpus by construction.
 _CFG = dict(dims=64, n_trees=40, k_min_vecs=100, seed=42)
 
+# Hot-bucket cap for the dedup self-join. Natural buckets sit just
+# under 2 x k_min_vecs (a split stops once a side would drop below
+# k_min_vecs), so 16x the dedup index's k_min_vecs=50 only ever fires
+# on unsplittable duplicate-heavy/low-entropy regions — the
+# sf0.01/sf0.1 gates see zero capped buckets and keep their exact
+# semantics, while adversarial corpora get linear (star) instead of
+# quadratic (all-pairs) candidate growth. See dedup_embedding_lsh and
+# tests/test_lsh_e2e.py::test_hot_bucket_bound.
+_DEDUP_BUCKET_CAP = 800
+
 
 # One trained index per (sf_dir, metric) per process: entries like
 # lsh_knn_l2 and lsh_recall_l2 share the same deterministic model, so
@@ -104,14 +114,51 @@ def lsh_recall_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lsh_bucket_profile")
 def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-size distribution per tree — the observability view of the
-    (tree, hash, id) store (reference KVStore, store/kv/store.go:16-101)."""
+    (tree, hash, id) store (reference KVStore, store/kv/store.go:16-101).
+
+    ``n_oversize`` surfaces buckets above 8 x k_min_vecs — natural
+    buckets stay under 2 x k_min_vecs, so any hit flags an
+    unsplittable duplicate-heavy/low-entropy region whose search
+    fan-in the hot-bucket bound (lsh/search.py bound_hot_buckets)
+    would thin; ``sum_sz`` must equal the corpus size in every tree
+    (each vector lands in exactly one bucket per tree) — the invariant
+    the oracle-checked ``lsh_bucket_invariant`` pins."""
     idx, _, _ = _index(spark, sf_dir, "l2")
-    sizes = idx.buckets.groupBy("tree", "hash").agg(F.count(F.lit(1)).alias("sz"))
+    oversize = 8 * idx.config.k_min_vecs
+    sizes = idx.bucket_stats()
     return sizes.groupBy("tree").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.min("sz").alias("min_sz"),
         F.max("sz").alias("max_sz"),
         F.avg("sz").alias("avg_sz"),
+        F.sum("sz").alias("sum_sz"),
+        F.sum((F.col("sz") > oversize).cast("long")).alias("n_oversize"),
+    )
+
+
+@register(
+    "lsh_bucket_invariant",
+    oracle="""
+    SELECT t.tree,
+           (SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 0) AS sum_sz
+    FROM (SELECT unnest(range(40)) AS tree) t
+    ORDER BY tree
+    """,
+)
+def lsh_bucket_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-checked store invariant with a REAL oracle despite the
+    randomized bucket structure: every corpus vector lands in exactly
+    one bucket per tree (reference Train writes one SetHash per tree
+    per vector, lsh/lsh.go:117-127), so per-tree total bucket mass ==
+    corpus row count — a quantity DuckDB derives from the
+    embeddings_split convention (vec_id % 50 != 0) without knowing the
+    trees."""
+    idx, _, _ = _index(spark, sf_dir, "l2")
+    return (
+        idx.bucket_stats()
+        .groupBy("tree")
+        .agg(F.sum("sz").alias("sum_sz"))
+        .select(F.col("tree").cast("long").alias("tree"), "sum_sz")
     )
 
 
@@ -158,16 +205,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = LshIndex.train(spark, emb, cfg)
         idx.save(path)
     b = idx.buckets
-    cand = (
-        b.select("tree", "hash", F.col("id").alias("id_a"))
+    # Hot-bucket bound (reference analog: MaxCandidates scan truncation,
+    # lsh/lsh.go:143,162). The self-join cost is sum(bucket^2) per tree,
+    # and k_min_vecs bounds bucket MINIMUM size only — a duplicate-heavy
+    # or low-entropy corpus (exactly what dedup inputs look like) leaves
+    # unsplittable giant buckets. Buckets above _DEDUP_BUCKET_CAP
+    # contribute a spanning STAR around their min id instead of all
+    # pairs: linear in bucket size, deterministic, and it preserves
+    # duplicate-cluster connectivity for the connected-components
+    # consumer (dedup_cluster_groups) — every member still reaches the
+    # anchor, and exact/near duplicates pass the verification threshold
+    # below. The trade (pair-level completeness inside pathological
+    # buckets) mirrors the reference's truncation trade. Gates:
+    # tests/test_lsh_e2e.py::test_dedup_embedding_lsh_recall (pair
+    # recall 1.0 on normal data — no natural bucket nears the cap) and
+    # test_hot_bucket_bound (adversarial corpus: bounded candidates,
+    # clusters still fully connected).
+    stats = b.groupBy("tree", "hash").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("id").alias("anchor")
+    )
+    hot = stats.filter(F.col("sz") > _DEDUP_BUCKET_CAP)
+    small = b.join(
+        F.broadcast(hot.select("tree", "hash")), on=["tree", "hash"], how="left_anti"
+    )
+    pairs = (
+        small.select("tree", "hash", F.col("id").alias("id_a"))
         .join(
-            b.select("tree", "hash", F.col("id").alias("id_b")),
+            small.select("tree", "hash", F.col("id").alias("id_b")),
             on=["tree", "hash"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # anchor = min(id) of the bucket, so anchor < id holds for every
+    # non-anchor member and the id_a < id_b invariant is free.
+    star = (
+        b.join(F.broadcast(hot), on=["tree", "hash"])
+        .filter(F.col("id") != F.col("anchor"))
+        .select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cand = pairs.union(star).dropDuplicates(["id_a", "id_b"])
     va = emb.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = emb.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     cos = pairwise_dist_udf("cosine")(F.col("va"), F.col("vb"))

@@ -103,7 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "source_fvecs_roundtrip",
     # Re-check slots: r2 rows errored in the driver canonicalizer...
     "vector_scale_standard",
-    "scalar_array_funcs",
+    # r4: new oracle-checked store invariant (never checked); took the
+    # slot of r3-green, unchanged scalar_array_funcs
+    "lsh_bucket_invariant",
     "approx_aggregates",
     # ...or the implementation changed materially since its r2-green row
     # (Arrow exact-KNN kernel; shingle materialization; all-pairs bound
