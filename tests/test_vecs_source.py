@@ -280,3 +280,36 @@ def test_stream_base_derivation_restart_stable():
     logged = {"files": {"z": 5, "m": 3, "a": 2}, "bases": b1}
     b2_replay = _derive_bases(logged, {"z": 5, "m": 3, "a": 2, "b": 1})
     assert b2_replay == {"m": 0, "z": 1, "a": 2, "b": 3}
+
+
+def test_multi_shard_positional_ids(spark, tmp_path):
+    """Distributed fvecs writes preserve the positional-id contract:
+    repartitionByRange gives shard i an ascending contiguous range,
+    shard names sort by partition id, and the batch reader numbers
+    records sequentially across the sorted file list — so N write
+    tasks reproduce exactly the ids of one sorted file."""
+    from pyspark.sql import functions as F
+
+    n = 200
+    df = spark.createDataFrame(
+        [(int(i), [float(i), float(-i)]) for i in range(n)],
+        "vec_id bigint, vec array<float>",
+    ).orderBy(F.rand(7))  # scrambled input order
+    out = str(tmp_path / "sharded")
+    (
+        df.repartitionByRange(4, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .select("vec")
+        .write.format("vecs")
+        .option("kind", "fvecs")
+        .mode("overwrite")
+        .save(out)
+    )
+    import os as _os
+
+    shards = [f for f in _os.listdir(out) if f.endswith(".fvecs")]
+    assert len(shards) >= 2, "write did not shard — scale path untested"
+    back = spark.read.format("vecs").load(out).collect()
+    assert len(back) == n
+    for r in back:
+        assert r["vec"][0] == float(r["id"])  # id == global sorted rank

@@ -117,6 +117,111 @@ def main(
 
 
 
+def angular_probe(
+    n: int = 290_000,
+    dims: int = 256,
+    k: int = 10,
+    n_queries: int = 50,
+    sample_size: int = 20_000,
+    n_trees: int = 200,
+    k_min_vecs: int = 200,
+    max_dist: float = 0.81,
+) -> str:
+    """The reference's documented weak spot (README.md:164-172): cosine
+    datasets need MANY trees and still lose recall — its NYTimes config
+    is 290k x 256-d, NTrees=200, KMinVecs=200, MaxDist=0.81
+    (annbench_test.go:235-245). This probe runs that exact shape on
+    synthetic clustered unit vectors and reports train time, bucket
+    rows, per-query search cost, candidate fraction, and eps-recall
+    against the >= 0.85 cosine band (BASELINE.md). Synthetic data, so
+    recall is not comparable number-for-number — the comparable
+    quantities are train/search cost at identical (n, dims, trees) and
+    whether the band holds."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
+    from vector_search_go_spark.lsh.search import lsh_search
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.recall import (
+        distance_based_precision_recall,
+        mean_precision_recall,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("angular-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(11)
+    # clustered directions on the unit sphere — angular structure like
+    # TF-IDF/embedding corpora (NYTimes is 256-d dense embeddings)
+    centers = rng.normal(size=(128, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, len(centers), size=n)
+    X = centers[assign] * 3.0 + rng.normal(size=(n, dims))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    qidx = rng.choice(n, size=n_queries, replace=False)
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qidx], "query_id bigint, qvec array<double>"
+    )
+
+    cfg = LshConfig(
+        dims=dims,
+        n_trees=n_trees,
+        k_min_vecs=k_min_vecs,
+        is_angular=True,
+        seed=42,
+        sample_size=sample_size,
+    )
+    t0 = time.time()
+    idx = LshIndex.train(spark, corpus, cfg)
+    idx.buckets = idx.buckets.cache()
+    n_bucket_rows = idx.buckets.count()
+    t_train = time.time() - t0
+
+    hash_vec = _hash_probe_udf(spark, idx.forest, with_probes=True)
+    qh = (
+        queries.select("query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash"))
+        .select(
+            "query_id",
+            (F.col("pos") % cfg.n_trees).cast("int").alias("tree"),
+            "hash",
+        )
+        .dropDuplicates(["query_id", "tree", "hash"])
+    )
+    n_cand = (
+        idx.buckets.join(F.broadcast(qh), on=["tree", "hash"])
+        .select("query_id", "id")
+        .dropDuplicates()
+        .count()
+    )
+    cand_frac = n_cand / (n_queries * n)
+
+    t0 = time.time()
+    pred = lsh_search(idx, queries, metric="cosine", k=k, threshold=max_dist).cache()
+    pred.count()
+    t_search = time.time() - t0
+
+    t0 = time.time()
+    truth = exact_knn_join(
+        queries, corpus, metric="cosine", k=k, threshold=max_dist
+    ).cache()
+    truth.count()
+    t_exact = time.time() - t0
+
+    p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
+    row = (
+        f"| {n:,} x {dims} | {n_trees} trees | {t_train:.1f} s | {n_bucket_rows:,} | "
+        f"{t_search:.1f} s | {t_exact:.1f} s | {cand_frac:.3f} | {p:.3f} / {r:.3f} |"
+    )
+    print(row)
+    return row
+
+
 def pq_probe(n: int = 1_000_000, dims: int = 64, k: int = 10, n_queries: int = 50) -> str:
     """Fixed-shortlist PQ at scale: encode time grows with the corpus
     (one map pass), ADC scan is compressed-domain, and the exact rerank
@@ -341,6 +446,92 @@ def serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None
         shutil.rmtree(base, ignore_errors=True)
 
 
+def serve_batch_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None:
+    """Micro-batch serving latency (VERDICT r3 item 2): per-query cost
+    of the persisted LSH/IVF/IVFADC stores at batch sizes 1/8/64 —
+    batch=1 is the single-query path's ~3 s fixed-job floor; the table
+    shows how far one batched job amortizes it toward the large-batch
+    ms/q figure. Batched results are bit-identical to the single path
+    (tests/test_serving_batch.py), so this is pure latency accounting."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import lsh_point_search_batch
+    from vector_search_go_spark.operators.ann_ivf import (
+        ivf_point_search_batch,
+        ivf_save,
+        load_ivf_model,
+    )
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_point_search_batch,
+        ivfpq_save,
+        load_ivfpq_models,
+        pq_codebook,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("serve-batch-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    step = max(1, n // k_cells)
+    cents = corpus.filter(F.col("id") % step == 0).select(
+        (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    emb_like = corpus.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    base = tempfile.mkdtemp(prefix="serve_batch_probe_")
+    try:
+        idx = LshIndex.train(
+            spark, corpus, LshConfig(dims=dims, n_trees=16, k_min_vecs=200, seed=7)
+        )
+        idx.save(f"{base}/lsh")
+        ivf_save(spark, corpus, cents, f"{base}/ivf", metric="l2")
+        ivfpq_save(
+            spark, corpus, cents, pq_codebook(emb_like), f"{base}/ivfpq", metric="l2"
+        )
+        forest = LshIndex.load_forest(spark, f"{base}/lsh")
+        ivf_model = load_ivf_model(spark, f"{base}/ivf/centroids")
+        pq_models = load_ivfpq_models(spark, f"{base}/ivfpq")
+        q_pool = [
+            (i, X[int(j)].tolist())
+            for i, j in enumerate(rng.integers(0, n, size=64))
+        ]
+        fams = (
+            ("lsh", lambda b: lsh_point_search_batch(
+                spark, f"{base}/lsh", b, "l2", k=10, forest=forest)),
+            ("ivf", lambda b: ivf_point_search_batch(
+                spark, f"{base}/ivf", b, "l2", k=10, nprobe=8, model=ivf_model)),
+            ("ivfpq", lambda b: ivfpq_point_search_batch(
+                spark, f"{base}/ivfpq", b, "l2", k=10, nprobe=8, models=pq_models)),
+        )
+        print(f"| store | batch | total s | ms/query |  ({n:,} x {dims})")
+        for name, fn in fams:
+            fn(q_pool[:1]).collect()  # warm python workers + store footers
+            for bsz in (1, 8, 64):
+                b = q_pool[:bsz]
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    rows = fn(b).collect()
+                    times.append(time.time() - t0)
+                    assert len(rows) == 10 * bsz
+                t = min(times)
+                print(f"| {name} | {bsz} | {t:.2f} | {1000 * t / bsz:.0f} |")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def compact_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 8) -> None:
     """Cost of healing an append-fragmented bucket store at corpus
     scale: train on the full corpus, re-ingest it in n_chunks streamed
@@ -400,6 +591,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if sys.argv[1:2] == ["--serve"]:
         serve_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--serve-batch"]:
+        serve_batch_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--angular"]:
+        angular_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--projection"]:
         projection_probe(*[int(s) for s in sys.argv[2:]])

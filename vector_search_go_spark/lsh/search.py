@@ -179,6 +179,105 @@ def lsh_search(
     return top.select("query_id", "id", "dist", "rn")
 
 
+def lsh_point_search_batch(
+    spark,
+    index_path: str,
+    queries,
+    metric: str,
+    k: int = 10,
+    threshold: float | None = None,
+    forest=None,
+) -> DataFrame:
+    """Serve a SMALL batch of queries from a PERSISTED index in ONE
+    Spark job — the micro-batch middle ground between
+    ``lsh_point_search`` (one query, ~3 s dominated by Spark's fixed
+    per-job floor) and batch ``lsh_search`` (streams the whole bucket
+    store past a large cached query table). Amortizing the job floor
+    across even 8 queries collapses per-query latency toward the
+    large-batch ms/q figure (SCALE.md serving table).
+
+    ``queries`` = [(query_id, qvec), ...]. I/O shape is the single
+    path's, widened: hashes/probes compute driver-side for the whole
+    batch (one ``Forest.hash_batch`` call), the bucket read is one
+    pruned scan PER TREE with ``hash IN (all probed hashes of the
+    batch)`` (row-group skipping intact — hash-sorted files +
+    inFilterThreshold raised in session.py), candidates map back to
+    their probing queries through a broadcast (tree, hash, query_id)
+    probe table, and scoring fans in (each candidate corpus vector
+    crosses Arrow once, however many queries probe it —
+    operators.argmin.fanin_query_scorer). Results are bit-identical
+    per query to ``lsh_point_search`` (tests/test_serving_batch.py).
+
+    Reference analog: a caller looping Search (lsh/lsh.go:137-197)
+    over a request batch; the reference pays per-call map scans where
+    Spark pays a per-job floor, so batching is the engine's native
+    answer."""
+    from functools import reduce
+
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import fanin_query_scorer
+
+    if forest is None:
+        forest = LshIndex.load_forest(spark, index_path)
+    if not queries:
+        raise ValueError("lsh_point_search_batch needs at least one query")
+    qids = [int(q) for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate query_id in batch")
+    Q = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    hashes = forest.hash_batch(Q)
+    probes = forest.probe_batch(hashes)
+    n_trees = hashes.shape[1]
+
+    # (tree, hash) -> probing query ids, built driver-side (batch x
+    # trees x 2 entries — tiny); also yields the per-tree pruned scans.
+    probe_rows = sorted(
+        {
+            (t, int(h[i, t]), qids[i])
+            for h in (hashes, probes)
+            for i in range(len(qids))
+            for t in range(n_trees)
+        }
+    )
+    probe_df = spark.createDataFrame(
+        probe_rows, "tree int, hash bigint, query_id bigint"
+    )
+    buckets = spark.read.parquet(f"{index_path}/buckets")
+    parts = []
+    for t in range(n_trees):
+        hs = sorted({h for tr, h, _ in probe_rows if tr == t})
+        parts.append(
+            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select(
+                "tree", "hash", "id"
+            )
+        )
+    scan = reduce(lambda a, b: a.union(b), parts)
+    # Fan-in list per candidate id; eager-materialized because it feeds
+    # a broadcast (an unmaterialized plan would re-run all tree scans).
+    fanin = (
+        scan.join(F.broadcast(probe_df), on=["tree", "hash"])
+        .select("query_id", "id")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("query_id")).alias("qids"))
+        .localCheckpoint(eager=True)
+    )
+    queries_df = spark.createDataFrame(
+        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+        "query_id bigint, qvec array<double>",
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    id_t = vectors.schema["id"].dataType.simpleString()
+    scored = vectors.join(F.broadcast(fanin), on="id").mapInPandas(
+        fanin_query_scorer(queries_df, metric),
+        schema=f"query_id bigint, id {id_t}, dist double",
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("dist") <= F.lit(float(threshold)))
+    top = topk_per_group(scored, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
+
+
 def point_bucket_candidates(spark, index_path: str, hashes, probes) -> DataFrame:
     """Candidate ids for one hashed query: one pruned scan per tree,
     unioned + distinct. Kept as its own builder so the plan-audit

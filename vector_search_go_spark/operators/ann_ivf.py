@@ -155,6 +155,88 @@ def probe_cells_for(
     return [int(cids[i]) for i in np.lexsort((cids, d))[:nprobe]]
 
 
+def probe_cells_batch(
+    spark, centroids_path: str, Q, metric: str, nprobe: int, model=None
+) -> list:
+    """Batch twin of probe_cells_for: one vectorized driver-side score
+    of the centroid matrix for the whole query batch. Returns one
+    nprobe-list per query row, same kernels and (dist, cid) tie-break
+    as the single-query path — row i's list == probe_cells_for(Q[i])."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import _seq_cosine, _seq_sq_l2
+
+    cids, C = model if model is not None else load_ivf_model(spark, centroids_path)
+    Q = np.asarray(Q, dtype=np.float64)
+    D = np.sqrt(_seq_sq_l2(Q, C)) if metric == "l2" else _seq_cosine(Q, C)
+    return [
+        [int(cids[i]) for i in np.lexsort((cids, D[r]))[:nprobe]]
+        for r in range(len(Q))
+    ]
+
+
+def ivf_point_search_batch(
+    spark,
+    path: str,
+    queries,
+    metric: str = "cosine",
+    k: int = 10,
+    nprobe: int = 4,
+    threshold: float | None = None,
+    model=None,
+) -> DataFrame:
+    """Serve a SMALL batch of queries from a saved IVF store in ONE
+    job (micro-batch serving — amortizes Spark's fixed per-job floor
+    that dominates single-query latency; see SCALE.md serving table).
+
+    ``queries`` = [(query_id, qvec), ...]. The coarse probe runs
+    driver-side for the whole batch at once (probe_cells_batch), the
+    cells scan reads the UNION of probed cells exactly once
+    (``cell IN (...)`` partition pruning), each scanned row maps back
+    to its probing queries via a broadcast (cell -> query ids) table
+    built driver-side, and scoring fans in (one Arrow crossing per
+    candidate row regardless of batch size). Bit-identical per query
+    to ivf_point_search (tests/test_serving_batch.py)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import fanin_query_scorer
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    if not queries:
+        raise ValueError("ivf_point_search_batch needs at least one query")
+    qids = [int(q) for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate query_id in batch")
+    Q = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    probed = probe_cells_batch(
+        spark, f"{path}/centroids", Q, metric, nprobe, model=model
+    )
+    cell_qids: dict[int, list[int]] = {}
+    for qid, cells_q in zip(qids, probed):
+        for c in cells_q:
+            cell_qids.setdefault(c, []).append(qid)
+    map_df = spark.createDataFrame(
+        sorted((c, sorted(qs)) for c, qs in cell_qids.items()),
+        "cell int, qids array<bigint>",
+    )
+    queries_df = spark.createDataFrame(
+        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+        "query_id bigint, qvec array<double>",
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(sorted(cell_qids))
+    )
+    id_t = cells.schema["id"].dataType.simpleString()
+    scored = cells.join(F.broadcast(map_df), on="cell").mapInPandas(
+        fanin_query_scorer(queries_df, metric),
+        schema=f"query_id bigint, id {id_t}, dist double",
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("dist") <= threshold)
+    top = topk_per_group(scored, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
+
+
 def ivf_point_search(
     spark,
     path: str,

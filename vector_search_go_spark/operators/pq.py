@@ -519,3 +519,139 @@ def ivfpq_point_search(
     )
     top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+def ivfpq_point_search_batch(
+    spark,
+    path: str,
+    queries,
+    metric: str = "l2",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    models=None,
+) -> DataFrame:
+    """Serve a SMALL batch of queries from a saved IVFADC store in TWO
+    jobs total (shortlist + rerank) regardless of batch size — the
+    micro-batch twin of ivfpq_point_search (see SCALE.md serving
+    table for the per-query latency this buys).
+
+    ``queries`` = [(query_id, qvec), ...]. Coarse probes and all ADC
+    lookup tables compute driver-side for the whole batch (LUTs are
+    batch x M_SUB x n_codes doubles — KBs/query, closure-shippable);
+    the codes scan reads the UNION of probed cells once and scores
+    each row against exactly the queries that probed its cell (same
+    sequential LUT-add order as the single path); per-query ADC
+    shortlists collect together (bounded: batch x shortlist rows) and
+    one ``id IN`` vectors fetch reranks them all, fanned in. L2-only
+    like the store. Bit-identical per query to ivfpq_point_search
+    (tests/test_serving_batch.py)."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from vector_search_go_spark.operators.ann_ivf import probe_cells_batch
+    from vector_search_go_spark.operators.argmin import (
+        _seq_sq_l2,
+        fanin_query_scorer,
+    )
+
+    if metric != "l2":
+        raise ValueError(
+            "IVFADC ranks its shortlist by squared L2; for cosine, "
+            "L2-normalize the corpus and queries and use metric='l2'"
+        )
+    if not queries:
+        raise ValueError("ivfpq_point_search_batch needs at least one query")
+    if shortlist is None:
+        shortlist = pq_shortlist(k)
+    qids = [int(q) for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate query_id in batch")
+    Q = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    coarse_model, cb_model = models if models is not None else (None, None)
+    probed = probe_cells_batch(
+        spark, f"{path}/centroids", Q, metric, nprobe, model=coarse_model
+    )
+
+    ids, mats = cb_model if cb_model is not None else _codebook_mats(
+        spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
+    )
+    n_codes = max(int(ids[s].max()) for s in ids) + 1
+    lut = np.zeros((len(qids), M_SUB, n_codes))
+    for sub in range(M_SUB):
+        sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
+        lut[:, sub, :][:, ids[sub]] = _seq_sq_l2(sl, mats[sub])
+
+    cell_qpos: dict[int, list[int]] = {}
+    for pos, cells_q in enumerate(probed):
+        for c in cells_q:
+            cell_qpos.setdefault(int(c), []).append(pos)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    scan = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(sorted(cell_qpos))
+    )
+    id_t = scan.schema["id"].dataType.simpleString()
+
+    def adc_score(batches):
+        # one LUT-add pass per (cell group, probing query): identical
+        # per-row op order to the single-query adc udf
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids_col = np.asarray(pdf["id"])
+            cells_col = pdf["cell"].to_numpy()
+            outs = []
+            for cell in np.unique(cells_col):
+                m = cells_col == cell
+                Cm, idm = C[m], ids_col[m]
+                for pos in cell_qpos[int(cell)]:
+                    acc = np.zeros(len(Cm))
+                    for sub in range(M_SUB):
+                        acc = acc + lut[pos, sub][Cm[:, sub]]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid_arr[pos],
+                                "id": idm,
+                                "adc_dist": np.sqrt(acc),
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = scan.select("cell", "id", "codes").mapInPandas(
+        adc_score, schema=f"query_id bigint, id {id_t}, adc_dist double"
+    )
+    short = topk_per_group(
+        cand, ["query_id"], "adc_dist", shortlist, tiebreak_cols=["id"],
+        rank_name="_s",
+    ).select("query_id", "id")
+
+    # bounded collect: batch x shortlist rows; the union id list pushes
+    # one `id IN (...)` into the sorted vectors table and the per-id
+    # query lists ride a broadcast for the fan-in rerank
+    pairs = short.collect()
+    id_qids: dict = {}
+    for r in pairs:
+        id_qids.setdefault(r["id"], []).append(r["query_id"])
+    fan_df = spark.createDataFrame(
+        [Row(id=i, qids=sorted(qs)) for i, qs in sorted(id_qids.items())],
+        f"id {id_t}, qids array<bigint>",
+    )
+    queries_df = spark.createDataFrame(
+        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
+        "query_id bigint, qvec array<double>",
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("id").isin(sorted(id_qids))
+    )
+    rer = vectors.join(F.broadcast(fan_df), on="id").mapInPandas(
+        fanin_query_scorer(queries_df, metric),
+        schema=f"query_id bigint, id {id_t}, dist double",
+    )
+    top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")

@@ -1694,12 +1694,19 @@ def source_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader, and emit (id, pos, x float) scalars. The oracle is DuckDB
     reading the SAME vectors from parquet — so the whole binary format
     path (struct packing, byte-range splits, float32 fidelity) is held
-    to bit-exact equality. The write side is coalesce(1)+sorted here
-    because fvecs carries no ids (ids are positional); the read side
-    still splits the single file into byte-range partitions. This
-    replaces the reference's single-node HDF5 benchmark ingestion
-    (annbench/annbench.go:195-218) with a distributed scan of the other
-    de-facto ANN corpus format."""
+    to bit-exact equality.
+
+    fvecs carries no ids — ids are POSITIONAL — so the distributed
+    write derives them from sorted shard offsets: repartitionByRange
+    gives shard i a contiguous ascending vec_id range, the sink names
+    each shard part-<partition_id>-…, and the reader numbers records
+    sequentially across the path-sorted file list — so N parallel
+    write tasks reproduce exactly the ids a single sorted file would
+    (the oracle holds this to bit-exact equality; multi-shard id
+    contract also pinned in tests/test_vecs_source.py). This replaces
+    the reference's single-node HDF5 benchmark ingestion
+    (annbench/annbench.go:195-218) with a distributed write + scan of
+    the other de-facto ANN corpus format."""
     import hashlib
     import os
     import shutil
@@ -1718,7 +1725,7 @@ def source_fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")
     (
-        emb.coalesce(1)
+        emb.repartitionByRange(8, "vec_id")
         .sortWithinPartitions("vec_id")
         .select(F.col("embedding").alias("vec"))
         .write.format("vecs")

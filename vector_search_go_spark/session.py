@@ -24,6 +24,11 @@ def get_spark(app: str = "vector_search_go_spark", cpus: int | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Serving scans push `hash IN (...)`/`id IN (...)` lists of up
+        # to ~2x batch x trees values into sorted parquet; above this
+        # threshold Spark degrades the pushed filter to a [min, max]
+        # range, which defeats row-group skipping on hash-spread keys.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
