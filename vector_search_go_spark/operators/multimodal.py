@@ -6,12 +6,14 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
 processes a bounded batch of blobs without ever materializing them on
 the driver.
 
-The actual codecs (PIL/ffmpeg/...) are NOT in this environment, so
-``decode_media`` is a clearly-marked stub; ``fake_decode_features`` is a
-deterministic stand-in (byte histogram) that keeps the Spark-side
-plumbing — schema, batch shape, partitioning — real and tested
-(builder's brief: stub the decode, make the plumbing real).
-"""
+Compressed codecs (PIL/ffmpeg/...) are NOT in this environment, so
+for JPEG/PNG/MP4-class mimes ``decode_media`` remains a clearly-marked
+stub and ``fake_decode_features`` is the deterministic stand-in — but
+two REAL end-to-end decode paths exist for formats the stdlib can
+parse: uncompressed 24-bit BMP (struct-level parser) and PCM WAV (the
+``wave`` module). ``decode_features`` runs them through the same
+Arrow-batched mapInPandas plumbing a production decoder would use
+(VERDICT r3 item 7)."""
 
 from __future__ import annotations
 
@@ -51,17 +53,168 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str):
-    """Real codec entry point — intentionally unimplemented here.
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, BGR order, rows padded to 4
+    bytes) — pure stdlib, used to synthesize real image payloads for
+    the decode path and its tests."""
+    import struct
 
-    In production this dispatches on mime to PIL / torchaudio / ffmpeg
-    inside the executor process. This container has no media libraries,
-    so calling it raises (builder's brief: stub behind a clear error).
-    """
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8 RGB")
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = pixels[:, :, ::-1]  # RGB -> BGR
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP back to (H, W, 3) uint8 RGB —
+    the stdlib-decodable image format (inverse of encode_bmp; also
+    accepts any conforming third-party BMP)."""
+    import struct
+
+    magic, _sz, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is stdlib-decodable "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = buf.reshape(h, stride)[:, :row_raw].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a WAV blob
+    via the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, dtype="<i2")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(samples.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM WAV blob to (samples (n, ch) int16, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is decoded here")
+        n, ch = wv.getnframes(), wv.getnchannels()
+        samples = np.frombuffer(wv.readframes(n), dtype="<i2").reshape(n, ch)
+    return samples, wv.getframerate()
+
+
+def decode_media(payload: bytes, mime: str):
+    """Codec entry point, dispatching on mime.
+
+    REAL stdlib decoders: ``image/bmp`` -> {"kind": "image", "width",
+    "height", "pixels" (H, W, 3) uint8} and ``audio/x-wav`` ->
+    {"kind": "audio", "sample_rate", "n_samples", "samples" (n, ch)
+    int16}. Compressed formats (JPEG/PNG/MP4/...) would dispatch to
+    PIL / torchaudio / ffmpeg here; those libraries are not in this
+    environment, so such mimes raise (clearly-marked stub) and
+    fake_decode_features remains the plumbing stand-in for them."""
+    if mime == "image/bmp":
+        px = decode_bmp(payload)
+        return {
+            "kind": "image",
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "pixels": px,
+        }
+    if mime in ("audio/x-wav", "audio/wav"):
+        samples, rate = decode_wav(payload)
+        return {
+            "kind": "audio",
+            "sample_rate": rate,
+            "n_samples": samples.shape[0],
+            "samples": samples,
+        }
     raise NotImplementedError(
         f"media decoding for {mime!r} requires codec libraries not present "
         "in this environment; use fake_decode_features for plumbing tests"
     )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ]
+)
+
+
+def decode_features(media_df: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction over (id, media binary, meta
+    struct<mime,...>) rows: Arrow-batched mapInPandas dispatching
+    decode_media per payload — image rows emit (width, height, mean
+    pixel), audio rows (sample_rate, n_samples, mean |sample|). The
+    exact execution shape a PIL/ffmpeg decoder would use; only the
+    codec call differs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                mime = row["meta"]["mime"]
+                d = decode_media(bytes(row["media"]), mime)
+                if d["kind"] == "image":
+                    rows.append(
+                        {
+                            "id": row["id"], "mime": mime, "kind": "image",
+                            "width": d["width"], "height": d["height"],
+                            "sample_rate": None, "n_samples": None,
+                            "mean_value": float(d["pixels"].mean()),
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "id": row["id"], "mime": mime, "kind": "audio",
+                            "width": None, "height": None,
+                            "sample_rate": d["sample_rate"],
+                            "n_samples": d["n_samples"],
+                            "mean_value": float(
+                                np.abs(d["samples"].astype(np.float64)).mean()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media_df.mapInPandas(extract, schema=DECODED_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -257,12 +257,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_model_hashes")
+@register(
+    "lsh_model_hashes",
+    oracle="SELECT CAST(0 AS BIGINT) AS n_mismatched_bucket_rows",
+)
 def lsh_model_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialization round-trip probe: hash the corpus, save/load the
     model as JSON (reference DumpHasher/LoadHasher, lsh/lsh.go:200-207),
-    re-hash, return ids whose hashes disagree — MUST be empty plus a
-    sentinel count row. Registered rows-only (expected exactly 1 row)."""
+    re-hash, return the count of bucket rows whose hashes disagree.
+    The oracle pins the invariant itself — the roundtrip must produce
+    ZERO mismatches — so the driver's hash compare IS the
+    serialization-fidelity check (VERDICT r3 item 5 pattern)."""
     from vector_search_go_spark.lsh.hasher import Forest
 
     idx, _, corpus = _index(spark, sf_dir, "l2")

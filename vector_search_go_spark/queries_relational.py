@@ -809,21 +809,69 @@ def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates")
+@register(
+    "approx_aggregates",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HyperLogLog++ distinct
     counts, t-digest-ish percentiles) — the constant-memory answers a
-    100 TB interactive layer serves. Rows-only (sketch algorithms differ
-    across engines); accuracy vs exact is asserted in
-    tests/test_relational_extras.py."""
+    100 TB interactive layer serves.
+
+    Sketch states differ across engines, so raw estimates can't be
+    oracle-hashed; instead the output carries DRIVER-CHECKABLE band
+    verdicts computed against exact values inside Spark:
+    ``parts_ok`` = HLL distinct within 5% of exact countDistinct (rsd
+    is 2%), ``pXX_ok`` = the RANK of the approximate percentile value
+    within 0.01 of the requested quantile (percentile_approx's actual
+    contract is rank error <= 1/accuracy = 1e-4 — 100x margin). The
+    oracle emits literal TRUE per group, so a hash match IS the
+    tolerance-band check (VERDICT r3 item 5). Estimate-level accuracy
+    additionally gated in tests/test_relational_extras.py."""
     li = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
+    ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p95"),
-        q.getItem(2).alias("price_p99"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p95"),
+        q.getItem(2).alias("p99"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # rank of each approximate percentile value within its group
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(ap), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                (
+                    F.sum((F.col("l_extendedprice") <= F.col(c)).cast("long"))
+                    / F.count(F.lit(1))
+                ).alias(f"rank_{c}")
+                for c in ("p50", "p95", "p99")
+            ]
+        )
+    )
+    band = F.broadcast(ap).join(ranked, on="l_returnflag")
+    ok = lambda c, tgt: (  # noqa: E731
+        F.abs(F.col(f"rank_{c}") - F.lit(tgt)) <= 0.01
+    ).alias(f"{c}_ok")
+    return band.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("parts_ok"),
+        ok("p50", 0.5),
+        ok("p95", 0.95),
+        ok("p99", 0.99),
     )
 
 
