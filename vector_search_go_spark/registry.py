@@ -89,7 +89,9 @@ _PRIORITY: tuple[str, ...] = (
     "pack_training_sequences",
     "sample_rebalance_langs",
     "multimodal_features",
-    "multimodal_byte_stats",
+    # r4: real BMP/WAV decode path (never checked); took the slot of
+    # r3-green, unchanged multimodal_byte_stats
+    "multimodal_decode_real",
     "doc_embedding_join",
     "sessionize_events",
     "sketch_rollup_daily",
