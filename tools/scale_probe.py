@@ -585,9 +585,108 @@ def compact_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 8) -> None
         shutil.rmtree(base, ignore_errors=True)
 
 
+def compact_serve_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 4) -> None:
+    """Maintenance loop UNDER LOAD (VERDICT r3 item 8): point lookups
+    run concurrently with compact(dedup=True) on a replay-fragmented
+    1M store. Reports per-lookup latency before / during / after
+    compaction, failed-lookup count (allowed only in the two-rename
+    swap window), and staleness (during-compaction lookups serve the
+    pre-compaction store — which answers identically here, as replay
+    dedup cannot change results). Correctness pinned in
+    tests/test_streaming_ingest.py::test_search_correct_mid_compaction."""
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import lsh_point_search
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.streaming.ingest import (
+        compact_bucket_store,
+        ingest_to_bucket_store,
+    )
+
+    spark = get_spark(
+        "compact-serve-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((n, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    base = tempfile.mkdtemp(prefix="compact_serve_probe_")
+    try:
+        cfg = LshConfig(dims=dims, n_trees=10, k_min_vecs=100, seed=7)
+        idx = LshIndex.train(spark, corpus, cfg)
+        idx.save(f"{base}/idx")
+        bp = f"{base}/idx/buckets"
+        for c in range(n_chunks):
+            src = f"{base}/in{c}"
+            corpus.filter(F.col("id") % n_chunks == c).write.parquet(src)
+            stream = spark.readStream.schema(
+                "id bigint, vec array<double>"
+            ).parquet(src)
+            ingest_to_bucket_store(
+                spark, stream, idx.forest, bp, f"{base}/ck{c}", timeout=600
+            )
+        forest = LshIndex.load_forest(spark, f"{base}/idx")
+        qvec = X[12345].tolist()
+
+        def lookup():
+            t0 = time.time()
+            rows = lsh_point_search(
+                spark, f"{base}/idx", qvec, "l2", k=10, forest=forest
+            ).collect()
+            return time.time() - t0, sorted((r["id"], r["dist"]) for r in rows)
+
+        t_warm, want = lookup()
+        t_before, got = lookup()
+        assert got == want
+
+        state: dict = {}
+
+        def compact() -> None:
+            t0 = time.time()
+            state["stats"] = compact_bucket_store(spark, bp, dedup=True)
+            state["t"] = time.time() - t0
+
+        th = threading.Thread(target=compact)
+        th.start()
+        during, failed = [], 0
+        while th.is_alive():
+            try:
+                t, got = lookup()
+            except Exception:
+                failed += 1
+                continue
+            assert got == want, "mid-compaction lookup returned WRONG rows"
+            during.append(t)
+        th.join()
+        t_after, got = lookup()
+        assert got == want
+        s = state["stats"]
+        print(
+            f"| {n:,} x {dims}, {cfg.n_trees} trees | "
+            f"{s['files_before']} -> {s['files_after']} files | "
+            f"compact {state['t']:.1f} s | lookup before {t_before:.2f} s | "
+            f"during {min(during):.2f}-{max(during):.2f} s x{len(during)} "
+            f"({failed} failed) | after {t_after:.2f} s |"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--compact"]:
         compact_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--compact-serve"]:
+        compact_serve_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--serve"]:
         serve_probe(*[int(s) for s in sys.argv[2:]])
