@@ -149,9 +149,10 @@ def test_hot_bucket_bound(spark, tmp_path, monkeypatch):
         deterministically, leaves healthy buckets untouched, and a
         capped index still answers exactly inside and outside the
         duplicate cluster;
-    (b) dedup: dedup_embedding_lsh emits a linear spanning star for
-        the oversized bucket — candidates linear in bucket size, every
-        duplicate still connected to the cluster anchor."""
+    (b) dedup: dedup_embedding_lsh emits linear sorted-neighborhood
+        CHAIN pairs for the oversized bucket — candidates linear in
+        bucket size, the duplicate cluster still one connected
+        component."""
     import numpy as np
 
     from vector_search_go_spark.lsh.search import bound_hot_buckets
@@ -201,7 +202,36 @@ def test_hot_bucket_bound(spark, tmp_path, monkeypatch):
     outside = [r for r in got if r["query_id"] == 1 and r["rn"] == 1]
     assert outside and outside[0]["id"] == 10_000 and outside[0]["dist"] == 0.0
 
-    # (b) dedup star on an oversized (>800) duplicate bucket
+    # the SERVING paths must honor the cap too: same thinned survivor
+    # set (sz over a pruned scan == sz over the store), so point
+    # lookups on the persisted index return exactly lsh_search's rows
+    from vector_search_go_spark.lsh.search import (
+        lsh_point_search,
+        lsh_point_search_batch,
+    )
+
+    path = str(tmp_path / "capped_idx")
+    idx.save(path)
+    forest = LshIndex.load_forest(spark, path)
+    assert forest.config.max_bucket_size == 50  # cap round-trips
+    want = {(r["query_id"], r["id"], r["dist"], r["rn"]) for r in got}
+    batch = lsh_point_search_batch(
+        spark,
+        path,
+        [(0, dups[0][1]), (1, rand[0][1])],
+        "l2",
+        k=10,
+        forest=forest,
+    ).collect()
+    assert {(r["query_id"], r["id"], r["dist"], r["rn"]) for r in batch} == want
+    single = lsh_point_search(
+        spark, path, dups[0][1], "l2", k=10, forest=forest, query_id=0
+    ).collect()
+    assert {(r["query_id"], r["id"], r["dist"], r["rn"]) for r in single} == {
+        t for t in want if t[0] == 0
+    }
+
+    # (b) dedup chain on an oversized (>800) duplicate bucket
     from vector_search_go_spark.operators import model_store
     from vector_search_go_spark.queries_lsh import dedup_embedding_lsh
 
@@ -223,6 +253,75 @@ def test_hot_bucket_bound(spark, tmp_path, monkeypatch):
         for r in pairs
         if r["id_a"] < 2000 and r["id_b"] < 2000
     }
-    # linear star, not the 900*899/2 = 404550 all-pairs set
-    assert dup_pairs == {(1000, 1000 + i) for i in range(1, 900)}
+    # linear width-2 chain (identical projections sort by id), not the
+    # 900*899/2 = 404550 all-pairs set
+    assert dup_pairs == {
+        (1000 + i, 1000 + i + d)
+        for i in range(900)
+        for d in (1, 2)
+        if i + d < 900
+    }
+    # ...and the cluster is ONE connected component of the pair graph
+    parent = {1000 + i: 1000 + i for i in range(900)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b_ in dup_pairs:
+        parent[find(a)] = find(b_)
+    assert len({find(1000 + i) for i in range(900)}) == 1
     assert all(r["cos_dist"] <= 0.6 for r in pairs)
+
+
+def test_hot_bucket_chain_connectivity(spark):
+    """The failure mode the min-id STAR anchor had: a hot bucket whose
+    lowest id is NOT a duplicate (plus TWO distinct duplicate clusters
+    sharing the bucket). The star emitted only (anchor, member) pairs —
+    all failing the cos <= 0.6 verification — and dropped both clusters
+    entirely. The sorted-neighborhood chain must keep each cluster a
+    single connected component after verification, with <= width*|bucket|
+    candidate pairs."""
+    import numpy as np
+
+    from vector_search_go_spark.queries_lsh import hot_bucket_chain_pairs
+
+    rng = np.random.default_rng(3)
+    vA = rng.standard_normal(16)
+    vB = rng.standard_normal(16)
+    v_out = rng.standard_normal(16)
+    rows = (
+        [(0, 0, 1, [float(x) for x in v_out])]  # foreign member, MIN id
+        + [(0, 0, 100 + i, [float(x) for x in vA]) for i in range(400)]
+        + [(0, 0, 600 + i, [float(x) for x in vB]) for i in range(400)]
+    )
+    members = spark.createDataFrame(
+        rows, "tree int, hash bigint, id bigint, vec array<double>"
+    )
+    cand = hot_bucket_chain_pairs(members, dims=16, seed=23).collect()
+    assert len(cand) <= 2 * len(rows)
+
+    def cos(a, b):
+        return 1.0 - float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    vecs = {r[2]: np.asarray(r[3]) for r in rows}
+    verified = [
+        (r["id_a"], r["id_b"])
+        for r in cand
+        if cos(vecs[r["id_a"]], vecs[r["id_b"]]) <= 0.6
+    ]
+    parent = {r[2]: r[2] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        parent[find(a)] = find(b)
+    assert len({find(100 + i) for i in range(400)}) == 1  # cluster A intact
+    assert len({find(600 + i) for i in range(400)}) == 1  # cluster B intact
+    assert find(1) not in {find(100), find(600)}  # outlier not merged

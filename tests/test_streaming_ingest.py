@@ -185,6 +185,15 @@ def test_compact_bucket_store(spark, corpus_file_dir, tmp_path):
     b = lsh_search(idx_c, queries, metric="l2", k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    # keep_backup=False: no retained copy, no extra disk, same rows
+    stats2 = compact_bucket_store(spark, bucket_path, keep_backup=False)
+    assert stats2["backup_path"] is None
+    assert not os.path.isdir(bucket_path.rstrip("/") + ".compact-old")
+    assert {
+        (r["tree"], r["hash"], r["id"])
+        for r in spark.read.parquet(bucket_path).collect()
+    } == before
+
 
 def test_engine_compact_heals_replayed_store(spark, corpus_file_dir, tmp_path):
     """Engine-level maintenance loop: save -> an at-least-once replay

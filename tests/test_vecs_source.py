@@ -282,6 +282,67 @@ def test_stream_base_derivation_restart_stable():
     assert b2_replay == {"m": 0, "z": 1, "a": 2, "b": 3}
 
 
+def test_stream_bases_path_survives_double_restart(tmp_path):
+    """The in-offset base map cannot survive a DOUBLE restart with
+    out-of-lexicographic-order arrivals (the restarted process's first
+    latestOffset logs an empty map before partitions can rebuild it).
+    With .option('bases_path'), the map persists durably: a fresh
+    reader recovers the exact arrival-order assignment any number of
+    restarts later. Without the option, the out-of-order assignment
+    must at least WARN."""
+    import warnings as _warnings
+
+    from vector_search_go_spark.sources.vecs import VecsStreamReader
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    bp = str(tmp_path / "bases.json")
+    z = np.ones((5, 4), dtype="float32")
+    write_fvecs(str(src / "z.fvecs"), z)
+    opts = {"path": str(src), "kind": "fvecs", "bases_path": bp}
+
+    r1 = VecsStreamReader(opts)
+    off0 = r1.initialOffset()
+    off1 = r1.latestOffset()
+    parts1 = r1.partitions(off0, off1)
+    assert {p.base_id >> 32 for p in parts1} == {0}  # z -> 0
+
+    # file 'a' arrives AFTER 'z' but sorts before it
+    write_fvecs(str(src / "a.fvecs"), np.zeros((3, 4), dtype="float32"))
+    off2 = r1.latestOffset()
+    parts2 = r1.partitions(off1, off2)
+    assert {p.base_id >> 32 for p in parts2} == {1}  # a -> 1, arrival order
+
+    # RESTART 1: fresh process; first call is latestOffset (the call
+    # that poisons the in-offset scheme) — here it recovers from disk
+    r2 = VecsStreamReader(opts)
+    off3 = r2.latestOffset()
+    assert off3["bases"] == {str(src / "z.fvecs"): 0, str(src / "a.fvecs"): 1}
+
+    # RESTART 2 from that offset: assignment still exact
+    write_fvecs(str(src / "m.fvecs"), np.zeros((2, 4), dtype="float32"))
+    r3 = VecsStreamReader(opts)
+    off4 = r3.latestOffset()
+    parts3 = r3.partitions(off3, off4)
+    assert {p.base_id >> 32 for p in parts3} == {2}  # m -> 2
+    assert r3._bases[str(src / "z.fvecs")] == 0
+    assert r3._bases[str(src / "a.fvecs")] == 1
+
+    # without bases_path: same out-of-order arrival warns
+    src2 = tmp_path / "landing2"
+    src2.mkdir()
+    write_fvecs(str(src2 / "z.fvecs"), z)
+    r = VecsStreamReader({"path": str(src2), "kind": "fvecs"})
+    o1 = r.latestOffset()
+    r.partitions(r.initialOffset(), o1)
+    write_fvecs(str(src2 / "a.fvecs"), np.zeros((3, 4), dtype="float32"))
+    o2 = r.latestOffset()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        r.partitions(o1, o2)
+    assert any("out of lexicographic order" in str(x.message) for x in w)
+
+
 def test_multi_shard_positional_ids(spark, tmp_path):
     """Distributed fvecs writes preserve the positional-id contract:
     repartitionByRange gives shard i an ascending contiguous range,

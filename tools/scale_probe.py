@@ -117,6 +117,29 @@ def main(
 
 
 
+def make_angular_corpus(spark, n: int, dims: int, n_queries: int, seed: int = 11):
+    """Shared clustered-unit-sphere corpus for the angular probes —
+    angular structure like TF-IDF/embedding corpora (NYTimes is 256-d
+    dense embeddings). ONE synthesis point so angular_probe (tree-LSH)
+    and angular_ivf_probe rows stay comparable: same seed => identical
+    rows. Returns (corpus_df, queries_df)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(128, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, len(centers), size=n)
+    X = centers[assign] * 3.0 + rng.normal(size=(n, dims))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    qidx = rng.choice(n, size=n_queries, replace=False)
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qidx], "query_id bigint, qvec array<double>"
+    )
+    return corpus, queries
+
+
 def angular_probe(
     n: int = 290_000,
     dims: int = 256,
@@ -152,22 +175,7 @@ def angular_probe(
     spark = get_spark("angular-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
 
-    rng = np.random.default_rng(11)
-    # clustered directions on the unit sphere — angular structure like
-    # TF-IDF/embedding corpora (NYTimes is 256-d dense embeddings)
-    centers = rng.normal(size=(128, dims))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    assign = rng.integers(0, len(centers), size=n)
-    X = centers[assign] * 3.0 + rng.normal(size=(n, dims))
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    corpus = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
-    ).repartition(32)
-    corpus.cache().count()
-    qidx = rng.choice(n, size=n_queries, replace=False)
-    queries = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in qidx], "query_id bigint, qvec array<double>"
-    )
+    corpus, queries = make_angular_corpus(spark, n, dims, n_queries)
 
     cfg = LshConfig(
         dims=dims,
@@ -217,6 +225,89 @@ def angular_probe(
     row = (
         f"| {n:,} x {dims} | {n_trees} trees | {t_train:.1f} s | {n_bucket_rows:,} | "
         f"{t_search:.1f} s | {t_exact:.1f} s | {cand_frac:.3f} | {p:.3f} / {r:.3f} |"
+    )
+    print(row)
+    return row
+
+
+def angular_ivf_probe(
+    n: int = 290_000,
+    dims: int = 256,
+    k: int = 10,
+    n_queries: int = 50,
+    n_cells: int = 1024,
+    nprobe: int = 32,
+    max_dist: float = 0.81,
+) -> str:
+    """The engine's counter to the tree-LSH angular weak spot: IVF on
+    the SAME NYTimes-shaped clustered cosine data as angular_probe
+    (identical rng seed/generator, so rows are comparable). K-means
+    cells track the clustered directions that random hyperplanes
+    cannot, so the candidate fraction stays ~nprobe/n_cells instead of
+    collapsing toward 1.0. Reports the same columns as the tree-LSH
+    table (train, store rows, search cost, exact cost, candidate
+    fraction, eps-precision/recall vs the >= 0.85 cosine band)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.recall import (
+        distance_based_precision_recall,
+        mean_precision_recall,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.functions.metrics import metric_dist
+
+    spark = get_spark(
+        "angular-ivf-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus, queries = make_angular_corpus(spark, n, dims, n_queries)
+
+    t0 = time.time()
+    cents = kmeans_fit(corpus, n_cells, iters=3, dim=dims).cache()
+    cents.count()
+    cells = assign_cells(corpus, cents, metric="cosine").cache()
+    n_store_rows = cells.count()
+    t_train = time.time() - t0
+
+    # candidate fraction = probed-cell member rows / (n_queries * n)
+    cell_sizes = cells.groupBy("cell").count()
+    qprobe = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", metric_dist("cosine", F.col("qvec"), F.col("cvec"))
+    )
+    probes = topk_per_group(
+        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"], rank_name="_r"
+    ).select("query_id", F.col("cid").alias("cell"))
+    n_cand = (
+        probes.join(F.broadcast(cell_sizes), on="cell")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    cand_frac = n_cand / (n_queries * n)
+
+    t0 = time.time()
+    pred = ivf_search(
+        queries, cells, cents, metric="cosine", k=k, nprobe=nprobe
+    ).cache()
+    pred.count()
+    t_search = time.time() - t0
+
+    t0 = time.time()
+    truth = exact_knn_join(
+        queries, corpus, metric="cosine", k=k, threshold=max_dist
+    ).cache()
+    truth.count()
+    t_exact = time.time() - t0
+
+    p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
+    row = (
+        f"| {n:,} x {dims} | IVF {n_cells} cells, nprobe={nprobe} | {t_train:.1f} s | "
+        f"{n_store_rows:,} | {t_search:.1f} s | {t_exact:.1f} s | {cand_frac:.3f} | "
+        f"{p:.3f} / {r:.3f} |"
     )
     print(row)
     return row
@@ -696,6 +787,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if sys.argv[1:2] == ["--angular"]:
         angular_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--angular-ivf"]:
+        angular_ivf_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--projection"]:
         projection_probe(*[int(s) for s in sys.argv[2:]])

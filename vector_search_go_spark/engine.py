@@ -135,7 +135,12 @@ class VectorSearchEngine:
     # -- Maintenance ---------------------------------------------------
 
     @staticmethod
-    def compact(spark: SparkSession, path: str, dedup: bool = False) -> dict:
+    def compact(
+        spark: SparkSession,
+        path: str,
+        dedup: bool = False,
+        keep_backup: bool = True,
+    ) -> dict:
         """Compact a saved index's bucket store after streaming ingest
         (streaming.ingest.compact_bucket_store): restores the
         one-hash-sorted-file-per-tree layout that point_search's
@@ -147,10 +152,16 @@ class VectorSearchEngine:
         old store (an engine returned by ``load`` before the compact)
         holds a stale file index and its next action fails with
         FileNotFoundException — re-``load`` after compacting.
-        ``point_search`` re-reads the path per call and is safe."""
+        ``point_search`` re-reads the path per call and is safe.
+
+        ``keep_backup=False`` deletes the pre-compaction ``.compact-old``
+        copy right after the swap instead of holding it for
+        ``gc_compacted_store`` — no extra disk, no rollback."""
         from vector_search_go_spark.streaming.ingest import compact_bucket_store
 
-        return compact_bucket_store(spark, f"{path}/buckets", dedup=dedup)
+        return compact_bucket_store(
+            spark, f"{path}/buckets", dedup=dedup, keep_backup=keep_backup
+        )
 
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 

@@ -179,6 +179,7 @@ class Forest:
                     "max_candidates": self.config.max_candidates,
                     "seed": self.config.seed,
                     "sample_size": self.config.sample_size,
+                    "max_bucket_size": self.config.max_bucket_size,
                 },
                 "trees": [enc(t) for t in self.trees],
             }

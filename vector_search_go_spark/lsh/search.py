@@ -58,6 +58,21 @@ def bound_hot_buckets(buckets: DataFrame, stats: DataFrame, cap: int) -> DataFra
     ).drop("sz")
 
 
+def _bound_scanned_buckets(scan: DataFrame, cap: int | None) -> DataFrame:
+    """Apply the ``max_bucket_size`` thinning to a PRUNED bucket scan
+    (the point-lookup paths). The pruned scan holds WHOLE buckets —
+    pruning filters on (tree, hash) only — so recomputing sz over the
+    scan yields the same sizes, hence the identical survivor set, as
+    ``bound_hot_buckets`` over the full store: serving results stay
+    consistent with batch ``lsh_search`` on the same index. The stats
+    aggregation runs over probed-bucket rows only (bucket-size cost,
+    not store cost)."""
+    if cap is None:
+        return scan
+    stats = scan.groupBy("tree", "hash").agg(F.count(F.lit(1)).alias("sz"))
+    return bound_hot_buckets(scan, stats, cap)
+
+
 def lsh_search(
     index: LshIndex,
     queries: DataFrame,
@@ -252,7 +267,9 @@ def lsh_point_search_batch(
                 "tree", "hash", "id"
             )
         )
-    scan = reduce(lambda a, b: a.union(b), parts)
+    scan = _bound_scanned_buckets(
+        reduce(lambda a, b: a.union(b), parts), forest.config.max_bucket_size
+    )
     # Fan-in list per candidate id; eager-materialized because it feeds
     # a broadcast (an unmaterialized plan would re-run all tree scans).
     fanin = (
@@ -278,12 +295,15 @@ def lsh_point_search_batch(
     return top.select("query_id", "id", "dist", "rn")
 
 
-def point_bucket_candidates(spark, index_path: str, hashes, probes) -> DataFrame:
+def point_bucket_candidates(
+    spark, index_path: str, hashes, probes, max_bucket_size: int | None = None
+) -> DataFrame:
     """Candidate ids for one hashed query: one pruned scan per tree,
-    unioned + distinct. Kept as its own builder so the plan-audit
-    (tools/explain_audit.py op:lsh_point_search) can assert partition
-    pruning and hash pushdown on the exact production plan — the
-    eager checkpoint in lsh_point_search otherwise hides the scans."""
+    unioned, hot-bucket-thinned (``max_bucket_size``), distinct. Kept
+    as its own builder so the plan-audit (tools/explain_audit.py
+    op:lsh_point_search) can assert partition pruning and hash pushdown
+    on the exact production plan — the eager checkpoint in
+    lsh_point_search otherwise hides the scans."""
     from functools import reduce
 
     buckets = spark.read.parquet(f"{index_path}/buckets")
@@ -291,9 +311,14 @@ def point_bucket_candidates(spark, index_path: str, hashes, probes) -> DataFrame
     for t in range(hashes.shape[1]):
         hs = sorted({int(hashes[0, t]), int(probes[0, t])})
         parts.append(
-            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select("id")
+            buckets.where((F.col("tree") == t) & F.col("hash").isin(hs)).select(
+                "tree", "hash", "id"
+            )
         )
-    return reduce(lambda a, b: a.union(b), parts).distinct()
+    scan = _bound_scanned_buckets(
+        reduce(lambda a, b: a.union(b), parts), max_bucket_size
+    )
+    return scan.select("id").distinct()
 
 
 def lsh_point_search(
@@ -347,9 +372,9 @@ def lsh_point_search(
     probes = forest.probe_batch(hashes)
     # Materialize the candidate set once: it feeds a broadcast, and an
     # unmaterialized plan would re-run all tree scans to build it.
-    cand = point_bucket_candidates(spark, index_path, hashes, probes).localCheckpoint(
-        eager=True
-    )
+    cand = point_bucket_candidates(
+        spark, index_path, hashes, probes, forest.config.max_bucket_size
+    ).localCheckpoint(eager=True)
     vectors = spark.read.parquet(f"{index_path}/vectors")
     scored = vectors.join(F.broadcast(cand), on="id").withColumn(
         "dist", single_query_dist_udf(metric, q[0])(F.col("vec"))

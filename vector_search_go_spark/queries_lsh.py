@@ -41,6 +41,65 @@ _CFG = dict(dims=64, n_trees=40, k_min_vecs=100, seed=42)
 _DEDUP_BUCKET_CAP = 800
 
 
+def hot_bucket_chain_pairs(
+    members: DataFrame, dims: int, seed: int, width: int = 2
+) -> DataFrame:
+    """Bounded candidate pairs for OVERSIZED buckets: sorted-neighborhood
+    chaining (Hernandez & Stolfo's blocking technique) instead of the
+    sz^2 self-join — at most ``width * |bucket|`` pairs per bucket.
+
+    ``members`` = (tree, hash, id, vec) rows of hot buckets only. Each
+    bucket's members sort by two fixed seeded gaussian projections of
+    the vector (ties by id); every member links to its next ``width``
+    neighbors in that order. Exact/near-duplicate vectors have
+    (near-)identical projections, so a duplicate cluster occupies a
+    contiguous run and its consecutive links keep it CONNECTED for the
+    connected-components consumer — regardless of which ids the bucket
+    holds (a min-id star anchor breaks when the anchor happens not to
+    be a duplicate: every star pair fails the verification threshold
+    and the whole cluster is dropped). Pathological interleavings —
+    >= ``width`` consecutive foreign members whose projections fall
+    inside a cluster's run — can still split a cluster into multiple
+    components (each internally deduped); that residual trade mirrors
+    the reference's MaxCandidates truncation (lsh/lsh.go:143,162).
+    Connectivity is pinned by
+    tests/test_lsh_e2e.py::test_hot_bucket_chain_connectivity."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(seed)
+    projs = [rng.standard_normal(dims) for _ in range(2)]
+
+    def dot_lit(g: "np.ndarray"):
+        garr = F.array(*[F.lit(float(x)) for x in g])
+        return F.aggregate(
+            F.zip_with("vec", garr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    w = Window.partitionBy("tree", "hash").orderBy("p1", "p2", "id")
+    chained = members.select(
+        "tree",
+        "hash",
+        "id",
+        dot_lit(projs[0]).alias("p1"),
+        dot_lit(projs[1]).alias("p2"),
+    ).select(
+        "id",
+        F.array(
+            *[F.lead("id", d).over(w) for d in range(1, width + 1)]
+        ).alias("nbrs"),
+    )
+    return (
+        chained.select("id", F.explode("nbrs").alias("nb"))
+        .filter(F.col("nb").isNotNull())
+        .select(
+            F.least("id", "nb").alias("id_a"), F.greatest("id", "nb").alias("id_b")
+        )
+    )
+
+
 # One trained index per (sf_dir, metric) per process: entries like
 # lsh_knn_l2 and lsh_recall_l2 share the same deterministic model, so
 # retraining per query entry would only re-run identical work.
@@ -210,24 +269,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and k_min_vecs bounds bucket MINIMUM size only — a duplicate-heavy
     # or low-entropy corpus (exactly what dedup inputs look like) leaves
     # unsplittable giant buckets. Buckets above _DEDUP_BUCKET_CAP
-    # contribute a spanning STAR around their min id instead of all
-    # pairs: linear in bucket size, deterministic, and it preserves
-    # duplicate-cluster connectivity for the connected-components
-    # consumer (dedup_cluster_groups) — every member still reaches the
-    # anchor, and exact/near duplicates pass the verification threshold
-    # below. The trade (pair-level completeness inside pathological
+    # contribute sorted-neighborhood CHAIN pairs (hot_bucket_chain_pairs
+    # above) instead of all pairs: linear in bucket size, deterministic,
+    # and duplicate clusters stay connected for the connected-components
+    # consumer (dedup_cluster_groups) no matter which ids share the
+    # bucket. The trade (pair-level completeness inside pathological
     # buckets) mirrors the reference's truncation trade. Gates:
     # tests/test_lsh_e2e.py::test_dedup_embedding_lsh_recall (pair
-    # recall 1.0 on normal data — no natural bucket nears the cap) and
+    # recall 1.0 on normal data — no natural bucket nears the cap),
     # test_hot_bucket_bound (adversarial corpus: bounded candidates,
-    # clusters still fully connected).
-    stats = b.groupBy("tree", "hash").agg(
-        F.count(F.lit(1)).alias("sz"), F.min("id").alias("anchor")
+    # cluster fully connected) and test_hot_bucket_chain_connectivity
+    # (crafted bucket: two clusters + foreign min-id member).
+    hot = idx.bucket_stats().filter(F.col("sz") > _DEDUP_BUCKET_CAP).select(
+        "tree", "hash"
     )
-    hot = stats.filter(F.col("sz") > _DEDUP_BUCKET_CAP)
-    small = b.join(
-        F.broadcast(hot.select("tree", "hash")), on=["tree", "hash"], how="left_anti"
-    )
+    small = b.join(F.broadcast(hot), on=["tree", "hash"], how="left_anti")
     pairs = (
         small.select("tree", "hash", F.col("id").alias("id_a"))
         .join(
@@ -237,14 +293,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    # anchor = min(id) of the bucket, so anchor < id holds for every
-    # non-anchor member and the id_a < id_b invariant is free.
-    star = (
-        b.join(F.broadcast(hot), on=["tree", "hash"])
-        .filter(F.col("id") != F.col("anchor"))
-        .select(F.col("anchor").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    cand = pairs.union(star).dropDuplicates(["id_a", "id_b"])
+    hot_members = b.join(F.broadcast(hot), on=["tree", "hash"]).join(emb, on="id")
+    chain = hot_bucket_chain_pairs(hot_members, dims=cfg.dims, seed=cfg.seed)
+    cand = pairs.union(chain).dropDuplicates(["id_a", "id_b"])
     va = emb.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = emb.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     cos = pairwise_dist_udf("cosine")(F.col("va"), F.col("vb"))

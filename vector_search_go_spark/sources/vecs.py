@@ -306,7 +306,19 @@ def _derive_bases(start: dict, end_files) -> dict:
     microbatch's new files form one sorted contiguous block, so the
     derivation is stable across single restarts at any point.
     Assumes an append-only landing directory (files are never removed
-    — already this source's model)."""
+    — already this source's model).
+
+    LIMITATION (in-offset state only): the first ``latestOffset`` of a
+    restarted process runs before any ``partitions`` call and therefore
+    logs an offset whose base map is EMPTY; a SECOND restart landing on
+    that offset re-derives all bases in one sorted group, which matches
+    the original arrival assignment only when files arrived in
+    lexicographic order (the shard-00000/00001/... convention). For
+    out-of-order arrivals, set ``.option("bases_path", <file>)`` — the
+    reader then persists the full map atomically after every assignment
+    and reloads it on restart, making bases exact across ANY number of
+    restarts; without it, an out-of-order arrival triggers a loud
+    warning at assignment time."""
     bases = dict(start.get("bases") or {})
     nxt = max(bases.values(), default=-1) + 1
     start_files = start.get("files") or {}
@@ -351,7 +363,31 @@ class VecsStreamReader(DataSourceStreamReader):
         )
         if self.rpp <= 0:
             raise ValueError("records_per_partition must be positive")
+        # Optional durable id-base map (see _derive_bases LIMITATION):
+        # a writable file OUTSIDE the source directory; persisted
+        # atomically after every assignment, reloaded on restart.
+        self.bases_path = options.get("bases_path")
         self._bases: dict | None = None
+
+    def _recover_bases(self) -> dict | None:
+        """In-memory map, else the persisted ``bases_path`` map (fresh
+        process after a restart), else None."""
+        if self._bases is None and self.bases_path and os.path.exists(self.bases_path):
+            import json
+
+            with open(self.bases_path) as f:
+                self._bases = json.load(f)
+        return self._bases
+
+    def _persist_bases(self, bases: dict) -> None:
+        if not self.bases_path:
+            return
+        import json
+
+        tmp = f"{self.bases_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(bases, f)
+        os.replace(tmp, self.bases_path)
 
     def initialOffset(self) -> dict:
         return {"files": {}, "bases": {}}
@@ -368,22 +404,37 @@ class VecsStreamReader(DataSourceStreamReader):
         # Embed the base map known so far (lags one batch — see
         # _derive_bases) so partitions() after a restart can rebuild
         # assignments from the checkpointed offset alone.
-        return {"files": files, "bases": dict(self._bases or {})}
+        return {"files": files, "bases": dict(self._recover_bases() or {})}
 
     def partitions(self, start: dict, end: dict) -> Sequence[VecsPartition]:
         done = start.get("files", {})
         end_files = end.get("files", {})
-        if self._bases:
-            # In-memory view is one batch AHEAD of any logged offset;
-            # extend it with this batch's new files.
-            bases = dict(self._bases)
+        prev = self._recover_bases()
+        if prev:
+            # In-memory/persisted view is at least as fresh as any
+            # logged offset; extend it with this batch's new files.
+            bases = dict(prev)
             nxt = max(bases.values(), default=-1) + 1
             for p in sorted(p for p in end_files if p not in bases):
                 bases[p] = nxt
                 nxt += 1
         else:
             bases = _derive_bases(start, end_files)
+            prev = start.get("bases") or {}
+        newly = [p for p in bases if p not in prev]
+        if prev and newly and not self.bases_path and min(newly) < max(prev):
+            import warnings
+
+            warnings.warn(
+                "vecs stream: file(s) arrived out of lexicographic order "
+                f"({sorted(newly)[:3]}...); id bases stay stable across a "
+                "single restart but NOT across a second restart from the "
+                "first post-restart offset. Set .option('bases_path', "
+                "<file>) to persist the id-base map durably.",
+                stacklevel=2,
+            )
         self._bases = bases
+        self._persist_bases(bases)
         parts: List[VecsPartition] = []
         for path in sorted(end_files):
             n_end = end_files[path]

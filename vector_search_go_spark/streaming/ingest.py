@@ -63,7 +63,10 @@ def ingest_to_bucket_store(
 
 
 def compact_bucket_store(
-    spark: SparkSession, bucket_path: str, dedup: bool = False
+    spark: SparkSession,
+    bucket_path: str,
+    dedup: bool = False,
+    keep_backup: bool = True,
 ) -> dict:
     """Rewrite an append-fragmented bucket store back into the trained
     layout: one hash-sorted file per tree directory.
@@ -85,7 +88,13 @@ def compact_bucket_store(
     (Iceberg/Delta), not a filesystem rename; the rewrite plan is
     identical either way.
 
-    Returns {"files_before", "files_after", "rows"}.
+    ``keep_backup=True`` (default) retains the pre-compaction copy as
+    ``{path}.compact-old`` until ``gc_compacted_store`` or the next
+    compaction — one extra store copy of disk, buying recoverability if
+    the compacted copy turns out wrong. Pass ``keep_backup=False`` on
+    tight volumes to delete it right after the swap.
+
+    Returns {"files_before", "files_after", "rows", "backup_path"}.
     """
     return _compact_store(
         spark,
@@ -94,6 +103,7 @@ def compact_bucket_store(
         sort_cols=["tree", "hash"],
         select=[F.col("tree").cast("int"), F.col("hash"), F.col("id")],
         dedup_cols=["tree", "hash", "id"] if dedup else None,
+        keep_backup=keep_backup,
     )
 
 
@@ -170,7 +180,10 @@ def _drain_append(
 
 
 def compact_cells_store(
-    spark: SparkSession, cells_path: str, dedup: bool = False
+    spark: SparkSession,
+    cells_path: str,
+    dedup: bool = False,
+    keep_backup: bool = True,
 ) -> dict:
     """IVF twin of compact_bucket_store: restore the ivf_save layout
     (a few cells per task, rows sorted by (cell, id)) after streaming
@@ -182,6 +195,7 @@ def compact_cells_store(
         sort_cols=["cell", "id"],
         select=[F.col("cell").cast("int"), F.col("id"), F.col("vec")],
         dedup_cols=["cell", "id"] if dedup else None,
+        keep_backup=keep_backup,
     )
 
 
@@ -192,6 +206,7 @@ def _compact_store(
     sort_cols: list,
     select: list,
     dedup_cols: list | None,
+    keep_backup: bool = True,
 ) -> dict:
     import os
     import shutil
@@ -228,18 +243,25 @@ def _compact_store(
     # Swap window: a crash between these two replaces leaves no store
     # at `path` — but `.compact-old` (the intact pre-compaction copy)
     # and `.compact-tmp` (the complete compacted copy) both survive,
-    # so recovery is one manual rename. The old copy is deliberately
-    # KEPT after the swap: callers confirm the new store (or just run
-    # gc_compacted_store) once they're satisfied, so a latent problem
-    # in the compacted copy (e.g. dedup=True collapsing rows it
-    # shouldn't) stays recoverable.
+    # so recovery is one manual rename. With keep_backup=True the old
+    # copy is KEPT after the swap: callers confirm the new store (or
+    # just run gc_compacted_store) once they're satisfied, so a latent
+    # problem in the compacted copy (e.g. dedup=True collapsing rows it
+    # shouldn't) stays recoverable — at the cost of one extra store
+    # copy of disk until gc/next compaction.
     os.replace(path, old)
     os.replace(tmp, path)
+    if not keep_backup:
+        shutil.rmtree(old, ignore_errors=True)
+    # Drop the session's cached file listing for the swapped path —
+    # otherwise the next spark.read.parquet(path) can plan against the
+    # pre-compaction file set and fail with FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(path)
     return {
         "files_before": before,
         "files_after": _parquet_files(path),
         "rows": n_rows,
-        "backup_path": old,
+        "backup_path": old if keep_backup else None,
     }
 
 
