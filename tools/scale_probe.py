@@ -117,17 +117,27 @@ def main(
 
 
 
-def make_angular_corpus(spark, n: int, dims: int, n_queries: int, seed: int = 11):
+def make_angular_corpus(
+    spark, n: int, dims: int, n_queries: int, seed: int = 11,
+    center_scale: float = 3.0,
+):
     """Shared clustered-unit-sphere corpus for the angular probes —
-    angular structure like TF-IDF/embedding corpora (NYTimes is 256-d
-    dense embeddings). ONE synthesis point so angular_probe (tree-LSH)
-    and angular_ivf_probe rows stay comparable: same seed => identical
-    rows. Returns (corpus_df, queries_df)."""
+    ONE synthesis point so angular_probe (tree-LSH) and
+    angular_ivf_probe rows stay comparable: same seed + scale =>
+    identical rows. Returns (corpus_df, queries_df).
+
+    NOTE on ``center_scale``: the per-point gaussian noise has norm
+    ~sqrt(dims) (~16 at 256-d), so the default scale 3.0 leaves the
+    cluster signal UNDER the noise floor — the corpus is nearly
+    uniform on the sphere, which is precisely the regime that makes
+    NYTimes the reference's documented weak spot (no index family can
+    concentrate neighbors that are not concentrated). Pass
+    center_scale >> sqrt(dims) for a genuinely clustered corpus."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(128, dims))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, len(centers), size=n)
-    X = centers[assign] * 3.0 + rng.normal(size=(n, dims))
+    X = centers[assign] * center_scale + rng.normal(size=(n, dims))
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     corpus = spark.createDataFrame(
         [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
@@ -237,16 +247,17 @@ def angular_ivf_probe(
     n_queries: int = 50,
     n_cells: int = 1024,
     nprobe: int = 32,
+    center_scale: float = 3.0,
     max_dist: float = 0.81,
 ) -> str:
-    """The engine's counter to the tree-LSH angular weak spot: IVF on
-    the SAME NYTimes-shaped clustered cosine data as angular_probe
-    (identical rng seed/generator, so rows are comparable). K-means
-    cells track the clustered directions that random hyperplanes
-    cannot, so the candidate fraction stays ~nprobe/n_cells instead of
-    collapsing toward 1.0. Reports the same columns as the tree-LSH
-    table (train, store rows, search cost, exact cost, candidate
-    fraction, eps-precision/recall vs the >= 0.85 cosine band)."""
+    """IVF on the SAME NYTimes-shaped cosine data as angular_probe
+    (identical rng seed/generator, so rows are comparable). Reports the
+    same columns as the tree-LSH table (train, store rows, search cost,
+    exact cost, candidate fraction, eps-precision/recall vs the >= 0.85
+    cosine band). At the default (near-uniform) center_scale this
+    measures how IVF degrades in the unprunable regime; at
+    center_scale >> sqrt(dims) it measures the structured regime where
+    k-means cells track the clusters and pruning works."""
     from pyspark.sql import functions as F
 
     from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
@@ -265,7 +276,9 @@ def angular_ivf_probe(
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus, queries = make_angular_corpus(spark, n, dims, n_queries)
+    corpus, queries = make_angular_corpus(
+        spark, n, dims, n_queries, center_scale=center_scale
+    )
 
     t0 = time.time()
     cents = kmeans_fit(corpus, n_cells, iters=3, dim=dims).cache()
@@ -305,7 +318,7 @@ def angular_ivf_probe(
 
     p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
     row = (
-        f"| {n:,} x {dims} | IVF {n_cells} cells, nprobe={nprobe} | {t_train:.1f} s | "
+        f"| {n:,} x {dims} (center_scale={center_scale:g}) | IVF {n_cells} cells, nprobe={nprobe} | {t_train:.1f} s | "
         f"{n_store_rows:,} | {t_search:.1f} s | {t_exact:.1f} s | {cand_frac:.3f} | "
         f"{p:.3f} / {r:.3f} |"
     )
@@ -789,7 +802,7 @@ if __name__ == "__main__":
         angular_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--angular-ivf"]:
-        angular_ivf_probe(*[int(s) for s in sys.argv[2:]])
+        angular_ivf_probe(*[float(s) if "." in s else int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--projection"]:
         projection_probe(*[int(s) for s in sys.argv[2:]])
