@@ -247,6 +247,50 @@ def audit_point_search(spark, sections, failures) -> None:
     print("op:lsh_point_search: " + ("OK" if ok else "FAIL"))
 
 
+def audit_hot_chain(spark, sections, failures) -> None:
+    """The hot-bucket dedup bound must be structurally LINEAR: chain
+    pairs come from per-row lead() windows (each member emits <= width
+    pairs), never from a join of the bucket against itself — so the
+    plan must contain a Window and NO join node of any kind. Asserted
+    on the live plan over a parquet-backed members table so the scan
+    shape is production-like."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.queries_lsh import hot_bucket_chain_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    members = emb.select(
+        F.lit(0).alias("tree"),
+        F.lit(0).cast("bigint").alias("hash"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    path = tempfile.mkdtemp(prefix="audit_hot_members_")
+    members.write.mode("overwrite").parquet(path)
+    plan = plan_text(
+        hot_bucket_chain_pairs(spark.read.parquet(path), dims=64, seed=23)
+    )
+    has_window = "Window" in plan
+    no_join = not any(
+        j in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct")
+    )
+    ok = has_window and no_join
+    line1 = f"  - [{'x' if has_window else ' '}] lead() window present (linear pair emission)"
+    line2 = f"  - [{'x' if no_join else ' '}] no join/cartesian node (never bucket x bucket)"
+    if not ok:
+        failures.append(
+            f"op:dedup_hot_chain: structure off (window={has_window}, no_join={no_join})"
+        )
+    sections.append(
+        f"## op:dedup_hot_chain\n\n{line1}\n{line2}\n\n```\n{plan}\n```\n"
+    )
+    print("op:dedup_hot_chain: " + ("OK" if ok else "FAIL"))
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -323,6 +367,7 @@ def main() -> int:
     audit_vecs_source(spark, sections, failures)
     audit_point_search(spark, sections, failures)
     audit_ivf_point_search(spark, sections, failures)
+    audit_hot_chain(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(
