@@ -1289,7 +1289,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS coarse_bucket,
        count(*) AS n,
        count(DISTINCT strftime(ts, '%Y-%m-%d %H')) AS n_fine_buckets,
        TRUE AS distinct_ok,
-       TRUE AS merged_eq_direct
+       TRUE AS merged_near_direct
 FROM events GROUP BY 1
 """,
 )
@@ -1301,14 +1301,18 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches HLL state is not expressible in the oracle engine, so
     the output carries DRIVER-CHECKABLE verdicts instead of raw
     estimates: ``distinct_ok`` = the merged-sketch estimate within 5%
-    of the exact daily countDistinct (lg_k=12 is ~1.6% standard
-    error), ``merged_eq_direct`` = merging hourly sketches up gives
-    EXACTLY the estimate of sketching the day directly (sketch union
-    is lossless w.r.t. state — the property that makes the
-    materialized hourly layer serve any coarser window). The additive
-    columns (n, n_fine_buckets) hash against the oracle directly.
-    Estimate-level accuracy additionally gated in
-    tests/test_sketches.py."""
+    of the exact daily countDistinct (lg_k=12 is ~1.6% relative
+    standard error), ``merged_near_direct`` = merging hourly sketches
+    up lands within 2% of sketching the day directly. The 2% band (not
+    equality) is deliberate: HLL union merges REGISTER STATE losslessly
+    but estimates through the composite estimator, while a
+    directly-built sketch uses the history-dependent HIP estimator —
+    so merged and direct estimates legitimately differ by a fraction
+    of the standard error once the sketch leaves exact (sparse) mode
+    (measured max 1.04% at sf0.1; bit-equal at sf0.01 where
+    cardinalities stay sparse-exact). The additive columns (n,
+    n_fine_buckets) hash against the oracle directly. Estimate-level
+    accuracy additionally gated in tests/test_sketches.py."""
     from vector_search_go_spark.operators.sketches import (
         LG_K,
         merge_to_coarse,
@@ -1334,9 +1338,11 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
             <= 0.05
         ).alias("distinct_ok"),
-        (F.col("approx_distinct") == F.col("direct_distinct")).alias(
-            "merged_eq_direct"
-        ),
+        (
+            F.abs(F.col("approx_distinct") - F.col("direct_distinct"))
+            / F.col("direct_distinct")
+            <= 0.02
+        ).alias("merged_near_direct"),
     )
 
 
