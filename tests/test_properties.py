@@ -111,3 +111,114 @@ def test_vecs_partition_roundtrip(n, dim, rpp, seed):
                     got[i] = np.asarray(vec, dtype="float32")
     assert sorted(got) == list(range(n))
     assert all(np.array_equal(got[i], mat[i]) for i in range(n))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text("abcdefz-0123456789", min_size=1, max_size=8),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_derive_bases_arrival_properties(batches):
+    """Driver-free property over ARBITRARY arrival schedules: the
+    streaming id-base derivation (sources.vecs._derive_bases) assigns
+    each file a unique contiguous index, never reassigns an existing
+    base, and replaying any batch from its checkpointed offset — whose
+    embedded base map lags the file list by ONE batch, exactly as the
+    runtime logs it — reproduces the same assignment (the single-
+    restart guarantee the docstring claims, for every prefix)."""
+    from vector_search_go_spark.sources.vecs import _derive_bases
+
+    # incremental ground truth, as the in-memory reader runs it
+    seen: dict = {}
+    bases: dict = {}
+    trail = []  # (logged offset of batch i, bases after batch i)
+    for batch in batches:
+        prev_files = dict(seen)
+        prev_bases = dict(bases)
+        for f in batch:
+            seen[f] = seen.get(f, 0) + 1
+        bases = _derive_bases(
+            {"files": prev_files, "bases": prev_bases}, dict(seen)
+        )
+        # uniqueness + contiguity + append-only
+        assert len(set(bases.values())) == len(bases)
+        assert sorted(bases.values()) == list(range(len(bases)))
+        for f, b in prev_bases.items():
+            assert bases[f] == b
+        # the runtime logs batch i's END offset with the PRE-batch base
+        # map (latestOffset embeds the in-memory view, one batch behind)
+        trail.append(({"files": dict(seen), "bases": prev_bases}, dict(bases)))
+
+    # single-restart replay (the documented guarantee): restarting at
+    # any batch boundary re-derives THAT batch's assignment from its
+    # lagging logged offset — the batch's new files form one sorted
+    # block, so the replay lands the same indices
+    for logged, expect in trail:
+        replay = _derive_bases(logged, dict(logged["files"]))
+        assert replay == expect, (logged, replay, expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(2, 40), min_size=1, max_size=4),  # cluster sizes
+    st.integers(0, 10),  # singleton count
+    st.integers(0, 2**31 - 1),
+)
+def test_hot_chain_cluster_connectivity_property(spark, sizes, n_single, seed):
+    """For ANY composition of exact-duplicate clusters + singletons in
+    one oversized bucket — arbitrary sizes, arbitrary id interleaving —
+    the sorted-neighborhood chain emits at most width*|bucket| pairs
+    and keeps every duplicate cluster in ONE connected component after
+    the cos<=0.6 verification, and is deterministic across
+    evaluations."""
+    from vector_search_go_spark.queries_lsh import hot_bucket_chain_pairs
+
+    rng = np.random.default_rng(seed)
+    dims = 8
+    vecs = []
+    cluster_of = {}
+    for ci, sz in enumerate(sizes):
+        v = rng.standard_normal(dims)
+        for _ in range(sz):
+            vecs.append((v, ci))
+    for _ in range(n_single):
+        vecs.append((rng.standard_normal(dims), -1))
+    ids = rng.permutation(len(vecs) * 3)[: len(vecs)]  # sparse shuffled ids
+    rows = []
+    for (v, ci), i in zip(vecs, ids):
+        rows.append((0, 0, int(i), [float(x) for x in v]))
+        cluster_of[int(i)] = ci
+    members = spark.createDataFrame(
+        rows, "tree int, hash bigint, id bigint, vec array<double>"
+    )
+    got = hot_bucket_chain_pairs(members, dims=dims, seed=7).collect()
+    assert len(got) <= 2 * len(rows)
+    again = hot_bucket_chain_pairs(members, dims=dims, seed=7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    by_id = {r[2]: np.asarray(r[3]) for r in rows}
+
+    def cos_dist(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 1.0 - float(a @ b / (na * nb))
+
+    parent = {r[2]: r[2] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        if cos_dist(by_id[r["id_a"]], by_id[r["id_b"]]) <= 0.6:
+            parent[find(r["id_a"])] = find(r["id_b"])
+    for ci in range(len(sizes)):
+        roots = {find(i) for i, c in cluster_of.items() if c == ci}
+        assert len(roots) == 1, f"cluster {ci} split into {len(roots)} components"
