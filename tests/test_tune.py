@@ -1,0 +1,90 @@
+"""Index-advisor report (operators.tune): invariants + determinism +
+the two regimes the SCALE.md angular probes measured — a corpus with
+real cluster structure recommends a pruning index; a near-uniform one
+falls back to the exact scan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.operators.tune import advisor_report
+
+
+def _mk(spark, X, n_queries=8):
+    n = len(X)
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)],
+        "id bigint, vec array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(0, n, n // n_queries)][:n_queries],
+        "query_id bigint, qvec array<double>",
+    )
+    return corpus, queries
+
+
+def _report(spark, X, **kw):
+    corpus, queries = _mk(spark, X)
+    return advisor_report(spark, corpus, queries, metric="cosine", k=5, **kw)
+
+
+def test_advisor_invariants_and_determinism(spark):
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((400, 16))
+    rows = sorted(map(tuple, _report(spark, X).collect()))
+    again = sorted(map(tuple, _report(spark, X).collect()))
+    assert rows == again  # seeded end to end
+
+    by_family = {}
+    for fam, cfg, rec, frac, in_band, recd in rows:
+        by_family.setdefault(fam, []).append((cfg, rec, frac, in_band, recd))
+        assert 0.0 <= rec <= 1.0 and 0.0 < frac <= 1.0
+        assert in_band == (rec >= 0.85)
+    assert by_family["exact"] == [("scan", 1.0, 1.0, True, False)] or (
+        by_family["exact"][0][:4] == ("scan", 1.0, 1.0, True)
+    )
+    recommended = [r for r in rows if r[5]]
+    assert len(recommended) == 1
+    best = recommended[0]
+    assert best[4]  # recommended is in band
+    in_band_fracs = [r[3] for r in rows if r[4]]
+    assert best[3] == min(in_band_fracs)  # and the cheapest such
+
+
+def test_advisor_picks_index_on_structured_scan_on_uniform(spark):
+    """The measured scan-vs-index decision: 8 tight clusters on the
+    sphere -> IVF with cells≈clusters is in-band at a small candidate
+    fraction and beats the scan; pure gaussian noise in 32-d with a
+    tight threshold -> no candidate index holds the band and the exact
+    scan is recommended (the SCALE.md angular-probe conclusion, as an
+    operator)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 50.0
+    X = centers[rng.integers(0, 8, size=480)] + rng.standard_normal((480, 16))
+    rep = {
+        (r["family"], r["config"]): r
+        for r in _report(
+            spark, X, ivf_configs=((8, 1), (8, 2)), lsh_configs=((4, 30),)
+        ).collect()
+    }
+    rec = [r for r in rep.values() if r["recommended"]]
+    assert rec[0]["family"] != "exact"
+    assert rec[0]["cand_frac"] < 0.5
+    ivf2 = rep[("ivf", "cells=8,nprobe=2")]
+    assert ivf2["in_band"] and ivf2["cand_frac"] < 0.3
+
+    Xu = rng.standard_normal((400, 32))  # near-uniform: nothing concentrates
+    rep_u = _report(
+        spark,
+        Xu,
+        ivf_configs=((64, 1),),  # hard pruning, ~1.6% candidates
+        lsh_configs=((1, 10),),  # single tree, one small bucket
+        recall_band=0.9,
+    ).collect()
+    rec_u = [r for r in rep_u if r["recommended"]]
+    assert rec_u[0]["family"] == "exact"
+    for r in rep_u:
+        if r["family"] != "exact":  # the pruned configs all miss the band
+            assert not r["in_band"], r

@@ -1,0 +1,167 @@
+"""Index advisor: measure the (recall, candidate-fraction) frontier.
+
+The reference hardcodes a per-dataset index config in its benchmark
+harness (annbench_test.go:215-260 — Fashion-MNIST gets NTrees=10,
+NYTimes gets NTrees=200) and its README concedes the angular config
+still underperforms (README.md:164-172). The SCALE.md angular probes
+quantified why: whether ANY index prunes is a property of the DATA
+(near-uniform high-dim corpora concentrate nothing), so the choice
+scan-vs-LSH-vs-IVF must be measured per corpus, not assumed.
+
+``advisor_report`` turns that offline judgment into an operator: train
+each candidate config on the corpus (or a sample — at 100 TB you run
+this on one partition's worth), measure ε-recall against the exact
+oracle and the candidate fraction (the scan-cost proxy that is
+hardware- and cache-independent), and recommend the cheapest config
+inside the recall band — falling back to the exact scan, which is
+always in-band at fraction 1.0. Everything is seeded/deterministic, so
+the report is reproducible run-to-run (driver rows-only checkable).
+
+Scale shape: training cost is the probe corpus size times the config
+count — bounded, driver-chosen; the verdict transfers to the full
+corpus because candidate fraction is scale-free for constant
+k_min_vecs (SCALE.md sample_size scaling row) and nprobe/n_cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_go_spark.config import LshConfig
+
+
+def _lsh_point(spark, corpus, queries, n, nq, metric, k, threshold,
+               n_trees, k_min_vecs, seed, sample_size):
+    from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
+    from vector_search_go_spark.lsh.search import lsh_search
+
+    dims = len(corpus.select("vec").head()["vec"])
+    cfg = LshConfig(
+        dims=dims, n_trees=n_trees, k_min_vecs=k_min_vecs,
+        is_angular=(metric == "cosine"), seed=seed, sample_size=sample_size,
+    )
+    idx = LshIndex.train(spark, corpus, cfg)
+    idx.buckets = idx.buckets.cache()
+    hash_vec = _hash_probe_udf(spark, idx.forest, with_probes=True)
+    qh = (
+        queries.select(
+            "query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash")
+        )
+        .select(
+            "query_id",
+            (F.col("pos") % cfg.n_trees).cast("int").alias("tree"),
+            "hash",
+        )
+        .dropDuplicates(["query_id", "tree", "hash"])
+    )
+    n_cand = (
+        idx.buckets.join(F.broadcast(qh), on=["tree", "hash"])
+        .select("query_id", "id")
+        .dropDuplicates()
+        .count()
+    )
+    pred = lsh_search(idx, queries, metric=metric, k=k, threshold=threshold)
+    return pred, n_cand / (nq * n), f"trees={n_trees},k_min={k_min_vecs}"
+
+
+def _ivf_point(spark, corpus, queries, n, nq, metric, k, threshold,
+               n_cells, nprobe):
+    from vector_search_go_spark.functions.metrics import metric_dist
+    from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    dims = len(corpus.select("vec").head()["vec"])
+    cents = kmeans_fit(corpus, n_cells, iters=3, dim=dims)
+    cents = spark.createDataFrame(cents.collect(), cents.schema).cache()
+    cells = assign_cells(corpus, cents, metric=metric).cache()
+    cell_sizes = cells.groupBy("cell").count()
+    qprobe = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", metric_dist(metric, F.col("qvec"), F.col("cvec"))
+    )
+    probes = topk_per_group(
+        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"],
+        rank_name="_r",
+    ).select("query_id", F.col("cid").alias("cell"))
+    n_cand = (
+        probes.join(F.broadcast(cell_sizes), on="cell")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0
+    )
+    pred = ivf_search(
+        queries, cells, cents, metric=metric, k=k, nprobe=nprobe
+    )
+    if threshold is not None:
+        pred = pred.filter(F.col("dist") <= F.lit(float(threshold)))
+    return pred, n_cand / (nq * n), f"cells={n_cells},nprobe={nprobe}"
+
+
+def advisor_report(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str = "cosine",
+    k: int = 10,
+    threshold: float | None = None,
+    eps: float = 0.05,
+    recall_band: float = 0.85,
+    lsh_configs: tuple = ((8, 50), (16, 50)),
+    ivf_configs: tuple = ((16, 2), (16, 4)),
+    seed: int = 42,
+    sample_size: int = 20_000,
+) -> DataFrame:
+    """corpus(id, vec) x queries(query_id, qvec) -> one report row per
+    candidate config: (family, config, eps_recall, cand_frac, in_band,
+    recommended). ``recommended`` marks the in-band config with the
+    smallest candidate fraction ((cand_frac, family, config)
+    lexicographic tie-break — deterministic); the exact scan row
+    (recall 1.0, fraction 1.0) is always present, so a corpus where no
+    index prunes in-band recommends the scan — the SCALE.md angular
+    conclusion, as an operator."""
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.recall import (
+        distance_based_precision_recall,
+        mean_precision_recall,
+    )
+
+    n = corpus.count()
+    nq = queries.count()
+    truth = exact_knn_join(
+        queries, corpus, metric=metric, k=k, threshold=threshold
+    ).cache()
+    truth.count()
+
+    rows = [("exact", "scan", 1.0, 1.0)]
+    for n_trees, k_min in lsh_configs:
+        pred, frac, label = _lsh_point(
+            spark, corpus, queries, n, nq, metric, k, threshold,
+            n_trees, k_min, seed, sample_size,
+        )
+        _, r = mean_precision_recall(
+            distance_based_precision_recall(pred, truth, eps)
+        )
+        rows.append(("lsh", label, float(r), float(frac)))
+    for n_cells, nprobe in ivf_configs:
+        pred, frac, label = _ivf_point(
+            spark, corpus, queries, n, nq, metric, k, threshold,
+            n_cells, nprobe,
+        )
+        _, r = mean_precision_recall(
+            distance_based_precision_recall(pred, truth, eps)
+        )
+        rows.append(("ivf", label, float(r), float(frac)))
+
+    in_band = [row for row in rows if row[2] >= recall_band]
+    best = min(in_band, key=lambda row: (row[3], row[0], row[1]))
+    out = [
+        (fam, cfg, rec, frac, rec >= recall_band,
+         (fam, cfg) == (best[0], best[1]))
+        for fam, cfg, rec, frac in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "family string, config string, eps_recall double, "
+        "cand_frac double, in_band boolean, recommended boolean",
+    )

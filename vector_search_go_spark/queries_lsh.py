@@ -326,3 +326,35 @@ def lsh_model_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = LshIndex._bucketize(spark, corpus, reloaded)
     diff = idx.buckets.exceptAll(b2).union(b2.exceptAll(idx.buckets))
     return diff.agg(F.count(F.lit(1)).alias("n_mismatched_bucket_rows"))
+
+
+@register("ann_index_advisor")
+def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured scan-vs-LSH-vs-IVF recommendation (operators.tune
+    advisor_report): one row per candidate config with its ε-recall vs
+    the exact oracle and its candidate fraction; ``recommended`` marks
+    the cheapest in-band config, with the exact scan always available
+    as the fraction-1.0 fallback. The reference hardcodes this
+    judgment per dataset (annbench_test.go:215-260); the SCALE.md
+    angular probes showed it must be measured (near-uniform corpora
+    admit NO pruning index). Registered rows-only: bucket/cell
+    traversal is not SQL-expressible; determinism (seeded forests,
+    first-k k-means init, lexicographic tie-break on the
+    recommendation) is pinned by the cross-session hash in
+    EXPECTED_HASHES and gated in tests/test_tune.py."""
+    from vector_search_go_spark.operators.exact_knn import embeddings_split
+    from vector_search_go_spark.operators.tune import advisor_report
+
+    queries, corpus = embeddings_split(spark, sf_dir)
+    return advisor_report(
+        spark,
+        corpus,
+        queries,
+        metric="cosine",
+        k=10,
+        threshold=0.6,
+        recall_band=0.85,
+        lsh_configs=((8, 50), (32, 50)),
+        ivf_configs=((16, 2), (16, 4)),
+        seed=23,
+    ).orderBy("family", "config")

@@ -103,8 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_median_order_value",
     "grouped_map_label_centroids",
     "source_fvecs_roundtrip",
-    # Re-check slots: r2 rows errored in the driver canonicalizer...
-    "vector_scale_standard",
+    # r4 session 2: new measured scan-vs-index recommendation (never
+    # checked); took the slot of r3-green, unchanged vector_scale_standard
+    "ann_index_advisor",
     # r4: new oracle-checked store invariant (never checked); took the
     # slot of r3-green, unchanged scalar_array_funcs
     "lsh_bucket_invariant",
