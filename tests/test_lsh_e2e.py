@@ -297,11 +297,14 @@ def test_hot_bucket_chain_connectivity(spark):
         + [(0, 0, 100 + i, [float(x) for x in vA]) for i in range(400)]
         + [(0, 0, 600 + i, [float(x) for x in vB]) for i in range(400)]
     )
+    # an at-least-once replayed duplicate row must NOT yield a
+    # degenerate (x, x) self-pair
     members = spark.createDataFrame(
-        rows, "tree int, hash bigint, id bigint, vec array<double>"
+        rows + [rows[5]], "tree int, hash bigint, id bigint, vec array<double>"
     )
     cand = hot_bucket_chain_pairs(members, dims=16, seed=23).collect()
-    assert len(cand) <= 2 * len(rows)
+    assert len(cand) <= 2 * (len(rows) + 1)
+    assert all(r["id_a"] != r["id_b"] for r in cand)
 
     def cos(a, b):
         return 1.0 - float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))

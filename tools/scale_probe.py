@@ -267,9 +267,8 @@ def angular_ivf_probe(
         distance_based_precision_recall,
         mean_precision_recall,
     )
-    from vector_search_go_spark.operators.topk import topk_per_group
+    from vector_search_go_spark.operators.tune import ivf_candidate_fraction
     from vector_search_go_spark.session import get_spark
-    from vector_search_go_spark.functions.metrics import metric_dist
 
     spark = get_spark(
         "angular-ivf-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -287,20 +286,11 @@ def angular_ivf_probe(
     n_store_rows = cells.count()
     t_train = time.time() - t0
 
-    # candidate fraction = probed-cell member rows / (n_queries * n)
-    cell_sizes = cells.groupBy("cell").count()
-    qprobe = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", metric_dist("cosine", F.col("qvec"), F.col("cvec"))
+    # candidate fraction = probed-cell member rows / (n_queries * n) —
+    # the same measurement advisor_report reports (shared helper)
+    cand_frac = ivf_candidate_fraction(
+        queries, cents, cells, "cosine", nprobe, n, n_queries
     )
-    probes = topk_per_group(
-        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"], rank_name="_r"
-    ).select("query_id", F.col("cid").alias("cell"))
-    n_cand = (
-        probes.join(F.broadcast(cell_sizes), on="cell")
-        .agg(F.sum("count"))
-        .collect()[0][0]
-    )
-    cand_frac = n_cand / (n_queries * n)
 
     t0 = time.time()
     pred = ivf_search(
@@ -756,7 +746,10 @@ def compact_serve_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 4) -
 
         def compact() -> None:
             t0 = time.time()
-            state["stats"] = compact_bucket_store(spark, bp, dedup=True)
+            try:
+                state["stats"] = compact_bucket_store(spark, bp, dedup=True)
+            except Exception as e:  # surfaced below, not thread-swallowed
+                state["err"] = e
             state["t"] = time.time() - t0
 
         th = threading.Thread(target=compact)
@@ -771,14 +764,21 @@ def compact_serve_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 4) -
             assert got == want, "mid-compaction lookup returned WRONG rows"
             during.append(t)
         th.join()
+        if "err" in state:
+            raise state["err"]
         t_after, got = lookup()
         assert got == want
         s = state["stats"]
+        rng_s = (
+            f"{min(during):.2f}-{max(during):.2f} s x{len(during)}"
+            if during
+            else "none completed"
+        )
         print(
             f"| {n:,} x {dims}, {cfg.n_trees} trees | "
             f"{s['files_before']} -> {s['files_after']} files | "
             f"compact {state['t']:.1f} s | lookup before {t_before:.2f} s | "
-            f"during {min(during):.2f}-{max(during):.2f} s x{len(during)} "
+            f"during {rng_s} "
             f"({failed} failed) | after {t_after:.2f} s |"
         )
     finally:

@@ -61,16 +61,28 @@ def bound_hot_buckets(buckets: DataFrame, stats: DataFrame, cap: int) -> DataFra
 def _bound_scanned_buckets(scan: DataFrame, cap: int | None) -> DataFrame:
     """Apply the ``max_bucket_size`` thinning to a PRUNED bucket scan
     (the point-lookup paths). The pruned scan holds WHOLE buckets —
-    pruning filters on (tree, hash) only — so recomputing sz over the
-    scan yields the same sizes, hence the identical survivor set, as
-    ``bound_hot_buckets`` over the full store: serving results stay
-    consistent with batch ``lsh_search`` on the same index. The stats
-    aggregation runs over probed-bucket rows only (bucket-size cost,
-    not store cost)."""
+    pruning filters on (tree, hash) only — so computing sz over the
+    scan yields the same sizes, hence the identical survivor set
+    (same sz, same xxhash64 rule), as ``bound_hot_buckets`` over the
+    full store: serving results stay consistent with batch
+    ``lsh_search`` on the same index. sz comes from a count WINDOW over
+    the scan — one read of the probed buckets (a groupBy+self-join
+    would execute every per-tree parquet scan twice), with the
+    exchange sized by probed rows, not the store."""
     if cap is None:
         return scan
-    stats = scan.groupBy("tree", "hash").agg(F.count(F.lit(1)).alias("sz"))
-    return bound_hot_buckets(scan, stats, cap)
+    from pyspark.sql import Window
+
+    sz = F.count(F.lit(1)).over(Window.partitionBy("tree", "hash"))
+    keep_mod = F.ceil(F.col("_sz") / F.lit(cap)).cast("long")
+    return (
+        scan.withColumn("_sz", sz)
+        .filter(
+            (F.col("_sz") <= cap)
+            | (F.pmod(F.xxhash64("tree", "hash", "id"), keep_mod) == 0)
+        )
+        .drop("_sz")
+    )
 
 
 def lsh_search(

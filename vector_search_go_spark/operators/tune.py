@@ -31,8 +31,32 @@ from pyspark.sql import functions as F
 from vector_search_go_spark.config import LshConfig
 
 
+def ivf_candidate_fraction(queries, cents, cells, metric, nprobe, n, nq) -> float:
+    """Probed-cell member rows / (n_queries * corpus): the scan-cost
+    proxy for an IVF config. Shared by advisor_report and
+    tools/scale_probe.py --angular-ivf so the two never drift."""
+    from vector_search_go_spark.functions.metrics import metric_dist
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    cell_sizes = cells.groupBy("cell").count()
+    qprobe = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", metric_dist(metric, F.col("qvec"), F.col("cvec"))
+    )
+    probes = topk_per_group(
+        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"],
+        rank_name="_r",
+    ).select("query_id", F.col("cid").alias("cell"))
+    n_cand = (
+        probes.join(F.broadcast(cell_sizes), on="cell")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0
+    )
+    return n_cand / (nq * n)
+
+
 def _lsh_point(spark, corpus, queries, n, nq, metric, k, threshold,
-               n_trees, k_min_vecs, seed, sample_size):
+               n_trees, k_min_vecs, seed, sample_size, pins):
     from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
     from vector_search_go_spark.lsh.search import lsh_search
 
@@ -43,6 +67,7 @@ def _lsh_point(spark, corpus, queries, n, nq, metric, k, threshold,
     )
     idx = LshIndex.train(spark, corpus, cfg)
     idx.buckets = idx.buckets.cache()
+    pins.append(idx.buckets)
     hash_vec = _hash_probe_udf(spark, idx.forest, with_probes=True)
     qh = (
         queries.select(
@@ -66,36 +91,22 @@ def _lsh_point(spark, corpus, queries, n, nq, metric, k, threshold,
 
 
 def _ivf_point(spark, corpus, queries, n, nq, metric, k, threshold,
-               n_cells, nprobe):
-    from vector_search_go_spark.functions.metrics import metric_dist
+               n_cells, nprobe, pins):
     from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
     from vector_search_go_spark.operators.kmeans import kmeans_fit
-    from vector_search_go_spark.operators.topk import topk_per_group
 
     dims = len(corpus.select("vec").head()["vec"])
     cents = kmeans_fit(corpus, n_cells, iters=3, dim=dims)
     cents = spark.createDataFrame(cents.collect(), cents.schema).cache()
     cells = assign_cells(corpus, cents, metric=metric).cache()
-    cell_sizes = cells.groupBy("cell").count()
-    qprobe = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", metric_dist(metric, F.col("qvec"), F.col("cvec"))
-    )
-    probes = topk_per_group(
-        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"],
-        rank_name="_r",
-    ).select("query_id", F.col("cid").alias("cell"))
-    n_cand = (
-        probes.join(F.broadcast(cell_sizes), on="cell")
-        .agg(F.sum("count"))
-        .collect()[0][0]
-        or 0
-    )
+    pins.extend([cents, cells])
+    frac = ivf_candidate_fraction(queries, cents, cells, metric, nprobe, n, nq)
     pred = ivf_search(
         queries, cells, cents, metric=metric, k=k, nprobe=nprobe
     )
     if threshold is not None:
         pred = pred.filter(F.col("dist") <= F.lit(float(threshold)))
-    return pred, n_cand / (nq * n), f"cells={n_cells},nprobe={nprobe}"
+    return pred, frac, f"cells={n_cells},nprobe={nprobe}"
 
 
 def advisor_report(
@@ -132,12 +143,14 @@ def advisor_report(
         queries, corpus, metric=metric, k=k, threshold=threshold
     ).cache()
     truth.count()
+    pins = [truth]  # unpersisted before returning — a long-lived
+    # session re-tuning per corpus must not accumulate storage memory
 
     rows = [("exact", "scan", 1.0, 1.0)]
     for n_trees, k_min in lsh_configs:
         pred, frac, label = _lsh_point(
             spark, corpus, queries, n, nq, metric, k, threshold,
-            n_trees, k_min, seed, sample_size,
+            n_trees, k_min, seed, sample_size, pins,
         )
         _, r = mean_precision_recall(
             distance_based_precision_recall(pred, truth, eps)
@@ -146,13 +159,15 @@ def advisor_report(
     for n_cells, nprobe in ivf_configs:
         pred, frac, label = _ivf_point(
             spark, corpus, queries, n, nq, metric, k, threshold,
-            n_cells, nprobe,
+            n_cells, nprobe, pins,
         )
         _, r = mean_precision_recall(
             distance_based_precision_recall(pred, truth, eps)
         )
         rows.append(("ivf", label, float(r), float(frac)))
 
+    for df in pins:
+        df.unpersist()
     in_band = [row for row in rows if row[2] >= recall_band]
     best = min(in_band, key=lambda row: (row[3], row[0], row[1]))
     out = [

@@ -93,7 +93,11 @@ def hot_bucket_chain_pairs(
     )
     return (
         chained.select("id", F.explode("nbrs").alias("nb"))
-        .filter(F.col("nb").isNotNull())
+        # nb == id when the members table carries replayed duplicate
+        # (tree, hash, id) rows (the streaming sink is at-least-once):
+        # drop the degenerate self-pair so id_a < id_b always holds,
+        # matching the small-bucket self-join's strict filter
+        .filter(F.col("nb").isNotNull() & (F.col("nb") != F.col("id")))
         .select(
             F.least("id", "nb").alias("id_a"), F.greatest("id", "nb").alias("id_b")
         )
