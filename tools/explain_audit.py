@@ -246,6 +246,43 @@ def audit_point_search(spark, sections, failures) -> None:
     )
     print("op:lsh_point_search: " + ("OK" if ok else "FAIL"))
 
+    # capped variant: max_bucket_size thinning must ride the SAME
+    # pruned scan (one read — the sz count is a window, not a
+    # groupBy+self-join that would re-execute every per-tree scan)
+    plan_c = plan_text(
+        point_bucket_candidates(spark, path, hashes, probes, max_bucket_size=50)
+    )
+    c_part = "PartitionFilters: [" in plan_c and "tree" in plan_c.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    c_push = any(
+        seg.lstrip().startswith("In(hash")
+        for seg in plan_c.split("PushedFilters: [")[1:]
+    )
+    c_window = "Window" in plan_c
+    # one scan per probed tree, not two: count the parquet scan nodes
+    n_scans = plan_c.count("Scan parquet")
+    n_scans_uncapped = plan.count("Scan parquet")
+    c_single = n_scans == n_scans_uncapped
+    ok_c = c_part and c_push and c_window and c_single
+    lines_c = [
+        f"  - [{'x' if c_part else ' '}] capped scan still prunes tree partition dirs",
+        f"  - [{'x' if c_push else ' '}] capped scan keeps hash IN pushdown",
+        f"  - [{'x' if c_window else ' '}] sz via count window (no stats self-join)",
+        f"  - [{'x' if c_single else ' '}] same scan count as uncapped ({n_scans} == {n_scans_uncapped})",
+    ]
+    if not ok_c:
+        failures.append(
+            f"op:lsh_point_search_capped: structure off (part={c_part}, "
+            f"push={c_push}, window={c_window}, scans={n_scans}/{n_scans_uncapped})"
+        )
+    sections.append(
+        "## op:lsh_point_search_capped\n\n"
+        + "\n".join(lines_c)
+        + f"\n\n```\n{plan_c}\n```\n"
+    )
+    print("op:lsh_point_search_capped: " + ("OK" if ok_c else "FAIL"))
+
 
 def audit_hot_chain(spark, sections, failures) -> None:
     """The hot-bucket dedup bound must be structurally LINEAR: chain
