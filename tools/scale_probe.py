@@ -679,6 +679,84 @@ def compact_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 8) -> None
         shutil.rmtree(base, ignore_errors=True)
 
 
+def capped_serve_probe(n: int = 1_000_000, dims: int = 64, n_dup: int = 100_000) -> None:
+    """Hot-bucket bound ON THE SERVING PATH at corpus scale: an
+    adversarial corpus (n - n_dup random + n_dup exact duplicates)
+    leaves an unsplittable ~n_dup-member bucket in every tree. A point
+    lookup that probes it must fetch and score ~n_dup * trees
+    candidates unbounded; with LshConfig.max_bucket_size the pruned
+    scan thins deterministically (window sz + xxhash64 rule — plan
+    audited in op:lsh_point_search_capped). Reports lookup latency
+    into the hot bucket capped vs uncapped, and a healthy-bucket
+    lookup under both (must match bit-for-bit: thinning never touches
+    buckets at or under the cap)."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import lsh_point_search
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "capped-serve-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((n - n_dup, dims))
+    dup = rng.standard_normal(dims)
+    rows = [(int(i), X[i].tolist()) for i in range(len(X))] + [
+        (int(len(X) + j), dup.tolist()) for j in range(n_dup)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    base = tempfile.mkdtemp(prefix="capped_serve_probe_")
+    try:
+        # cap must sit ABOVE the natural bucket size at corpus scale:
+        # trees build on sample_size rows, so a k_min-sized sample leaf
+        # holds ~n * k_min / sample_size corpus rows (~1,000 at 1M) —
+        # 8x that fires only on the adversarial duplicate bucket
+        cap = max(500, 8 * (n * 100) // 100_000)
+        cfg = LshConfig(
+            dims=dims, n_trees=10, k_min_vecs=100, seed=7,
+            max_bucket_size=cap,
+        )
+        idx = LshIndex.train(spark, corpus, cfg)
+        idx.save(f"{base}/idx")
+        capped = LshIndex.load_forest(spark, f"{base}/idx")
+        uncapped = dataclasses.replace(capped)
+        uncapped.config = dataclasses.replace(cfg, max_bucket_size=None)
+
+        def lookup(qv, forest):
+            t0 = time.time()
+            rows_ = lsh_point_search(
+                spark, f"{base}/idx", qv, "l2", k=10, forest=forest
+            ).collect()
+            return time.time() - t0, sorted((r["id"], r["dist"]) for r in rows_)
+
+        qs = {"hot": dup.tolist(), "healthy": X[123].tolist()}
+        lookup(qs["healthy"], capped)  # warm the workers
+        out = {}
+        for name, qv in qs.items():
+            t_un, r_un = lookup(qv, uncapped)
+            t_cap, r_cap = lookup(qv, capped)
+            out[name] = (t_un, t_cap, r_un, r_cap)
+        assert out["healthy"][2] == out["healthy"][3], "healthy bucket thinned!"
+        hot = out["hot"]
+        assert all(d == 0.0 for _, d in hot[3][:10]), "capped hot lookup wrong"
+        print(
+            f"| {n:,} x {dims}, {cfg.n_trees} trees, {n_dup:,}-dup bucket | "
+            f"hot uncapped {hot[0]:.2f} s | hot capped (cap={cap}) {hot[1]:.2f} s | "
+            f"healthy {out['healthy'][0]:.2f} / {out['healthy'][1]:.2f} s "
+            f"(identical rows) |"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def compact_serve_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 4) -> None:
     """Maintenance loop UNDER LOAD (VERDICT r3 item 8): point lookups
     run concurrently with compact(dedup=True) on a replay-fragmented
@@ -791,6 +869,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if sys.argv[1:2] == ["--compact-serve"]:
         compact_serve_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--capped-serve"]:
+        capped_serve_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--serve"]:
         serve_probe(*[int(s) for s in sys.argv[2:]])
