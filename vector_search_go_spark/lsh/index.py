@@ -165,14 +165,32 @@ class LshIndex:
         (
             # range-partition a handful of trees per task: one file per
             # tree directory without hashing 40 trees across 32 shuffle
-            # partitions (which writes O(partitions x trees) small files)
+            # partitions (which writes O(partitions x trees) small files).
+            # Small row groups (1 MiB vs the 128 MiB default): rows are
+            # hash-sorted, so bucket lookups prune by row-group min/max
+            # stats — at 1M vectors a tree file is one default-size row
+            # group and every probe decodes the whole tree; 1 MiB groups
+            # make probe I/O proportional to bucket size for BOTH the
+            # Spark point paths and the driver-side local reader.
             self.buckets.repartitionByRange(8, "tree")
             .sortWithinPartitions("tree", "hash")
             .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 20)
+            .option("parquet.page.size", 128 << 10)
             .partitionBy("tree")
             .parquet(f"{path}/buckets")
         )
-        self.vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+        (
+            # id-sorted with modest row groups so candidate fetches
+            # (`id IN (...)`) skip row groups instead of scanning the
+            # table — the serving-store analog of the IVFADC vectors
+            # layout (operators/pq.py ivfpq_save).
+            self.vectors.repartitionByRange(8, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 4 << 20)
+            .parquet(f"{path}/vectors")
+        )
 
     @staticmethod
     def load_forest(spark: SparkSession, path: str) -> Forest:

@@ -266,42 +266,53 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
     return score
 
 
+def single_query_dists(metric: str, q: np.ndarray, V: np.ndarray,
+                       tol: float = 1e-6) -> np.ndarray:
+    """Distances from ONE query vector to each row of V — the shared
+    numpy kernel behind single_query_dist_udf AND the driver-side
+    serving readers (serve/local_reader.py). Sequential per-dimension
+    IEEE adds, operand order A = query / B = corpus, identical to every
+    other kernel, so both consumers are bit-identical to the fold
+    expression by construction."""
+    q = np.asarray(q, dtype=np.float64)
+    V = np.asarray(V, dtype=np.float64)
+    if len(V) == 0:
+        return np.empty(0)
+    if metric not in ("cosine", "angular"):
+        s = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            diff = q[d] - V[:, d]
+            s += diff * diff
+        return np.sqrt(s)
+    nq = 0.0
+    for d in range(q.shape[0]):
+        nq += q[d] * q[d]
+    nq = np.sqrt(nq)
+    nv = np.zeros(len(V))
+    for d in range(V.shape[1]):
+        nv += V[:, d] * V[:, d]
+    nv = np.sqrt(nv)
+    dot = np.zeros(len(V))
+    for d in range(V.shape[1]):
+        dot += q[d] * V[:, d]
+    raw = 1.0 - dot / (nq * nv)
+    out = np.where(raw < tol, 0.0, raw)
+    return np.where((nq <= tol) | (nv <= tol), 1.0, out)
+
+
 def single_query_dist_udf(metric: str, qvec, tol: float = 1e-6):
     """Distance from ONE fixed query vector (closure) to the row's
     vector — the point-lookup scorer (lsh.search.lsh_point_search).
-    Same sequential per-dimension IEEE adds and operand order
-    (A = query, B = corpus) as every other kernel, so results are
-    bit-identical to the fold expression."""
+    Thin pandas_udf wrapper over single_query_dists (one kernel, two
+    consumers — Spark serving paths and the local reader)."""
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(list(qvec), dtype=np.float64)
-    is_cos = metric in ("cosine", "angular")
-    if is_cos:
-        nq = 0.0
-        for d in range(q.shape[0]):
-            nq += q[d] * q[d]
-        nq = np.sqrt(nq)
 
     @pandas_udf("double")
     def dist(vecs: pd.Series) -> pd.Series:
         V = np.array(vecs.tolist(), dtype=np.float64)
-        if not is_cos:
-            s = np.zeros(len(V))
-            for d in range(V.shape[1]):
-                diff = q[d] - V[:, d]
-                s += diff * diff
-            return pd.Series(np.sqrt(s))
-        nv = np.zeros(len(V))
-        for d in range(V.shape[1]):
-            nv += V[:, d] * V[:, d]
-        nv = np.sqrt(nv)
-        dot = np.zeros(len(V))
-        for d in range(V.shape[1]):
-            dot += q[d] * V[:, d]
-        raw = 1.0 - dot / (nq * nv)
-        out = np.where(raw < tol, 0.0, raw)
-        out = np.where((nq <= tol) | (nv <= tol), 1.0, out)
-        return pd.Series(out)
+        return pd.Series(single_query_dists(metric, q, V, tol=tol))
 
     return dist
 
