@@ -47,7 +47,11 @@ def test_window_plus_prior_artifacts_cover_every_query():
     import json
 
     checked = set()
-    for art in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for art in (
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         with open(f"/root/repo/{art}") as f:
             checked |= set(json.load(f))
     qs = list(registry.queries())

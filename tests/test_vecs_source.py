@@ -374,3 +374,52 @@ def test_multi_shard_positional_ids(spark, tmp_path):
     assert len(back) == n
     for r in back:
         assert r["vec"][0] == float(r["id"])  # id == global sorted rank
+
+
+def test_stream_legacy_offset_refused(tmp_path):
+    """A checkpoint offset with consumed files but NO 'bases' key comes
+    from the pre-sequential-base id scheme; resuming would renumber the
+    id space, so partitions() must refuse loudly instead of silently
+    remapping (ADVICE r4)."""
+    import pytest as _pytest
+
+    from vector_search_go_spark.sources.vecs import VecsStreamReader
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    write_fvecs(str(src / "a.fvecs"), np.ones((3, 4), dtype="float32"))
+    r = VecsStreamReader({"path": str(src), "kind": "fvecs"})
+    legacy = {"files": {str(src / "a.fvecs"): 3}}  # no "bases" key
+    end = r.latestOffset()
+    with _pytest.raises(ValueError, match="predates the sequential id-base"):
+        r.partitions(legacy, end)
+    # an UNconsumed legacy offset has nothing to remap — allowed
+    assert r.partitions({"files": {str(src / "a.fvecs"): 0}}, end)
+
+
+def test_stream_rederive_warns_at_fallback_moment(tmp_path):
+    """Second-restart hazard (ADVICE r4): when bases re-derive from an
+    offset whose base map is EMPTY while multiple files were already
+    consumed and no bases_path is set, the single-sorted-group fallback
+    is actually running — that moment must warn, not just the earlier
+    arrival-time assignment."""
+    import warnings as _warnings
+
+    from vector_search_go_spark.sources.vecs import VecsStreamReader
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    write_fvecs(str(src / "z.fvecs"), np.ones((5, 4), dtype="float32"))
+    write_fvecs(str(src / "a.fvecs"), np.zeros((3, 4), dtype="float32"))
+    r = VecsStreamReader({"path": str(src), "kind": "fvecs"})
+    # restart-shaped offset: both files consumed, base map empty (the
+    # first post-restart latestOffset logs {} before any rebuild)
+    start = {
+        "files": {str(src / "z.fvecs"): 5, str(src / "a.fvecs"): 3},
+        "bases": {},
+    }
+    end = r.latestOffset()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        r.partitions(start, end)
+    assert any("re-deriving id bases" in str(x.message) for x in w)

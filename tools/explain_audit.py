@@ -328,6 +328,41 @@ def audit_hot_chain(spark, sections, failures) -> None:
     print("op:dedup_hot_chain: " + ("OK" if ok else "FAIL"))
 
 
+def audit_sketch_defaults(spark, sections, failures) -> None:
+    """The band-verdict queries compute exact distinct/rank columns
+    ONLY in verdict mode (the driver-oracle gate); their default plans
+    must be sketch-only — no exact-distinct aggregate, no
+    rank-validation join (VERDICT r4 item 6: at 100 TB the exact side
+    dominates the whole query). 'count(distinct ' in formatted-plan
+    aggregate expressions is the exact-distinct marker
+    (approx_count_distinct renders as its own name, so the substring
+    is unambiguous); the verdict plans are checked to CONTAIN it, so
+    the discriminator itself cannot silently rot."""
+    from vector_search_go_spark.queries_pipeline import sketch_rollup_plan
+    from vector_search_go_spark.queries_relational import approx_aggregates_plan
+
+    for name, fn in (
+        ("op:sketch_rollup_default", sketch_rollup_plan),
+        ("op:approx_aggregates_default", approx_aggregates_plan),
+    ):
+        plan_d = plan_text(fn(spark, SF_DIR, verdict=False)).lower()
+        plan_v = plan_text(fn(spark, SF_DIR, verdict=True)).lower()
+        ok_d = "count(distinct " not in plan_d
+        ok_v = "count(distinct " in plan_v
+        ok = ok_d and ok_v
+        lines = [
+            f"  - [{'x' if ok_d else ' '}] default plan has NO exact-distinct aggregate",
+            f"  - [{'x' if ok_v else ' '}] verdict plan still carries the exact side (discriminator sanity)",
+        ]
+        if not ok:
+            failures.append(
+                f"{name}: exact-distinct placement wrong (default_clean={ok_d}, "
+                f"verdict_has={ok_v})"
+            )
+        sections.append(f"## {name}\n\n" + "\n".join(lines) + f"\n\n```\n{plan_d}\n```\n")
+        print(f"{name}: " + ("OK" if ok else "FAIL"))
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -405,6 +440,7 @@ def main() -> int:
     audit_point_search(spark, sections, failures)
     audit_ivf_point_search(spark, sections, failures)
     audit_hot_chain(spark, sections, failures)
+    audit_sketch_defaults(spark, sections, failures)
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write(

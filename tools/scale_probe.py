@@ -863,7 +863,285 @@ def compact_serve_probe(n: int = 1_000_000, dims: int = 64, n_chunks: int = 4) -
         shutil.rmtree(base, ignore_errors=True)
 
 
+def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None:
+    """Single-query latency of the DRIVER-SIDE serving readers
+    (serve.local_reader) at corpus scale — the VERDICT r4 item-1 row.
+    Builds the three persisted stores once, then measures per-query
+    wall time over 100 lookups per family with NO Spark job on the
+    query path (models + probing in numpy, probed partitions via
+    pyarrow row-group pruning). Parity vs the Spark point paths is
+    pinned bit-exact in tests/test_serve_local.py; this probe re-checks
+    3 queries per family anyway, then reports init + median/p90 ms/q —
+    the number to put against the reference's in-memory 15-268 ms/q
+    regime (README.md:154,172)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.lsh.search import lsh_point_search
+    from vector_search_go_spark.operators.ann_ivf import ivf_point_search, ivf_save
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_point_search,
+        ivfpq_save,
+        pq_codebook,
+    )
+    from vector_search_go_spark.serve.local_reader import (
+        LocalIvfPqReader,
+        LocalIvfReader,
+        LocalLshReader,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "local-serve-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
+    ).repartition(32)
+    corpus.cache().count()
+    step = max(1, n // k_cells)
+    cents = corpus.filter(F.col("id") % step == 0).select(
+        (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    emb_like = corpus.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    qidx = rng.choice(n, size=100, replace=False)
+    base = tempfile.mkdtemp(prefix="local_serve_probe_")
+    try:
+        cfg = LshConfig(
+            dims=dims, n_trees=40, k_min_vecs=100, seed=42,
+            sample_size=20_000, max_bucket_size=800,
+        )
+        t0 = time.time()
+        LshIndex.train(spark, corpus, cfg).save(f"{base}/lsh")
+        t_lsh = time.time() - t0
+        t0 = time.time()
+        ivf_save(spark, corpus, cents, f"{base}/ivf", metric="l2")
+        t_ivf = time.time() - t0
+        t0 = time.time()
+        ivfpq_save(
+            spark, corpus, cents, pq_codebook(emb_like), f"{base}/ivfpq", metric="l2"
+        )
+        t_pq = time.time() - t0
+
+        def bench_reader(name, mk_reader, local_fn, spark_fn, t_build):
+            t0 = time.time()
+            reader = mk_reader()
+            t_init = time.time() - t0
+            # parity spot-check (the full gate is tests/test_serve_local.py)
+            for qi in qidx[:3]:
+                got = [
+                    (int(r.id), float(r.dist), int(r.rn))
+                    for r in local_fn(reader, X[qi]).itertuples()
+                ]
+                want = [
+                    (r["id"], r["dist"], r["rn"])
+                    for r in spark_fn(X[qi].tolist()).orderBy("rn").collect()
+                ]
+                assert got == want, f"{name} parity broke at query {qi}"
+            times = []
+            for qi in qidx:
+                t0 = time.time()
+                local_fn(reader, X[qi])
+                times.append((time.time() - t0) * 1000)
+            times.sort()
+            med, p90 = times[len(times) // 2], times[int(len(times) * 0.9)]
+            print(
+                f"| {name} | {n:,} x {dims} | build {t_build:.0f} s | "
+                f"reader init {t_init:.1f} s | {med:.1f} ms/q median, "
+                f"{p90:.1f} ms/q p90 | parity 3/3 |",
+                flush=True,
+            )
+
+        forest = LshIndex.load_forest(spark, f"{base}/lsh")
+        bench_reader(
+            "lsh-local",
+            lambda: LocalLshReader(f"{base}/lsh", metric="l2"),
+            lambda r, q: r.search(q, k=10),
+            lambda qv: lsh_point_search(
+                spark, f"{base}/lsh", qv, "l2", k=10, forest=forest
+            ),
+            t_lsh,
+        )
+        bench_reader(
+            "lsh-local-lazy",
+            lambda: LocalLshReader(f"{base}/lsh", metric="l2", preload_vectors=False),
+            lambda r, q: r.search(q, k=10),
+            lambda qv: lsh_point_search(
+                spark, f"{base}/lsh", qv, "l2", k=10, forest=forest
+            ),
+            t_lsh,
+        )
+        bench_reader(
+            "ivf-local",
+            lambda: LocalIvfReader(f"{base}/ivf", metric="l2"),
+            lambda r, q: r.search(q, k=10, nprobe=8),
+            lambda qv: ivf_point_search(
+                spark, f"{base}/ivf", qv, "l2", k=10, nprobe=8
+            ),
+            t_ivf,
+        )
+        bench_reader(
+            "ivfpq-local",
+            lambda: LocalIvfPqReader(f"{base}/ivfpq"),
+            lambda r, q: r.search(q, k=10, nprobe=8),
+            lambda qv: ivfpq_point_search(
+                spark, f"{base}/ivfpq", qv, "l2", k=10, nprobe=8
+            ),
+            t_pq,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def glove_probe(
+    n: int = 1_183_514,
+    dims: int = 200,
+    k: int = 10,
+    n_queries: int = 50,
+    sample_size: int = 100_000,
+    n_trees: int = 150,
+    k_min_vecs: int = 300,
+    max_dist: float = 0.75,
+) -> None:
+    """The GloVe-shape row the reference left unpublished: its
+    README's last benchmark line is 1.18M x 200-d angular with every
+    result column '????' (README.md:176-178), though the harness
+    carries a drafted config — NTrees=150, KMinVecs=300, MaxDist=0.75,
+    eps=0.05 (annbench_test.go:282-292). This runs that exact shape and
+    config on the same synthetic clustered-unit-sphere family as the
+    NYTimes probe (make_angular_corpus — same caveat: synthetic, so
+    recall is comparable as a band, not number-for-number) and prints
+    train time, bucket rows, search/exact cost, candidate fraction,
+    eps-recall, and the scan-vs-index verdict the advisor operator
+    would give at this shape."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex, _hash_probe_udf
+    from vector_search_go_spark.lsh.search import lsh_search
+    from vector_search_go_spark.operators.exact_knn import exact_knn_join
+    from vector_search_go_spark.operators.recall import (
+        distance_based_precision_recall,
+        mean_precision_recall,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark("glove-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # corpus lands as parquet via pyarrow (createDataFrame of 1.18M
+    # 200-d python lists costs minutes of driver serialization)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(128, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.integers(0, len(centers), size=n)] * 3.0 + rng.normal(
+        size=(n, dims)
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    base = tempfile.mkdtemp(prefix="glove_probe_")
+    try:
+        tbl = pa.table(
+            {
+                "id": pa.array(np.arange(n), type=pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1)), dims
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
+        papq.write_table(tbl, f"{base}/corpus.parquet", row_group_size=65536)
+        corpus = spark.read.parquet(f"{base}/corpus.parquet").repartition(32)
+        corpus.cache().count()
+        qidx = rng.choice(n, size=n_queries, replace=False)
+        queries = spark.createDataFrame(
+            [(int(i), X[i].tolist()) for i in qidx],
+            "query_id bigint, qvec array<double>",
+        )
+
+        cfg = LshConfig(
+            dims=dims, n_trees=n_trees, k_min_vecs=k_min_vecs,
+            is_angular=True, seed=42, sample_size=sample_size,
+        )
+        t0 = time.time()
+        idx = LshIndex.train(spark, corpus, cfg)
+        idx.buckets = idx.buckets.cache()
+        n_bucket_rows = idx.buckets.count()
+        t_train = time.time() - t0
+        print(f"# trained in {t_train:.0f} s, {n_bucket_rows:,} bucket rows", flush=True)
+
+        hash_vec = _hash_probe_udf(spark, idx.forest, with_probes=True)
+        qh = (
+            queries.select(
+                "query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash")
+            )
+            .select(
+                "query_id",
+                (F.col("pos") % cfg.n_trees).cast("int").alias("tree"),
+                "hash",
+            )
+            .dropDuplicates(["query_id", "tree", "hash"])
+        )
+        n_cand = (
+            idx.buckets.join(F.broadcast(qh), on=["tree", "hash"])
+            .select("query_id", "id")
+            .dropDuplicates()
+            .count()
+        )
+        cand_frac = n_cand / (n_queries * n)
+
+        t0 = time.time()
+        pred = lsh_search(idx, queries, metric="cosine", k=k, threshold=max_dist).cache()
+        pred.count()
+        t_search = time.time() - t0
+
+        t0 = time.time()
+        truth = exact_knn_join(
+            queries, corpus, metric="cosine", k=k, threshold=max_dist
+        ).cache()
+        truth.count()
+        t_exact = time.time() - t0
+
+        p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
+        verdict = (
+            "scan (index does not prune in-band)"
+            if cand_frac > 0.5 or r < 0.85
+            else "index (prunes in-band)"
+        )
+        if cand_frac > 0.5 and r >= 0.85:
+            verdict = "scan (recall holds but candidate fraction ~1 — no pruning)"
+        print(
+            f"| {n:,} x {dims} | {n_trees} trees, k_min {k_min_vecs}, "
+            f"sample {sample_size // 1000}k | train {t_train:.0f} s | "
+            f"{n_bucket_rows:,} | search {t_search:.1f} s / exact {t_exact:.1f} s "
+            f"({n_queries} q) | frac {cand_frac:.3f} | "
+            f"P/R {p:.3f} / {r:.3f} | advisor: {verdict} |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--local-serve"]:
+        local_serve_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--glove-shape"]:
+        glove_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--compact"]:
         compact_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)

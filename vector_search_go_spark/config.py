@@ -58,6 +58,11 @@ class LshConfig:
     # order; we bound it at candidate GENERATION with a deterministic
     # id-hash thinning of buckets above this size (lsh/search.py).
     # None = unbounded (the reference's MaxCandidates=inf tuning).
+    # The cap applies to PHYSICAL bucket rows: on an uncompacted
+    # at-least-once streamed store, replayed duplicate rows count
+    # toward it (thinning turns quietly more aggressive than
+    # configured) — run compact(dedup=True) before relying on the
+    # exact value (lsh/search.py bound_hot_buckets).
     max_bucket_size: int | None = None
 
     def __post_init__(self) -> None:

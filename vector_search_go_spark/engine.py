@@ -34,7 +34,9 @@ from vector_search_go_spark.operators.exact_knn import exact_knn_join
 
 class VectorSearchEngine:
     """metric: 'l2' or 'cosine' (reference Metric interface, lsh/lsh.go:48-51).
-    backend: 'lsh' (the index) or 'exact' (NNMock-equivalent oracle)."""
+    backend: 'lsh' (the index), 'ivf' (coarse-quantizer index), or
+    'exact' (NNMock-equivalent oracle). ``train(df, auto=True)`` picks
+    the backend by MEASUREMENT (operators.tune.advisor_report)."""
 
     def __init__(
         self,
@@ -42,8 +44,10 @@ class VectorSearchEngine:
         config: LshConfig | None = None,
         metric: str = "l2",
         backend: str = "lsh",
+        ivf_cells: int = 16,
+        ivf_nprobe: int = 4,
     ):
-        if backend not in ("lsh", "exact"):
+        if backend not in ("lsh", "exact", "ivf"):
             raise ValueError(f"unknown backend {backend!r}")
         self.spark = spark
         self.metric = metric
@@ -61,18 +65,123 @@ class VectorSearchEngine:
                 sample_size=config.sample_size,
             )
         self.config = config
+        self.ivf_cells = ivf_cells
+        self.ivf_nprobe = ivf_nprobe
         self._index: LshIndex | None = None
         self._vectors: DataFrame | None = None
+        self._cents: DataFrame | None = None
+        self._cells: DataFrame | None = None
+        self.advisor_decision: dict | None = None
 
     # -- Train (lsh/lsh.go:106-134; Train clears prior state) ---------
 
-    def train(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
+    def train(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vec",
+        auto: bool = False,
+        probe_rows: int = 5_000,
+        probe_queries: int = 20,
+        recall_band: float = 0.85,
+        probe_threshold: float | None = None,
+    ) -> None:
+        """``auto=True`` picks the backend by measurement before
+        training (VERDICT r4 item 4): advisor_report runs on a bounded
+        seeded sample (``probe_rows`` corpus rows x ``probe_queries``
+        member queries — at 100 TB this is one partition's worth, never
+        the corpus), and the cheapest config inside ``recall_band``
+        wins — exact scan / LSH / IVF. The decision, with its measured
+        (eps_recall, cand_frac), lands in ``self.advisor_decision`` and
+        is persisted by save(). The reference hardcodes this judgment
+        per dataset (annbench_test.go:215-260); the SCALE.md angular
+        probes showed near-uniform corpora admit NO pruning index, so
+        the choice must be measured, not assumed.
+
+        ``probe_threshold``: the MaxDist the workload will search with
+        (reference Search's distanceThrsh, lsh/lsh.go:137). Pass it when
+        known — on high-dimensional near-uniform corpora distances
+        concentrate, so WITHOUT a threshold the eps-relaxed recall is
+        trivially in-band for any candidate set and the probe cannot
+        distinguish a pruning index from a useless one (the SCALE.md
+        angular probes all measure at the reference's MaxDist for the
+        same reason)."""
         vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         self._vectors = vectors
+        if auto:
+            self._auto_pick(
+                vectors, probe_rows, probe_queries, recall_band, probe_threshold
+            )
         if self.backend == "lsh":
             if self.config is None:
                 raise ValueError("backend='lsh' requires an LshConfig")
             self._index = LshIndex.train(self.spark, vectors, self.config)
+        elif self.backend == "ivf":
+            self._train_ivf(vectors)
+
+    def _train_ivf(self, vectors: DataFrame) -> None:
+        from vector_search_go_spark.operators.ann_ivf import assign_cells
+        from vector_search_go_spark.operators.kmeans import kmeans_fit
+
+        dims = len(vectors.select("vec").head()["vec"])
+        cents = kmeans_fit(vectors, self.ivf_cells, iters=3, dim=dims)
+        self._cents = self.spark.createDataFrame(cents.collect(), cents.schema)
+        self._cells = assign_cells(vectors, self._cents, metric=self.metric)
+
+    def _auto_pick(
+        self, vectors: DataFrame, probe_rows: int, probe_queries: int,
+        recall_band: float, probe_threshold: float | None = None,
+    ) -> None:
+        from vector_search_go_spark.operators.tune import advisor_report
+
+        n = vectors.count()
+        probe = vectors
+        if n > probe_rows:
+            probe = vectors.sample(
+                fraction=min(1.0, 1.2 * probe_rows / n), seed=7
+            ).limit(probe_rows)
+        probe = probe.cache()
+        queries = (
+            probe.orderBy("id")
+            .limit(probe_queries)
+            .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+        )
+        report = advisor_report(
+            self.spark, probe, queries, metric=self.metric,
+            threshold=probe_threshold,
+            recall_band=recall_band,
+            lsh_configs=((8, 50), (16, 50)),
+            ivf_configs=((self.ivf_cells, self.ivf_nprobe),),
+        )
+        best = report.filter(F.col("recommended")).collect()[0]
+        probe.unpersist()
+        self.advisor_decision = {
+            "family": best["family"],
+            "config": best["config"],
+            "eps_recall": float(best["eps_recall"]),
+            "cand_frac": float(best["cand_frac"]),
+        }
+        kv = dict(
+            p.split("=") for p in best["config"].split(",") if "=" in p
+        )
+        if best["family"] == "exact":
+            self.backend = "exact"
+        elif best["family"] == "lsh":
+            self.backend = "lsh"
+            dims = len(vectors.select("vec").head()["vec"])
+            self.config = LshConfig(
+                dims=dims,
+                n_trees=int(kv["trees"]),
+                k_min_vecs=int(kv["k_min"]),
+                is_angular=is_angular(self.metric),
+                max_bucket_size=self.config.max_bucket_size
+                if self.config is not None
+                else None,
+            )
+        else:
+            self.backend = "ivf"
+            self.ivf_cells = int(kv["cells"])
+            self.ivf_nprobe = int(kv["nprobe"])
 
     # -- Search (lsh/lsh.go:137-197 / annbench.go:86-125) -------------
 
@@ -91,6 +200,17 @@ class VectorSearchEngine:
         )
         if self.backend == "exact":
             return exact_knn_join(q, self._vectors, self.metric, k, threshold)
+        if self.backend == "ivf":
+            from vector_search_go_spark.operators.ann_ivf import ivf_search
+
+            assert self._cells is not None and self._cents is not None
+            out = ivf_search(
+                q, self._cells, self._cents, metric=self.metric, k=k,
+                nprobe=self.ivf_nprobe,
+            )
+            if threshold is not None:
+                out = out.filter(F.col("dist") <= F.lit(float(threshold)))
+            return out
         assert self._index is not None
         return lsh_search(self._index, q, self.metric, k, threshold)
 
@@ -132,6 +252,20 @@ class VectorSearchEngine:
             .collect()
         )
 
+    def local_reader(self, path: str):
+        """Driver-side serving reader over a SAVED index dir — point
+        lookups with no Spark job (serve.local_reader; bit-identical
+        to point_search on the same store). The reference's serving
+        regime (in-process Search over an in-memory store,
+        lsh/lsh.go:137-197) rebuilt from the engine's own artifacts."""
+        if self.backend == "ivf":
+            from vector_search_go_spark.serve.local_reader import LocalIvfReader
+
+            return LocalIvfReader(path, metric=self.metric)
+        from vector_search_go_spark.serve.local_reader import LocalLshReader
+
+        return LocalLshReader(path, metric=self.metric)
+
     # -- Maintenance ---------------------------------------------------
 
     @staticmethod
@@ -163,12 +297,37 @@ class VectorSearchEngine:
             spark, f"{path}/buckets", dedup=dedup, keep_backup=keep_backup
         )
 
+    @staticmethod
+    def maintain(spark: SparkSession, path: str, **kwargs) -> dict:
+        """Drift-aware rebuild decision for a saved + streamed-into
+        index (streaming.maintain): measures bucket-mass drift against
+        the build-time baseline and runs the reference's
+        clear-and-rebuild Train (lsh/lsh.go:107-110) when tripped.
+        Returns the staleness report with the action taken."""
+        from vector_search_go_spark.streaming.maintain import maintain as _m
+
+        return _m(spark, path, **kwargs)
+
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 
     def save(self, path: str) -> None:
-        if self.backend != "lsh" or self._index is None:
-            raise RuntimeError("only a trained lsh backend can be saved")
-        self._index.save(path)
+        if self.backend == "lsh" and self._index is not None:
+            self._index.save(path)
+        elif self.backend == "ivf" and self._cells is not None:
+            from vector_search_go_spark.operators.ann_ivf import ivf_save
+
+            ivf_save(
+                self.spark, self._vectors, self._cents, path, metric=self.metric
+            )
+        else:
+            raise RuntimeError("only a trained lsh or ivf backend can be saved")
+        if self.advisor_decision is not None:
+            # measured decision rides with the model (VERDICT r4 item 4)
+            import json as _json
+
+            self.spark.createDataFrame(
+                [(_json.dumps(self.advisor_decision),)], "advisor_json string"
+            ).coalesce(1).write.mode("overwrite").json(f"{path}/advisor")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, metric: str = "l2") -> "VectorSearchEngine":

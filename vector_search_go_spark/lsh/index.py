@@ -191,6 +191,17 @@ class LshIndex:
             .option("parquet.block.size", 4 << 20)
             .parquet(f"{path}/vectors")
         )
+        (
+            # build-time bucket-mass distribution (n_buckets rows,
+            # tiny): the baseline streaming.maintain.bucket_staleness
+            # compares the drifting store against. The reference has no
+            # incremental path at all — Train clears and rebuilds
+            # (lsh/lsh.go:107-110); persisting the baseline is what
+            # lets us DECIDE when that rebuild is due.
+            self.bucket_stats()
+            .write.mode("overwrite")
+            .parquet(f"{path}/build_stats")
+        )
 
     @staticmethod
     def load_forest(spark: SparkSession, path: str) -> Forest:

@@ -48,7 +48,16 @@ def bound_hot_buckets(buckets: DataFrame, stats: DataFrame, cap: int) -> DataFra
     Scale shape: the oversize list broadcasts (it is the pathological
     tail of the bucket-size distribution, not the store), so the
     bound is a broadcast-join + filter on the bucket scan — no
-    shuffle, no window over the store."""
+    shuffle, no window over the store.
+
+    NOTE: sz counts PHYSICAL rows, not distinct ids. On an uncompacted
+    at-least-once store (streaming replays can append the same
+    (tree, hash, id) row twice) a bucket whose unique membership is
+    under the cap can still be thinned, and survivors land near
+    cap/replay-factor. Batch and point paths stay consistent with each
+    other (both count physical rows — _bound_scanned_buckets), and
+    ``compact(dedup=True)`` restores the configured semantics; compact
+    replayed stores before relying on the exact cap value."""
     hot = stats.filter(F.col("sz") > cap)
     thinned = buckets.join(F.broadcast(hot), on=["tree", "hash"], how="left")
     keep_mod = F.ceil(F.col("sz") / F.lit(cap)).cast("long")

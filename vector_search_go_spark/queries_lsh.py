@@ -332,6 +332,42 @@ def lsh_model_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.agg(F.count(F.lit(1)).alias("n_mismatched_bucket_rows"))
 
 
+@register("ann_advisor_auto_train")
+def ann_advisor_auto_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor wired into the facade (VERDICT r4 item 4):
+    ``VectorSearchEngine.train(df, auto=True)`` measures
+    scan/LSH/IVF on a bounded seeded probe (operators.tune
+    advisor_report) and trains the winner; this query exposes the
+    resulting decision — chosen family/config, its measured
+    (eps_recall, cand_frac), and the backend the engine actually
+    trained. Rows-only: the decision derives from index traversal, not
+    SQL; determinism comes from seeded probes and the lexicographic
+    recommendation tie-break (pinned in EXPECTED_HASHES)."""
+    from vector_search_go_spark.engine import VectorSearchEngine
+    from vector_search_go_spark.operators.exact_knn import embeddings_split
+
+    _, corpus = embeddings_split(spark, sf_dir)
+    eng = VectorSearchEngine(spark, metric="cosine", backend="lsh")
+    # probe at the workload MaxDist ann_index_advisor uses (0.6): on
+    # concentrated angular corpora an un-thresholded eps-recall is
+    # trivially in-band and cannot rank index families
+    eng.train(corpus, auto=True, probe_threshold=0.6)
+    d = eng.advisor_decision
+    return spark.createDataFrame(
+        [
+            (
+                d["family"],
+                d["config"],
+                round(d["eps_recall"], 4),
+                round(d["cand_frac"], 4),
+                eng.backend,
+            )
+        ],
+        "family string, config string, eps_recall double, "
+        "cand_frac double, backend string",
+    )
+
+
 @register("ann_index_advisor")
 def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured scan-vs-LSH-vs-IVF recommendation (operators.tune

@@ -1299,6 +1299,7 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning raw events.
 
     DataSketches HLL state is not expressible in the oracle engine, so
+    THIS registered entry runs ``sketch_rollup_plan(verdict=True)`` —
     the output carries DRIVER-CHECKABLE verdicts instead of raw
     estimates: ``distinct_ok`` = the merged-sketch estimate within 5%
     of the exact daily countDistinct (lg_k=12 is ~1.6% relative
@@ -1312,7 +1313,25 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured max 1.04% at sf0.1; bit-equal at sf0.01 where
     cardinalities stay sparse-exact). The additive columns (n,
     n_fine_buckets) hash against the oracle directly. Estimate-level
-    accuracy additionally gated in tests/test_sketches.py."""
+    accuracy additionally gated in tests/test_sketches.py.
+
+    The PRODUCTION path is ``sketch_rollup_plan(verdict=False)`` —
+    sketch-only, no exact countDistinct beside the sketches (VERDICT r4
+    item 6: at 100 TB the exact side would dominate the whole rollup;
+    plan-audited as op:sketch_rollup_default in PLANS.md)."""
+    return sketch_rollup_plan(spark, sf_dir, verdict=True)
+
+
+def sketch_rollup_plan(
+    spark: SparkSession, sf_dir: str, verdict: bool = False
+) -> DataFrame:
+    """Daily distinct-user rollup from hourly HLL partials.
+
+    verdict=False (default, the scale path): coarse buckets with their
+    merged-sketch estimate only — ONE pass of hourly sketch partials,
+    no exact-distinct aggregation anywhere in the plan.
+    verdict=True: adds the exact/direct comparison columns the
+    oracle-band gate hashes (see sketch_rollup_daily)."""
     from vector_search_go_spark.operators.sketches import (
         LG_K,
         merge_to_coarse,
@@ -1321,6 +1340,10 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     merged = merge_to_coarse(sketch_bucket_rollup(e, "ts", "user_id"))
+    if not verdict:
+        return merged.select(
+            "coarse_bucket", "n", "n_fine_buckets", "approx_distinct"
+        )
     direct = e.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("coarse_bucket")
     ).agg(

@@ -820,11 +820,15 @@ FROM lineitem GROUP BY l_returnflag
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates (HyperLogLog++ distinct
     counts, t-digest-ish percentiles) — the constant-memory answers a
-    100 TB interactive layer serves.
+    100 TB interactive layer serves. This registered entry runs
+    ``approx_aggregates_plan(verdict=True)``; the PRODUCTION path is
+    ``verdict=False`` — sketches only, no exact countDistinct or
+    rank-validation join in the plan (VERDICT r4 item 6; plan-audited
+    as op:approx_aggregates_default in PLANS.md).
 
     Sketch states differ across engines, so raw estimates can't be
-    oracle-hashed; instead the output carries DRIVER-CHECKABLE band
-    verdicts computed against exact values inside Spark:
+    oracle-hashed; instead the verdict output carries DRIVER-CHECKABLE
+    band verdicts computed against exact values inside Spark:
     ``parts_ok`` = HLL distinct within 5% of exact countDistinct (rsd
     is 2%), ``pXX_ok`` = the RANK of the approximate percentile value
     within 0.01 of the requested quantile (percentile_approx's actual
@@ -832,8 +836,23 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle emits literal TRUE per group, so a hash match IS the
     tolerance-band check (VERDICT r3 item 5). Estimate-level accuracy
     additionally gated in tests/test_relational_extras.py."""
+    return approx_aggregates_plan(spark, sf_dir, verdict=True)
+
+
+def approx_aggregates_plan(
+    spark: SparkSession, sf_dir: str, verdict: bool = False
+) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    if not verdict:
+        # the scale path: one aggregation pass, sketches only
+        return li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            q.getItem(0).alias("p50"),
+            q.getItem(1).alias("p95"),
+            q.getItem(2).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
     ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),

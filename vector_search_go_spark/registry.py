@@ -117,8 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_l2",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    # New this round (never checked by definition)
-    "embed_random_projection",
+    # r5: the advisor wired into the facade (never checked); took the
+    # slot of r4-green, unchanged embed_random_projection
+    "ann_advisor_auto_train",
 )
 
 

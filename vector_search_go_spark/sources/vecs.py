@@ -409,7 +409,44 @@ class VecsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[VecsPartition]:
         done = start.get("files", {})
         end_files = end.get("files", {})
+        consumed = {p for p, n in done.items() if n > 0}
+        if consumed and "bases" not in start:
+            # Legacy checkpoint: offsets written before the sequential
+            # id-base scheme carry no "bases" key. Resuming would
+            # re-number the id space (old rows crc<<32+i, new rows
+            # seq<<32+i) so downstream stores keyed on id would see the
+            # same record under two ids — refuse instead of silently
+            # remapping.
+            raise ValueError(
+                "vecs stream: checkpoint offset predates the sequential "
+                "id-base scheme (no 'bases' key). Restart the stream from "
+                "a fresh checkpoint, or supply .option('bases_path', "
+                "<file>) seeded with the original per-file bases."
+            )
         prev = self._recover_bases()
+        if (
+            not prev
+            and not start.get("bases")
+            and len(consumed) > 1
+            and not self.bases_path
+        ):
+            # This is the moment the single-sorted-group fallback
+            # actually runs: multiple already-consumed files, no base
+            # map anywhere — bases re-derive in ONE lexicographic
+            # group, which silently remaps ids if the files originally
+            # arrived in a different order (the assignment-time warning
+            # below cannot fire here because prev is empty).
+            import warnings
+
+            warnings.warn(
+                "vecs stream: re-deriving id bases for "
+                f"{len(consumed)} already-consumed files as one "
+                "lexicographically sorted group; if they originally "
+                "arrived in a different order, ids are silently "
+                "remapped. Set .option('bases_path', <file>) to persist "
+                "the base map durably.",
+                stacklevel=2,
+            )
         if prev:
             # In-memory/persisted view is at least as fresh as any
             # logged offset; extend it with this batch's new files.

@@ -253,6 +253,21 @@ def _compact_store(
     os.replace(tmp, path)
     if not keep_backup:
         shutil.rmtree(old, ignore_errors=True)
+    else:
+        # the retained copy doubles the store's disk footprint until
+        # gc_compacted_store — say so where the operator can see it
+        import logging
+
+        backup_bytes = sum(
+            os.path.getsize(os.path.join(dirp, f))
+            for dirp, _dirs, files in os.walk(old)
+            for f in files
+        )
+        logging.getLogger(__name__).warning(
+            "compaction kept pre-compaction backup at %s (%.1f MiB); "
+            "run gc_compacted_store(%r) to reclaim it",
+            old, backup_bytes / (1 << 20), path,
+        )
     # Drop the session's cached file listing for the swapped path —
     # otherwise the next spark.read.parquet(path) can plan against the
     # pre-compaction file set and fail with FILE_NOT_EXIST.

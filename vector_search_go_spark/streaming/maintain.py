@@ -1,0 +1,137 @@
+"""Drift-aware index maintenance (VERDICT r4 next-round item 2).
+
+Streaming ingest hashes new vectors with a FROZEN forest
+(streaming/ingest.py): planes are data-dependent (reference
+hasher.go:100-134), so a stream whose distribution drifts away from the
+build sample lands its mass in a shrinking set of buckets the old trees
+cannot split — search fan-in concentrates, hot-bucket thinning starts
+discarding true neighbors, and recall silently decays. The reference's
+only answer is a full manual re-Train (clear-and-rebuild,
+lsh/lsh.go:107-110); this module decides WHEN that rebuild is due, from
+the store's own artifacts:
+
+  - ``LshIndex.save`` persists the build-time bucket-mass distribution
+    (``{path}/build_stats``);
+  - ``bucket_staleness`` compares the current store against it: total
+    variation distance between the two normalized bucket-mass
+    distributions, corpus growth, and the share of mass in buckets
+    that did not exist at build time;
+  - ``maintain`` trips on thresholds and runs the reference's
+    clear-and-rebuild — retrain the forest on the CURRENT vectors
+    table, rewrite the store, refresh the catalog.
+
+Scale shape: staleness is one aggregation over the bucket store joined
+to an n_buckets-row baseline — no vector data moves. The rebuild is the
+same train+save the store was born from; at 100 TB it runs per shard on
+whatever cadence the staleness report dictates, instead of on a guess.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_staleness(spark: SparkSession, path: str) -> dict:
+    """Compare a saved index's CURRENT bucket-mass distribution (after
+    any streaming appends into ``{path}/buckets``) against the
+    build-time baseline persisted by ``LshIndex.save``.
+
+    Returns ``{"n_build", "n_now", "tv_drift", "growth",
+    "new_bucket_mass"}``:
+      tv_drift        total variation distance (0 = identical shape,
+                      1 = disjoint) between normalized bucket masses;
+      growth          n_now / n_build - 1;
+      new_bucket_mass share of current mass in buckets absent at build
+                      (a frozen forest maps drifted data into FEW such
+                      buckets, so this climbs with tv_drift under real
+                      drift but stays near growth/(1+growth) under
+                      in-distribution growth spread over all buckets).
+    """
+    stats_path = os.path.join(path, "build_stats")
+    if not os.path.exists(stats_path):
+        raise FileNotFoundError(
+            f"{stats_path} missing: the store predates build-stats "
+            "persistence — re-save the index (LshIndex.save) to baseline it"
+        )
+    build = spark.read.parquet(stats_path).withColumnRenamed("sz", "sz_build")
+    now = (
+        spark.read.parquet(f"{path}/buckets")
+        .groupBy("tree", "hash")
+        .agg(F.count(F.lit(1)).alias("sz_now"))
+    )
+    j = (
+        now.join(build, on=["tree", "hash"], how="full_outer")
+        .na.fill(0, ["sz_now", "sz_build"])
+        .cache()
+    )
+    tot = j.agg(
+        F.sum("sz_now").alias("tn"), F.sum("sz_build").alias("tb")
+    ).collect()[0]
+    tn, tb = int(tot["tn"] or 0), int(tot["tb"] or 0)
+    if tn == 0 or tb == 0:
+        j.unpersist()
+        raise ValueError(f"empty bucket store or baseline under {path}")
+    agg = j.agg(
+        F.sum(
+            F.abs(F.col("sz_now") / F.lit(tn) - F.col("sz_build") / F.lit(tb))
+        ).alias("l1"),
+        F.sum(
+            F.when(F.col("sz_build") == 0, F.col("sz_now")).otherwise(F.lit(0))
+        ).alias("new_mass"),
+    ).collect()[0]
+    j.unpersist()
+    return {
+        "n_build": tb,
+        "n_now": tn,
+        "tv_drift": 0.5 * float(agg["l1"]),
+        "growth": tn / tb - 1.0,
+        "new_bucket_mass": int(agg["new_mass"] or 0) / tn,
+    }
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    tv_threshold: float = 0.25,
+    growth_threshold: float = 0.5,
+    dedup_ids: bool = True,
+    force: bool = False,
+) -> dict:
+    """Measure staleness; when tripped (tv_drift or growth past its
+    threshold, or ``force``), run the reference's clear-and-rebuild
+    (Train, lsh/lsh.go:107-110) on the CURRENT vectors table: retrain
+    the forest with the store's own persisted config, rewrite
+    buckets/model/vectors/build_stats in place, refresh the catalog
+    (a swapped store otherwise serves stale file listings to live
+    sessions). Returns ``{"action": "none" | "rebuilt", **staleness}``.
+
+    ``dedup_ids`` drops replayed duplicate vector rows before
+    retraining (streaming vector appends are at-least-once, matching
+    the bucket-side contract in streaming/ingest.py)."""
+    from vector_search_go_spark.lsh.index import LshIndex
+
+    st = bucket_staleness(spark, path)
+    tripped = (
+        force
+        or st["tv_drift"] > tv_threshold
+        or st["growth"] > growth_threshold
+    )
+    if not tripped:
+        return {"action": "none", **st}
+    config = LshIndex.load_forest(spark, path).config
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if dedup_ids:
+        vectors = vectors.dropDuplicates(["id"])
+    # cut lineage before overwriting the directory the plan reads from
+    # (Spark refuses to overwrite a path it is reading; the vector
+    # table is the SMALL store component — buckets are n_trees x
+    # larger — so the checkpoint is bounded)
+    vectors = vectors.localCheckpoint(eager=True)
+    idx = LshIndex.train(spark, vectors, config)
+    idx.save(path)
+    for sub in ("buckets", "vectors", "build_stats"):
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+    return {"action": "rebuilt", **st}
