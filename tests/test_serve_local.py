@@ -203,3 +203,26 @@ def test_local_ivfpq_reader_matches_spark_point_path(spark, stores):
         )
         got = _frame_rows(reader.search(q, k=10, nprobe=3))
         assert got == want
+
+
+def test_survivor_pmod_vec_matches_scalar():
+    # the vectorized uint64 path must agree with the scalar fold on
+    # extreme ids (sign boundary, wraparound) and arbitrary mods
+    import numpy as np
+
+    from vector_search_go_spark.serve.xxh64 import (
+        survivor_pmod,
+        survivor_pmod_vec,
+    )
+
+    rng = np.random.default_rng(9)
+    ids = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, size=500, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        ]
+    )
+    for tree, h, mod in [(0, 0, 2), (7, -(2**40), 3), (39, 2**50 + 17, 13)]:
+        got = survivor_pmod_vec(tree, h, ids, mod)
+        want = [survivor_pmod(tree, h, int(i), mod) for i in ids.tolist()]
+        assert got.tolist() == want

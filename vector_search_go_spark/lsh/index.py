@@ -175,8 +175,8 @@ class LshIndex:
             self.buckets.repartitionByRange(8, "tree")
             .sortWithinPartitions("tree", "hash")
             .write.mode("overwrite")
-            .option("parquet.block.size", 1 << 20)
-            .option("parquet.page.size", 128 << 10)
+            .option("parquet.block.size", 256 << 10)
+            .option("parquet.page.size", 64 << 10)
             .partitionBy("tree")
             .parquet(f"{path}/buckets")
         )
@@ -188,7 +188,7 @@ class LshIndex:
             self.vectors.repartitionByRange(8, "id")
             .sortWithinPartitions("id")
             .write.mode("overwrite")
-            .option("parquet.block.size", 4 << 20)
+            .option("parquet.block.size", 512 << 10)
             .parquet(f"{path}/vectors")
         )
         (

@@ -405,6 +405,11 @@ def ivfpq_save(
         .repartitionByRange(8, "id")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
+        # small row groups: the rerank fetch reads scattered shortlist
+        # ids, so decode cost per matched row group must stay near the
+        # shortlist row size (the local reader's stats index and
+        # Spark's pushed `id IN` both prune at row-group granularity)
+        .option("parquet.block.size", 512 << 10)
         .parquet(f"{path}/vectors")
     )
     coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")

@@ -53,13 +53,14 @@ from vector_search_go_spark.operators.argmin import (
     _seq_sq_l2,
     single_query_dists,
 )
-from vector_search_go_spark.serve.xxh64 import survivor_pmod
-
-
-def _dataset(path: str):
-    import pyarrow.dataset as ds
-
-    return ds.dataset(path, format="parquet", partitioning="hive")
+from vector_search_go_spark.serve.pqindex import (
+    HivePartIndex,
+    RowGroupIndex,
+    TreeBucketIndex,
+    list_column_int_matrix,
+    list_column_matrix,
+)
+from vector_search_go_spark.serve.xxh64 import survivor_pmod_vec
 
 
 def _result_frame(ids, dists, k: int, query_id: int) -> pd.DataFrame:
@@ -88,14 +89,24 @@ class LocalLshReader:
         self.metric = metric
         self.forest = self._load_forest(path)
         self.config = self.forest.config
-        self._buckets = _dataset(os.path.join(path, "buckets"))
+        self._buckets = TreeBucketIndex(os.path.join(path, "buckets"))
         self._vec_path = os.path.join(path, "vectors")
         self._vec_index = None
+        self._vec_rgindex = None
         if preload_vectors:
+            # the reference's serving regime: the whole store lives
+            # in process memory (store/kv/store.go); dict + matrix,
+            # decoded zero-copy from the Arrow buffers
             tbl = pq.read_table(self._vec_path, columns=["id", "vec"])
             ids = tbl.column("id").to_pylist()
-            mat = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
+            mat = list_column_matrix(tbl, "vec", self.config.dims)
             self._vec_index = ({v: i for i, v in enumerate(ids)}, mat)
+        else:
+            # lazy: id-sorted vectors + row-group stats = candidate
+            # fetches read only matching row groups
+            self._vec_rgindex = RowGroupIndex(
+                glob.glob(os.path.join(self._vec_path, "*.parquet")), "id"
+            )
 
     @staticmethod
     def _load_forest(path: str):
@@ -126,58 +137,51 @@ class LocalLshReader:
     # ------------------------------------------------------------------
 
     def _candidates(self, hashes: np.ndarray, probes: np.ndarray) -> list:
-        """Probed-bucket scan + hot-bucket survivor rule + distinct —
+        """Probed-bucket reads + hot-bucket survivor rule + distinct —
         the pyarrow twin of lsh.search.point_bucket_candidates over
-        lsh.search._bound_scanned_buckets."""
-        import pyarrow.dataset as ds
-
-        expr = None
-        for t in range(hashes.shape[1]):
-            hs = sorted({int(hashes[0, t]), int(probes[0, t])})
-            e = (ds.field("tree") == t) & ds.field("hash").isin(hs)
-            expr = e if expr is None else expr | e
-        tbl = self._buckets.to_table(
-            columns=["tree", "hash", "id"], filter=expr
-        )
-        trees = tbl.column("tree").to_numpy(zero_copy_only=False)
-        hvals = tbl.column("hash").to_numpy(zero_copy_only=False)
-        ids = tbl.column("id").to_pylist()
+        lsh.search._bound_scanned_buckets. Per tree: row groups matched
+        by hash min/max stats decode in a thread pool, the exact hash
+        filter runs in numpy, then the xxhash64 thinning applies per
+        physical bucket (sz counts physical rows, matching the Spark
+        count window — see bound_hot_buckets)."""
+        probe_map = {
+            t: sorted({int(hashes[0, t]), int(probes[0, t])})
+            for t in range(hashes.shape[1])
+        }
+        hit = self._buckets.probe_many(probe_map)
         cap = self.config.max_bucket_size
-        if cap is None:
-            return list(dict.fromkeys(ids))
-        # group physical rows by (tree, hash): sz over the pruned scan,
-        # exactly _bound_scanned_buckets' count window semantics (at-
-        # least-once replays inflate sz on purpose — documented there)
-        groups: dict[tuple, list[int]] = {}
-        for i in range(len(ids)):
-            groups.setdefault((int(trees[i]), int(hvals[i])), []).append(i)
-        keep: list = []
-        for (t, h), idxs in groups.items():
-            sz = len(idxs)
-            if sz <= cap:
-                keep.extend(idxs)
+        out: dict = {}
+        for t in sorted(hit):
+            hvals, ids = hit[t]
+            if cap is None:
+                for i in ids.tolist():
+                    out[i] = True
                 continue
-            keep_mod = int(math.ceil(sz / cap))
-            keep.extend(
-                i for i in idxs
-                if survivor_pmod(t, h, ids[i], keep_mod) == 0
-            )
-        return list(dict.fromkeys(ids[i] for i in sorted(keep)))
+            for h in np.unique(hvals):
+                sel = ids[hvals == h]
+                sz = len(sel)
+                if sz <= cap:
+                    for i in sel.tolist():
+                        out[i] = True
+                    continue
+                keep_mod = int(math.ceil(sz / cap))
+                pm = survivor_pmod_vec(t, int(h), sel, keep_mod)
+                for i in sel[pm == 0].tolist():
+                    out[i] = True
+        return list(out)
 
     def _fetch_vectors(self, cand: list):
         if self._vec_index is not None:
             index, mat = self._vec_index
             found = [c for c in cand if c in index]
             return found, mat[[index[c] for c in found]]
-        import pyarrow.dataset as ds
-
-        tbl = _dataset(self._vec_path).to_table(
-            columns=["id", "vec"], filter=ds.field("id").isin(cand)
-        )
-        return (
-            tbl.column("id").to_pylist(),
-            np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64),
-        )
+        tbl = self._vec_rgindex.read(sorted(cand), ["id", "vec"])
+        if tbl is None or tbl.num_rows == 0:
+            return [], np.empty((0, self.config.dims))
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, np.asarray(sorted(cand)))
+        V = list_column_matrix(tbl, "vec", self.config.dims)
+        return ids[mask].tolist(), V[mask]
 
     def search(
         self,
@@ -218,7 +222,8 @@ class LocalIvfReader:
             np.array([r[0] for r in rows], dtype=np.int64),
             np.array([r[1] for r in rows], dtype=np.float64),
         )
-        self._cells = _dataset(os.path.join(path, "cells"))
+        self.dims = self.model[1].shape[1]
+        self._cells = HivePartIndex(os.path.join(path, "cells"), "cell")
 
     def search(
         self,
@@ -228,17 +233,22 @@ class LocalIvfReader:
         threshold: float | None = None,
         query_id: int = 0,
     ) -> pd.DataFrame:
-        import pyarrow.dataset as ds
+        import pyarrow as pa
 
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
 
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, self.metric, nprobe, model=self.model)
-        tbl = self._cells.to_table(
-            columns=["id", "vec"], filter=ds.field("cell").isin(probed)
-        )
+        tbls = [
+            t for t in
+            self._cells.read_values_parallel(probed, ["id", "vec"]).values()
+            if t is not None and t.num_rows
+        ]
+        if not tbls:
+            return _result_frame([], [], k, query_id)
+        tbl = pa.concat_tables(tbls)
         ids = tbl.column("id").to_pylist()
-        V = np.asarray(tbl.column("vec").to_pylist(), dtype=np.float64)
+        V = list_column_matrix(tbl, "vec", self.dims)
         dists = single_query_dists(self.metric, q, V)
         if threshold is not None:
             m = dists <= float(threshold)
@@ -278,8 +288,11 @@ class LocalIvfPqReader:
             sr = [r for r in brows if r[0] == sub]
             self.cb_ids[sub] = np.array([r[1] for r in sr], dtype=np.int64)
             self.cb_mats[sub] = np.array([r[2] for r in sr], dtype=np.float64)
-        self._cells = _dataset(os.path.join(path, "cells"))
-        self._vec_path = os.path.join(path, "vectors")
+        self.dims = self.coarse[1].shape[1]
+        self._cells = HivePartIndex(os.path.join(path, "cells"), "cell")
+        self._vectors = RowGroupIndex(
+            glob.glob(os.path.join(path, "vectors", "*.parquet")), "id"
+        )
 
     def search(
         self,
@@ -289,7 +302,7 @@ class LocalIvfPqReader:
         shortlist: int | None = None,
         query_id: int = 0,
     ) -> pd.DataFrame:
-        import pyarrow.dataset as ds
+        import pyarrow as pa
 
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
         from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
@@ -306,23 +319,30 @@ class LocalIvfPqReader:
             sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
             lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
 
-        tbl = self._cells.to_table(
-            columns=["id", "codes"], filter=ds.field("cell").isin(probed)
-        )
+        tbls = [
+            t for t in
+            self._cells.read_values_parallel(probed, ["id", "codes"]).values()
+            if t is not None and t.num_rows
+        ]
+        if not tbls:
+            return _result_frame([], [], k, query_id)
+        tbl = pa.concat_tables(tbls)
         ids = tbl.column("id").to_pylist()
-        C = np.asarray(tbl.column("codes").to_pylist(), dtype=np.int64)
+        C = list_column_int_matrix(tbl, "codes", M_SUB)
         acc = np.zeros(len(C))
         for sub in range(M_SUB):
             acc = acc + lut[sub][C[:, sub]]
         adc = np.sqrt(acc)
         short = sorted(range(len(ids)), key=lambda i: (adc[i], ids[i]))[:shortlist]
-        short_ids = [ids[i] for i in short]
+        short_ids = sorted(ids[i] for i in short)
 
-        vtbl = _dataset(self._vec_path).to_table(
-            columns=["id", "vec"], filter=ds.field("id").isin(short_ids)
-        )
-        rids = vtbl.column("id").to_pylist()
-        V = np.asarray(vtbl.column("vec").to_pylist(), dtype=np.float64)
+        vtbl = self._vectors.read(short_ids, ["id", "vec"])
+        if vtbl is None or vtbl.num_rows == 0:
+            return _result_frame([], [], k, query_id)
+        rid_arr = vtbl.column("id").to_numpy(zero_copy_only=False)
+        mask = np.isin(rid_arr, np.asarray(short_ids))
+        rids = rid_arr[mask].tolist()
+        V = list_column_matrix(vtbl, "vec", self.dims)[mask]
         dists = single_query_dists("l2", q, V)
         return _result_frame(rids, list(dists), k, query_id)
 

@@ -1,0 +1,189 @@
+"""Parquet row-group machinery for the local serving readers.
+
+The generic ``pyarrow.dataset`` filter path evaluates the probe
+expression against every fragment per query — at 1M x 40 trees that is
+a 40-branch OR over 40 fragments and measured >1 s/query. Serving wants
+the classic index shape instead: load footer METADATA once, then per
+query binary-search row-group [min, max] statistics and decode only the
+groups that can contain the probed keys. The stores are written
+key-sorted with small row groups (LshIndex.save / ivfpq_save) precisely
+so these stats are selective.
+
+``RowGroupIndex``   one sort-keyed parquet file set (a tree's bucket
+                    dir, the id-sorted vectors table): key -> matching
+                    row groups -> one filtered numpy read.
+``HivePartIndex``   partition-value -> files map for hive layouts
+                    (cells/cell=N/) where the partition IS the probe
+                    key and files are read whole.
+
+Both cache ``ParquetFile`` handles; reads release the GIL, so the
+per-query fan-out across trees runs in a small thread pool.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def list_column_matrix(tbl, col: str, dims: int) -> np.ndarray:
+    """list<float/double> column -> (n, dims) float64 matrix without
+    per-element Python (to_pylist on a 1M x 64 column costs ~a minute;
+    this is a flatten + reshape on the Arrow buffers)."""
+    arr = tbl.column(col)
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if len(flat) != len(arr) * dims:
+        # ragged lists — fall back to the slow exact path
+        return np.asarray(arr.to_pylist(), dtype=np.float64)
+    return flat.reshape(len(arr), dims)
+
+
+def list_column_int_matrix(tbl, col: str, dims: int) -> np.ndarray:
+    arr = tbl.column(col)
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if len(flat) != len(arr) * dims:
+        return np.asarray(arr.to_pylist(), dtype=np.int64)
+    return flat.reshape(len(arr), dims)
+
+
+class RowGroupIndex:
+    """Row-group stats index over the parquet files of one directory,
+    keyed on a (numeric) sort column. Appended/unsorted files degrade
+    gracefully: their group ranges overlap, so more groups match — the
+    read stays correct, just less selective (compaction restores
+    selectivity, streaming/ingest.py)."""
+
+    def __init__(self, paths: list[str], key_col: str):
+        import pyarrow.parquet as pq
+
+        self.key_col = key_col
+        self._files = []
+        self._groups = []  # (file_idx, rg_idx, min, max)
+        for fi, p in enumerate(sorted(paths)):
+            pf = pq.ParquetFile(p)
+            self._files.append(pf)
+            ki = pf.schema_arrow.get_field_index(key_col)
+            for rg in range(pf.metadata.num_row_groups):
+                col = pf.metadata.row_group(rg).column(ki)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    self._groups.append((fi, rg, None, None))
+                else:
+                    self._groups.append((fi, rg, st.min, st.max))
+
+    def matching_groups(self, keys) -> dict[int, list[int]]:
+        out: dict[int, list[int]] = {}
+        for fi, rg, lo, hi in self._groups:
+            if lo is None or any(lo <= k <= hi for k in keys):
+                out.setdefault(fi, []).append(rg)
+        return out
+
+    def read(self, keys, columns: list[str]):
+        """Concatenated pyarrow table of all rows in row groups whose
+        stats admit any of ``keys`` (caller filters exactly); None when
+        no group can match."""
+        import pyarrow as pa
+
+        parts = [
+            self._files[fi].read_row_groups(rgs, columns=columns)
+            for fi, rgs in self.matching_groups(keys).items()
+        ]
+        return pa.concat_tables(parts) if parts else None
+
+
+class HivePartIndex:
+    """partition-value -> parquet files for a hive-partitioned store
+    (``{root}/{col}=v/part-*.parquet``), listed once at init."""
+
+    def __init__(self, root: str, col: str):
+        self.col = col
+        self._parts: dict[int, list[str]] = {}
+        prefix = f"{col}="
+        for d in os.listdir(root):
+            if not d.startswith(prefix):
+                continue
+            v = int(d[len(prefix):])
+            files = sorted(glob.glob(os.path.join(root, d, "*.parquet")))
+            if files:
+                self._parts[v] = files
+        self._pf_cache: dict[str, object] = {}
+
+    def values(self) -> list[int]:
+        return sorted(self._parts)
+
+    def _pf(self, path: str):
+        import pyarrow.parquet as pq
+
+        pf = self._pf_cache.get(path)
+        if pf is None:
+            pf = pq.ParquetFile(path)
+            self._pf_cache[path] = pf
+        return pf
+
+    def read_value(self, value: int, columns: list[str]):
+        """All rows of one partition value (None if absent — a missing
+        bucket is normal, reference lsh/lsh.go:157-160)."""
+        import pyarrow as pa
+
+        files = self._parts.get(int(value))
+        if not files:
+            return None
+        return pa.concat_tables(self._pf(p).read(columns=columns) for p in files)
+
+    def read_values_parallel(
+        self, values, columns: list[str], max_workers: int = 8
+    ) -> dict[int, object]:
+        vals = [v for v in values if int(v) in self._parts]
+        if not vals:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(vals))) as ex:
+            tbls = ex.map(lambda v: self.read_value(v, columns), vals)
+            return dict(zip(vals, tbls))
+
+
+class TreeBucketIndex:
+    """Per-tree RowGroupIndex over an LSH bucket store
+    (``buckets/tree=N/``, hash-sorted within files)."""
+
+    def __init__(self, root: str):
+        self._trees: dict[int, RowGroupIndex] = {}
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("tree="):
+                continue
+            t = int(d.split("=", 1)[1])
+            files = glob.glob(os.path.join(root, d, "*.parquet"))
+            if files:
+                self._trees[t] = RowGroupIndex(files, "hash")
+
+    def probe(self, tree: int, hashes, max_workers_unused=None):
+        """(hash, id) arrays for bucket members of ``tree`` whose hash
+        is in ``hashes`` — stats-pruned row-group reads + exact numpy
+        filter."""
+        idx = self._trees.get(int(tree))
+        if idx is None:
+            return None
+        tbl = idx.read(sorted(hashes), ["hash", "id"])
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        h = tbl.column("hash").to_numpy(zero_copy_only=False)
+        mask = np.isin(h, np.asarray(sorted(hashes), dtype=np.int64))
+        if not mask.any():
+            return None
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)[mask]
+        return h[mask], ids
+
+    def probe_many(self, probes: dict[int, list], max_workers: int = 8):
+        """{tree: hashes} -> {tree: (hash_arr, id_arr)} in parallel."""
+        items = [(t, hs) for t, hs in probes.items() if int(t) in self._trees]
+        if not items:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+            res = ex.map(lambda th: (th[0], self.probe(th[0], th[1])), items)
+            return {t: r for t, r in res if r is not None}

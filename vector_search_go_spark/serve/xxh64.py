@@ -149,3 +149,62 @@ def survivor_pmod(tree: int, bucket_hash: int, vec_id, mod: int) -> int:
     Python's ``%`` on a signed value with positive mod IS Java's pmod."""
     vid = vec_id if isinstance(vec_id, str) else int(vec_id)
     return xxhash64(("i", tree), int(bucket_hash), vid) % mod
+
+
+# ---------------------------------------------------------------------------
+# Vectorized survivor rule (numpy uint64 — wraparound IS the mod-2^64
+# arithmetic). A hot bucket at serving cap ratios holds thousands of
+# physical rows; per-row Python hashing costs ~1 s/query at 1M scale,
+# the numpy form is ~1000x cheaper. Bit-parity with the scalar fold is
+# pinned in tests/test_serve_local.py.
+# ---------------------------------------------------------------------------
+
+_U = None  # lazy numpy import so xxh64 stays usable without numpy
+
+
+def _u64():
+    global _U
+    if _U is None:
+        import numpy as np
+
+        _U = np
+    return _U
+
+
+def _rotl_vec(x, r: int):
+    np = _u64()
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def hash_long_vec(values, seed: int):
+    """Vector form of hash_long: uint64 array + scalar seed -> uint64
+    array (same primes/rotations as the scalar path)."""
+    np = _u64()
+    v = np.asarray(values).astype(np.uint64)
+    h0 = np.uint64((seed + _P5 + 8) & _M)
+    with np.errstate(over="ignore"):
+        h = h0 ^ (_rotl_vec(v * np.uint64(_P2), 31) * np.uint64(_P1))
+        h = _rotl_vec(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def survivor_pmod_vec(tree: int, bucket_hash: int, ids, mod: int):
+    """Vectorized ``pmod(xxhash64(tree, hash, id), mod)`` over an int64
+    id array: the (tree, hash) prefix folds once in scalar Python, the
+    per-id tail hashes in numpy. Falls back to the scalar path for
+    non-integer id arrays (string-keyed corpora)."""
+    np = _u64()
+    ids = np.asarray(ids)
+    if not np.issubdtype(ids.dtype, np.integer):
+        return np.array(
+            [survivor_pmod(tree, bucket_hash, i, mod) for i in ids.tolist()]
+        )
+    prefix = hash_int(int(tree), SEED)
+    prefix = hash_long(int(bucket_hash), prefix)
+    h = hash_long_vec(ids, prefix).astype(np.int64)
+    return h % np.int64(mod)  # numpy % matches Java pmod for mod > 0
