@@ -116,3 +116,47 @@ def test_ivf_backend_end_to_end(spark, clustered, tmp_path):
         ).orderBy("rn").collect()
     ]
     assert live == served
+
+
+def test_auto_train_preserves_user_config_fields(spark, clustered):
+    # the advisor only decides (trees, k_min); user-set candidate cap,
+    # seed, sample size, and hot-bucket bound must survive the rebuild
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    eng = VectorSearchEngine(
+        spark,
+        config=LshConfig(
+            dims=16, max_candidates=123, seed=7, sample_size=9999,
+            max_bucket_size=77,
+        ),
+        metric="l2",
+        backend="lsh",
+    )
+    eng.train(clustered, auto=True)
+    assert eng.backend == "lsh"  # deterministic on this fixture
+    c = eng.config
+    assert (c.max_candidates, c.seed, c.sample_size, c.max_bucket_size) == (
+        123, 7, 9999, 77,
+    )
+
+
+def test_ivf_store_save_load_roundtrip(spark, clustered, tmp_path):
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    eng = VectorSearchEngine(spark, metric="l2", backend="ivf", ivf_cells=8)
+    eng.train(clustered)
+    eng.advisor_decision = {
+        "family": "ivf", "config": "cells=8,nprobe=4",
+        "eps_recall": 1.0, "cand_frac": 0.5,
+    }
+    path = str(tmp_path / "ivf_rt")
+    eng.save(path)
+    back = VectorSearchEngine.load(spark, path, metric="l2")
+    assert back.backend == "ivf"
+    assert back.advisor_decision == eng.advisor_decision
+    qvec = clustered.head()["vec"]
+    q = spark.createDataFrame([(0, qvec)], "query_id bigint, qvec array<double>")
+    a = [(r["id"], r["dist"]) for r in eng.search(q, k=5).orderBy("rn").collect()]
+    b = [(r["id"], r["dist"]) for r in back.search(q, k=5).orderBy("rn").collect()]
+    assert a == b

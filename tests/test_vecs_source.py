@@ -423,3 +423,27 @@ def test_stream_rederive_warns_at_fallback_moment(tmp_path):
         _warnings.simplefilter("always")
         r.partitions(start, end)
     assert any("re-deriving id bases" in str(x.message) for x in w)
+
+
+def test_stream_legacy_offset_allowed_with_seeded_bases(tmp_path):
+    """The legacy-offset refusal's own remediation must work: a
+    bases_path map covering every consumed file is an authoritative id
+    assignment, so resume proceeds with those bases."""
+    import json
+
+    from vector_search_go_spark.sources.vecs import VecsStreamReader
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    f_a = str(src / "a.fvecs")
+    write_fvecs(f_a, np.ones((3, 4), dtype="float32"))
+    bp = str(tmp_path / "bases.json")
+    with open(bp, "w") as fh:
+        json.dump({f_a: 5}, fh)  # original (non-lexicographic) base
+    r = VecsStreamReader({"path": str(src), "kind": "fvecs", "bases_path": bp})
+    legacy = {"files": {f_a: 1}}  # consumed, no "bases" key
+    write_fvecs(str(src / "b.fvecs"), np.zeros((2, 4), dtype="float32"))
+    end = r.latestOffset()
+    parts = r.partitions(legacy, end)
+    bases = {p.base_id >> 32 for p in parts}
+    assert 5 in bases  # a resumes under its seeded base, not a re-derived one

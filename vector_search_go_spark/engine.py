@@ -169,14 +169,21 @@ class VectorSearchEngine:
         elif best["family"] == "lsh":
             self.backend = "lsh"
             dims = len(vectors.select("vec").head()["vec"])
+            old = self.config
+            # only the measured knobs (trees, k_min) come from the
+            # advisor; every user-set field of an existing config —
+            # candidate cap, seed, sample size, hot-bucket bound —
+            # carries over (the constructor's is_angular rebuild
+            # preserves the same set)
             self.config = LshConfig(
                 dims=dims,
                 n_trees=int(kv["trees"]),
                 k_min_vecs=int(kv["k_min"]),
                 is_angular=is_angular(self.metric),
-                max_bucket_size=self.config.max_bucket_size
-                if self.config is not None
-                else None,
+                max_candidates=old.max_candidates if old else None,
+                seed=old.seed if old else 42,
+                sample_size=old.sample_size if old else 100_000,
+                max_bucket_size=old.max_bucket_size if old else None,
             )
         else:
             self.backend = "ivf"
@@ -252,19 +259,24 @@ class VectorSearchEngine:
             .collect()
         )
 
-    def local_reader(self, path: str):
+    def local_reader(self, path: str, preload_buckets: bool = False):
         """Driver-side serving reader over a SAVED index dir — point
         lookups with no Spark job (serve.local_reader; bit-identical
         to point_search on the same store). The reference's serving
         regime (in-process Search over an in-memory store,
-        lsh/lsh.go:137-197) rebuilt from the engine's own artifacts."""
+        lsh/lsh.go:137-197) rebuilt from the engine's own artifacts.
+        ``preload_buckets=True`` additionally pins the bucket arrays in
+        reader RAM (LSH only) — the fully in-memory regime, ~tens of
+        ms/query at 1M (SCALE.md serving table)."""
         if self.backend == "ivf":
             from vector_search_go_spark.serve.local_reader import LocalIvfReader
 
             return LocalIvfReader(path, metric=self.metric)
         from vector_search_go_spark.serve.local_reader import LocalLshReader
 
-        return LocalLshReader(path, metric=self.metric)
+        return LocalLshReader(
+            path, metric=self.metric, preload_buckets=preload_buckets
+        )
 
     # -- Maintenance ---------------------------------------------------
 
@@ -331,17 +343,37 @@ class VectorSearchEngine:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, metric: str = "l2") -> "VectorSearchEngine":
-        idx = LshIndex.load(spark, path)
-        if idx.config.is_angular != is_angular(metric):
-            # the persisted buckets were hashed under the model's metric
-            # family; scoring them under the other one returns
-            # meaningless rankings — fail loudly instead.
-            raise ValueError(
-                f"index at {path!r} was trained with "
-                f"is_angular={idx.config.is_angular}, incompatible with "
-                f"metric={metric!r}"
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(_os.path.join(path, "centroids")) and not _os.path.exists(
+            _os.path.join(path, "model_nodes")
+        ):
+            # IVF store (ivf_save layout: centroids + cells holding the
+            # vectors) — the save/load counterpart of backend='ivf'
+            cents = spark.read.parquet(f"{path}/centroids")
+            cells = spark.read.parquet(f"{path}/cells")
+            eng = cls(spark, metric=metric, backend="ivf", ivf_cells=cents.count())
+            eng._cents = cents
+            eng._cells = cells.select("cell", "id", "vec")
+            eng._vectors = cells.select("id", "vec")
+        else:
+            idx = LshIndex.load(spark, path)
+            if idx.config.is_angular != is_angular(metric):
+                # the persisted buckets were hashed under the model's
+                # metric family; scoring them under the other one
+                # returns meaningless rankings — fail loudly instead.
+                raise ValueError(
+                    f"index at {path!r} was trained with "
+                    f"is_angular={idx.config.is_angular}, incompatible with "
+                    f"metric={metric!r}"
+                )
+            eng = cls(spark, idx.config, metric=metric, backend="lsh")
+            eng._index = idx
+            eng._vectors = idx.vectors
+        adv = _os.path.join(path, "advisor")
+        if _os.path.exists(adv):
+            eng.advisor_decision = _json.loads(
+                spark.read.json(adv).collect()[0]["advisor_json"]
             )
-        eng = cls(spark, idx.config, metric=metric, backend="lsh")
-        eng._index = idx
-        eng._vectors = idx.vectors
         return eng

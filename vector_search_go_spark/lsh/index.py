@@ -191,14 +191,22 @@ class LshIndex:
             .option("parquet.block.size", 512 << 10)
             .parquet(f"{path}/vectors")
         )
+        # Build-time bucket-mass distribution (n_buckets rows, tiny):
+        # the baseline streaming.maintain.bucket_staleness compares the
+        # drifting store against. The reference has no incremental path
+        # at all — Train clears and rebuilds (lsh/lsh.go:107-110);
+        # persisting the baseline is what lets us DECIDE when that
+        # rebuild is due. Aggregated from the JUST-WRITTEN parquet, not
+        # self.bucket_stats(): the live buckets DF is usually uncached
+        # lineage through the hashing UDF, and re-running it would
+        # double the whole index-build cost. The refresh guards
+        # re-saves over a path this session already read (maintain's
+        # rebuild) against a stale file-listing cache.
+        spark.catalog.refreshByPath(f"{path}/buckets")
         (
-            # build-time bucket-mass distribution (n_buckets rows,
-            # tiny): the baseline streaming.maintain.bucket_staleness
-            # compares the drifting store against. The reference has no
-            # incremental path at all — Train clears and rebuilds
-            # (lsh/lsh.go:107-110); persisting the baseline is what
-            # lets us DECIDE when that rebuild is due.
-            self.bucket_stats()
+            spark.read.parquet(f"{path}/buckets")
+            .groupBy("tree", "hash")
+            .agg(F.count(F.lit(1)).alias("sz"))
             .write.mode("overwrite")
             .parquet(f"{path}/build_stats")
         )

@@ -410,20 +410,26 @@ class VecsStreamReader(DataSourceStreamReader):
         done = start.get("files", {})
         end_files = end.get("files", {})
         consumed = {p for p, n in done.items() if n > 0}
-        if consumed and "bases" not in start:
+        prev = self._recover_bases()
+        if (
+            consumed
+            and "bases" not in start
+            and (not prev or any(p not in prev for p in consumed))
+        ):
             # Legacy checkpoint: offsets written before the sequential
             # id-base scheme carry no "bases" key. Resuming would
             # re-number the id space (old rows crc<<32+i, new rows
             # seq<<32+i) so downstream stores keyed on id would see the
             # same record under two ids — refuse instead of silently
-            # remapping.
+            # remapping. A bases_path map that covers every consumed
+            # file (the error's remediation) IS an authoritative base
+            # assignment, so that case proceeds.
             raise ValueError(
                 "vecs stream: checkpoint offset predates the sequential "
                 "id-base scheme (no 'bases' key). Restart the stream from "
                 "a fresh checkpoint, or supply .option('bases_path', "
                 "<file>) seeded with the original per-file bases."
             )
-        prev = self._recover_bases()
         if (
             not prev
             and not start.get("bases")

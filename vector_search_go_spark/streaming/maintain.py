@@ -132,6 +132,8 @@ def maintain(
     vectors = vectors.localCheckpoint(eager=True)
     idx = LshIndex.train(spark, vectors, config)
     idx.save(path)
-    for sub in ("buckets", "vectors", "build_stats"):
+    for sub in (
+        "buckets", "vectors", "build_stats", "model_config", "model_nodes"
+    ):
         spark.catalog.refreshByPath(f"{path}/{sub}")
     return {"action": "rebuilt", **st}
