@@ -226,3 +226,102 @@ def test_survivor_pmod_vec_matches_scalar():
         got = survivor_pmod_vec(tree, h, ids, mod)
         want = [survivor_pmod(tree, h, int(i), mod) for i in ids.tolist()]
         assert got.tolist() == want
+
+
+def test_survivor_pmod_multi_matches_per_bucket():
+    # the batched many-bucket hash pass must be bit-equal to the
+    # per-bucket vectorized call it replaced on the serving path
+    import numpy as np
+
+    from vector_search_go_spark.serve.xxh64 import (
+        SEED,
+        hash_int,
+        hash_long,
+        survivor_pmod_multi,
+        survivor_pmod_vec,
+    )
+
+    rng = np.random.default_rng(11)
+    buckets = [
+        (t, h, rng.integers(-(2**62), 2**62, size=sz, dtype=np.int64), mod)
+        for t, h, sz, mod in [
+            (0, 0, 40, 2), (3, -(2**44), 123, 5), (39, 2**50 + 17, 7, 13),
+        ]
+    ]
+    got = survivor_pmod_multi(
+        [hash_long(h, hash_int(t, SEED)) for t, h, _, _ in buckets],
+        [len(ids) for _, _, ids, _ in buckets],
+        np.concatenate([ids for _, _, ids, _ in buckets]),
+        [mod for _, _, _, mod in buckets],
+    )
+    want = np.concatenate(
+        [survivor_pmod_vec(t, h, ids, mod) for t, h, ids, mod in buckets]
+    )
+    assert got.tolist() == want.tolist()
+
+
+@pytest.fixture(scope="module")
+def big_bucket_store(spark, tmp_path_factory):
+    """A store whose candidate sets EXCEED the two-stage scorer's 2048
+    cutoff (k_min_vecs > corpus => one bucket per tree, no cap), so
+    these tests exercise the BLAS-prefilter + exact-rescore path, not
+    the small-set full-exact shortcut."""
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+
+    base = tmp_path_factory.mktemp("serve_two_stage")
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((3000, 16))
+    X[2900:] = X[2900]  # a near-boundary tie cluster for the margin set
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(3000)],
+        "id bigint, vec array<double>",
+    )
+    LshIndex.train(
+        spark, corpus, LshConfig(dims=16, n_trees=4, k_min_vecs=5000, seed=3)
+    ).save(str(base / "lsh"))
+    return str(base / "lsh"), X
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_two_stage_scorer_matches_full_exact(big_bucket_store, metric):
+    # preloaded reader (two-stage) vs lazy reader (always full exact
+    # kernel) on >2048-candidate sets: bit-identical rows, including
+    # the duplicate tie cluster and a threshold cut
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+
+    path, X = big_bucket_store
+    fast = LocalLshReader(path, metric=metric, preload_buckets=True)
+    exact = LocalLshReader(path, metric=metric, preload_vectors=False)
+    queries = [X[0], X[2900], X[123] * 1e6]  # huge scale: margin must adapt
+    for q in queries:
+        a = _frame_rows(fast.search(q, k=15))
+        b = _frame_rows(exact.search(q, k=15))
+        assert a == b
+    thr = 1.0 if metric == "cosine" else 5.0
+    a = _frame_rows(fast.search(X[7], k=2500, threshold=thr))
+    b = _frame_rows(exact.search(X[7], k=2500, threshold=thr))
+    assert a == b
+
+
+def test_preload_buckets_matches_lazy_buckets(spark, stores):
+    # in-memory bucket probe (searchsorted over preloaded arrays) vs
+    # the stats-pruned parquet probe: same candidates => same rows,
+    # including through the hot-bucket survivor rule
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+
+    base, queries = stores
+    path = str(base / "lsh")
+    mem = LocalLshReader(path, metric="l2", preload_buckets=True)
+    lazy = LocalLshReader(path, metric="l2")
+    for q in queries:
+        h = mem.forest.hash_batch(np.asarray(q, dtype=np.float64)[None, :])
+        p = mem.forest.probe_batch(h)
+        ca = mem._candidates(h, p)
+        cb = lazy._candidates(h, p)
+        assert sorted(np.asarray(ca).tolist()) == sorted(
+            np.asarray(cb).tolist()
+        )
+        assert _frame_rows(mem.search(q, k=10)) == _frame_rows(
+            lazy.search(q, k=10)
+        )

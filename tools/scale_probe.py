@@ -963,6 +963,17 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
 
         forest = LshIndex.load_forest(spark, f"{base}/lsh")
         bench_reader(
+            "lsh-local-mem",
+            lambda: LocalLshReader(
+                f"{base}/lsh", metric="l2", preload_buckets=True
+            ),
+            lambda r, q: r.search(q, k=10),
+            lambda qv: lsh_point_search(
+                spark, f"{base}/lsh", qv, "l2", k=10, forest=forest
+            ),
+            t_lsh,
+        )
+        bench_reader(
             "lsh-local",
             lambda: LocalLshReader(f"{base}/lsh", metric="l2"),
             lambda r, q: r.search(q, k=10),
@@ -1140,7 +1151,7 @@ if __name__ == "__main__":
         local_serve_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--glove-shape"]:
-        glove_probe(*[int(s) for s in sys.argv[2:]])
+        glove_probe(*[float(s) if "." in s else int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--compact"]:
         compact_probe(*[int(s) for s in sys.argv[2:]])

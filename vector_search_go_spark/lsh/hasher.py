@@ -316,6 +316,25 @@ def _hash_tree_flat(flat, X: np.ndarray) -> np.ndarray:
     (reference traverse, hasher.go:38-57)."""
     Nmat, D, left, right = flat
     n = len(X)
+    if n == 1:
+        # serving fast path: one query pays ~0.25 ms of batch masking
+        # machinery per tree otherwise. Same einsum expression on the
+        # same 1-row operands at each node, so the computed sign —
+        # hence the hash — is identical to the batch path's.
+        h = np.int64(0)
+        cur = 0
+        depth = 0
+        while cur >= 0 and depth <= MAX_DEPTH:
+            neg = (
+                np.einsum("ij,ij->i", X, Nmat[cur : cur + 1])[0] - D[cur]
+            ) < 0
+            if neg:
+                h |= np.int64(1) << depth
+                cur = left[cur]
+            else:
+                cur = right[cur]
+            depth += 1
+        return np.array([h], dtype=np.int64)
     hashes = np.zeros(n, dtype=np.int64)
     cur = np.zeros(n, dtype=np.int64)
     alive = np.ones(n, dtype=bool)

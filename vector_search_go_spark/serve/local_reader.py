@@ -60,13 +60,43 @@ from vector_search_go_spark.serve.pqindex import (
     list_column_int_matrix,
     list_column_matrix,
 )
-from vector_search_go_spark.serve.xxh64 import survivor_pmod_vec
+from vector_search_go_spark.serve.xxh64 import (
+    SEED,
+    hash_int,
+    hash_long,
+    survivor_pmod_multi,
+    survivor_pmod_vec,
+)
 
 
 def _result_frame(ids, dists, k: int, query_id: int) -> pd.DataFrame:
     """threshold-filtered candidates -> top-k by (dist, id) with rn,
     the exact (query_id, id, dist, rn) contract of the Spark paths
-    (operators.topk.topk_per_group tie-break)."""
+    (operators.topk.topk_per_group tie-break). Numeric ids sort via
+    np.lexsort (a Python key-tuple sort over tens of thousands of
+    candidates is serving-visible time); anything else falls back."""
+    ids_arr = np.asarray(ids)
+    if len(ids_arr) and np.issubdtype(ids_arr.dtype, np.number):
+        d = np.asarray(dists, dtype=np.float64)
+        if len(d) > 4 * k:
+            # lexsort over 40k candidates is ms-visible; partition to
+            # the k smallest dists, keep EVERY row tied with the k-th
+            # (<= pivot), and lexsort only that set — identical
+            # (dist, id) ranking by construction
+            pivot = np.partition(d, k - 1)[k - 1]
+            keep = np.nonzero(d <= pivot)[0]
+            sub = np.lexsort((ids_arr[keep], d[keep]))[:k]
+            order = keep[sub]
+        else:
+            order = np.lexsort((ids_arr, d))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(order), query_id, dtype=np.int64),
+                "id": ids_arr[order],
+                "dist": d[order],
+                "rn": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
     order = sorted(range(len(ids)), key=lambda i: (dists[i], ids[i]))[:k]
     return pd.DataFrame(
         {
@@ -82,25 +112,51 @@ class LocalLshReader:
     """Point lookups over a saved LSH index dir (LshIndex.save layout:
     model_config + model_nodes + buckets/tree=N/ + vectors)."""
 
-    def __init__(self, path: str, metric: str, preload_vectors: bool = True):
+    def __init__(
+        self,
+        path: str,
+        metric: str,
+        preload_vectors: bool = True,
+        preload_buckets: bool = False,
+    ):
         import pyarrow.parquet as pq
 
         self.path = path
         self.metric = metric
         self.forest = self._load_forest(path)
         self.config = self.forest.config
-        self._buckets = TreeBucketIndex(os.path.join(path, "buckets"))
+        self._buckets = TreeBucketIndex(
+            os.path.join(path, "buckets"), preload=preload_buckets
+        )
         self._vec_path = os.path.join(path, "vectors")
         self._vec_index = None
         self._vec_rgindex = None
+        self._norms2 = None
         if preload_vectors:
             # the reference's serving regime: the whole store lives
-            # in process memory (store/kv/store.go); dict + matrix,
-            # decoded zero-copy from the Arrow buffers
+            # in process memory (store/kv/store.go), decoded zero-copy
+            # from the Arrow buffers; numeric id lookup is a
+            # searchsorted over the sorted id array (a per-candidate
+            # Python dict probe is visible time at 10k+ candidates)
             tbl = pq.read_table(self._vec_path, columns=["id", "vec"])
-            ids = tbl.column("id").to_pylist()
             mat = list_column_matrix(tbl, "vec", self.config.dims)
-            self._vec_index = ({v: i for i, v in enumerate(ids)}, mat)
+            ids_arr = tbl.column("id").to_numpy(zero_copy_only=False)
+            if np.issubdtype(ids_arr.dtype, np.number):
+                # materialize the matrix ID-SORTED: candidate sets are
+                # sorted (np.unique), so lookups gather monotonically
+                # increasing rows — a near-sequential sweep instead of
+                # random access over the whole matrix
+                order = np.argsort(ids_arr, kind="stable")
+                mat = np.ascontiguousarray(mat[order])
+                self._vec_index = (ids_arr[order], None, mat)
+                # squared norms for the two-stage scorer's BLAS stage
+                self._norms2 = np.einsum("ij,ij->i", mat, mat)
+            else:
+                self._vec_index = (
+                    {v: i for i, v in enumerate(ids_arr.tolist())},
+                    None,
+                    mat,
+                )
         else:
             # lazy: id-sorted vectors + row-group stats = candidate
             # fetches read only matching row groups
@@ -150,38 +206,119 @@ class LocalLshReader:
         }
         hit = self._buckets.probe_many(probe_map)
         cap = self.config.max_bucket_size
-        out: dict = {}
+        kept: list = []
+        over: list = []  # (prefix, members) of over-cap physical buckets
+        numeric = True
         for t in sorted(hit):
             hvals, ids = hit[t]
+            numeric = numeric and np.issubdtype(ids.dtype, np.number)
             if cap is None:
-                for i in ids.tolist():
-                    out[i] = True
+                kept.append(ids)
                 continue
+            tree_prefix = hash_int(int(t), SEED)
             for h in np.unique(hvals):
                 sel = ids[hvals == h]
                 sz = len(sel)
                 if sz <= cap:
-                    for i in sel.tolist():
-                        out[i] = True
+                    kept.append(sel)
                     continue
-                keep_mod = int(math.ceil(sz / cap))
-                pm = survivor_pmod_vec(t, int(h), sel, keep_mod)
-                for i in sel[pm == 0].tolist():
-                    out[i] = True
-        return list(out)
+                if not numeric:
+                    pm = survivor_pmod_vec(
+                        t, int(h), sel, int(math.ceil(sz / cap))
+                    )
+                    kept.append(sel[pm == 0])
+                    continue
+                over.append((hash_long(int(h), tree_prefix), sel))
+        if over:
+            # one batched hash pass over every hot bucket's members
+            # (survivor_pmod_multi) instead of a vectorized call per
+            # bucket — same bits, ~5x less per-query overhead
+            members = np.concatenate([s for _, s in over])
+            pm = survivor_pmod_multi(
+                [p for p, _ in over],
+                [len(s) for _, s in over],
+                members,
+                [int(math.ceil(len(s) / cap)) for _, s in over],
+            )
+            kept.append(members[pm == 0])
+        if not kept:
+            return np.empty(0, dtype=np.int64) if numeric else []
+        allk = np.concatenate(kept)
+        if numeric:
+            return np.unique(allk)
+        return list(dict.fromkeys(allk.tolist()))
 
     def _fetch_vectors(self, cand: list):
+        """-> (ids, V, rows) where rows are V's row indices into the
+        preloaded matrix (None on the lazy / string-keyed paths, which
+        score with the full exact kernel)."""
         if self._vec_index is not None:
-            index, mat = self._vec_index
-            found = [c for c in cand if c in index]
-            return found, mat[[index[c] for c in found]]
+            index, _, mat = self._vec_index
+            if isinstance(index, dict):  # string-keyed fallback
+                found = [c for c in cand if c in index]
+                return found, mat[[index[c] for c in found]], None
+            c = np.asarray(cand)
+            pos = np.searchsorted(index, c)
+            ok = pos < len(index)
+            ok[ok] = index[pos[ok]] == c[ok]
+            rows = pos[ok]  # id-sorted matrix: position IS the row
+            return c[ok], mat[rows], rows
         tbl = self._vec_rgindex.read(sorted(cand), ["id", "vec"])
         if tbl is None or tbl.num_rows == 0:
-            return [], np.empty((0, self.config.dims))
+            return [], np.empty((0, self.config.dims)), None
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
         mask = np.isin(ids, np.asarray(sorted(cand)))
         V = list_column_matrix(tbl, "vec", self.config.dims)
-        return ids[mask].tolist(), V[mask]
+        return ids[mask].tolist(), V[mask], None
+
+    # margin for the two-stage scorer: the BLAS stage's distance error
+    # is bounded by sqrt(64 * ulp(scale^2)) ~ 1e-7 * scale (worst case,
+    # near-duplicate cancellation); selecting everything within
+    # TWO_STAGE_MARGIN of the k-th approximate distance therefore
+    # provably contains the exact top-k (and every threshold-passing
+    # row), with ~400x headroom. Proof sketch: |approx-exact| <= m' and
+    # cutoff = kth_approx + m with m >= 2m' => any excluded candidate
+    # has exact > kth_approx + m - m' >= exact_kth + (m - 2m') >= the
+    # k-th exact distance, strictly — so exclusion never flips the
+    # exact (dist, id) ranking of the returned rows.
+    TWO_STAGE_MARGIN = 1e-4
+
+    def _score(self, q: np.ndarray, V: np.ndarray, rows, k: int,
+               threshold: float | None) -> np.ndarray:
+        """Distances of q to V, bit-identical to single_query_dists on
+        every row that can be returned. Large preloaded candidate sets
+        use two stages: a BLAS approximate pass (precomputed norms)
+        picks the margin set, the sequential-IEEE exact kernel rescores
+        only that set — the 64-strided-pass exact kernel over 40k+
+        candidates was ~50 ms of the serving path."""
+        n = len(V)
+        if rows is None or n <= 2048:
+            return single_query_dists(self.metric, q, V)
+        is_cos = self.metric in ("cosine", "angular")
+        q2 = float(q @ q)
+        n2 = self._norms2[rows]
+        dot = V @ q
+        if is_cos:
+            nq = math.sqrt(q2)
+            if nq <= 1e-6:
+                return single_query_dists(self.metric, q, V)
+            nv = np.sqrt(n2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = 1.0 - dot / (nq * nv)
+            approx = np.where(nv <= 1e-6, 1.0, approx)
+            m = self.TWO_STAGE_MARGIN
+        else:
+            approx = np.sqrt(np.maximum(n2 - 2.0 * dot + q2, 0.0))
+            scale = math.sqrt(q2 + float(n2.max()))
+            m = self.TWO_STAGE_MARGIN * max(1.0, scale)
+        cutoff = np.partition(approx, k - 1)[k - 1] if n > k else np.inf
+        cutoff += m
+        if threshold is not None:
+            cutoff = max(cutoff, float(threshold) + m)
+        sel = approx <= cutoff
+        dists = approx
+        dists[sel] = single_query_dists(self.metric, q, V[sel])
+        return dists
 
     def search(
         self,
@@ -194,15 +331,19 @@ class LocalLshReader:
         hashes = self.forest.hash_batch(q[None, :])
         probes = self.forest.probe_batch(hashes)
         cand = self._candidates(hashes, probes)
-        if not cand:
+        if len(cand) == 0:
             return _result_frame([], [], k, query_id)
-        ids, V = self._fetch_vectors(cand)
-        dists = single_query_dists(self.metric, q, V)
+        ids, V, rows = self._fetch_vectors(cand)
+        dists = self._score(q, V, rows, k, threshold)
         if threshold is not None:
             m = dists <= float(threshold)
-            ids = [i for i, keep in zip(ids, m) if keep]
+            ids = (
+                ids[m]
+                if isinstance(ids, np.ndarray)
+                else [i for i, keep in zip(ids, m) if keep]
+            )
             dists = dists[m]
-        return _result_frame(ids, list(dists), k, query_id)
+        return _result_frame(ids, dists, k, query_id)
 
 
 class LocalIvfReader:
@@ -327,13 +468,18 @@ class LocalIvfPqReader:
         if not tbls:
             return _result_frame([], [], k, query_id)
         tbl = pa.concat_tables(tbls)
-        ids = tbl.column("id").to_pylist()
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
         C = list_column_int_matrix(tbl, "codes", M_SUB)
         acc = np.zeros(len(C))
         for sub in range(M_SUB):
             acc = acc + lut[sub][C[:, sub]]
         adc = np.sqrt(acc)
-        short = sorted(range(len(ids)), key=lambda i: (adc[i], ids[i]))[:shortlist]
+        if np.issubdtype(ids.dtype, np.number):
+            short = np.lexsort((ids, adc))[:shortlist]
+        else:
+            short = sorted(
+                range(len(ids)), key=lambda i: (adc[i], ids[i])
+            )[:shortlist]
         short_ids = sorted(ids[i] for i in short)
 
         vtbl = self._vectors.read(short_ids, ["id", "vec"])

@@ -77,9 +77,38 @@ class RowGroupIndex:
                     self._groups.append((fi, rg, None, None))
                 else:
                     self._groups.append((fi, rg, st.min, st.max))
+        # Numeric stats vectorize: one searchsorted over the sorted key
+        # set replaces the per-group per-key Python comparisons (the
+        # IVFPQ shortlist probes hundreds of keys against thousands of
+        # groups — O(G x K) in Python was the serving hot path's cost).
+        stat = [g for g in self._groups if g[2] is not None]
+        self._numeric = all(
+            isinstance(g[2], (int, np.integer)) for g in stat
+        ) and bool(stat)
+        if self._numeric:
+            self._s_fi = np.array([g[0] for g in stat], dtype=np.int64)
+            self._s_rg = np.array([g[1] for g in stat], dtype=np.int64)
+            self._s_lo = np.array([g[2] for g in stat], dtype=np.int64)
+            self._s_hi = np.array([g[3] for g in stat], dtype=np.int64)
+            self._nostat = [g for g in self._groups if g[2] is None]
 
     def matching_groups(self, keys) -> dict[int, list[int]]:
         out: dict[int, list[int]] = {}
+        if self._numeric:
+            ks = np.asarray(sorted(int(k) for k in keys), dtype=np.int64)
+            if len(ks):
+                # group [lo, hi] admits a key iff the smallest key >= lo
+                # exists and is <= hi
+                pos = np.searchsorted(ks, self._s_lo, side="left")
+                hit = pos < len(ks)
+                hit[hit] = ks[pos[hit]] <= self._s_hi[hit]
+                for fi, rg in zip(self._s_fi[hit], self._s_rg[hit]):
+                    out.setdefault(int(fi), []).append(int(rg))
+            for fi, rg, _lo, _hi in self._nostat:
+                out.setdefault(fi, []).append(rg)
+            for rgs in out.values():
+                rgs.sort()
+            return out
         for fi, rg, lo, hi in self._groups:
             if lo is None or any(lo <= k <= hi for k in keys):
                 out.setdefault(fi, []).append(rg)
@@ -114,6 +143,7 @@ class HivePartIndex:
             if files:
                 self._parts[v] = files
         self._pf_cache: dict[str, object] = {}
+        self._pool: ThreadPoolExecutor | None = None
 
     def values(self) -> list[int]:
         return sorted(self._parts)
@@ -143,17 +173,30 @@ class HivePartIndex:
         vals = [v for v in values if int(v) in self._parts]
         if not vals:
             return {}
-        with ThreadPoolExecutor(max_workers=min(max_workers, len(vals))) as ex:
-            tbls = ex.map(lambda v: self.read_value(v, columns), vals)
-            return dict(zip(vals, tbls))
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        tbls = self._pool.map(lambda v: self.read_value(v, columns), vals)
+        return dict(zip(vals, tbls))
 
 
 class TreeBucketIndex:
     """Per-tree RowGroupIndex over an LSH bucket store
-    (``buckets/tree=N/``, hash-sorted within files)."""
+    (``buckets/tree=N/``, hash-sorted within files).
 
-    def __init__(self, root: str):
+    ``preload=True`` is the reference's serving regime (its whole store
+    is an in-process map, store/kv/store.go): each tree's (hash, id)
+    pairs load once into hash-sorted numpy arrays and a probe is two
+    searchsorted calls — no parquet decode on the query path. int64
+    pairs cost 16 B/row, so a 1M x 40-tree store is ~640 MB — sized
+    for a serving shard, with the stats-pruned lazy path as the
+    fallback when the store outgrows reader RAM."""
+
+    def __init__(self, root: str, preload: bool = False):
         self._trees: dict[int, RowGroupIndex] = {}
+        self._mem: dict[int, tuple[np.ndarray, np.ndarray]] | None = (
+            {} if preload else None
+        )
+        self._pool: ThreadPoolExecutor | None = None
         for d in sorted(os.listdir(root)):
             if not d.startswith("tree="):
                 continue
@@ -161,11 +204,40 @@ class TreeBucketIndex:
             files = glob.glob(os.path.join(root, d, "*.parquet"))
             if files:
                 self._trees[t] = RowGroupIndex(files, "hash")
+        if preload:
+            import pyarrow.parquet as pq
+
+            for t in self._trees:
+                tbl = pq.read_table(
+                    sorted(glob.glob(os.path.join(root, f"tree={t}", "*.parquet"))),
+                    columns=["hash", "id"],
+                )
+                h = tbl.column("hash").to_numpy(zero_copy_only=False)
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                order = np.argsort(h, kind="stable")
+                self._mem[t] = (
+                    np.ascontiguousarray(h[order]),
+                    np.ascontiguousarray(ids[order]),
+                )
 
     def probe(self, tree: int, hashes, max_workers_unused=None):
         """(hash, id) arrays for bucket members of ``tree`` whose hash
-        is in ``hashes`` — stats-pruned row-group reads + exact numpy
-        filter."""
+        is in ``hashes`` — in-memory searchsorted slices when preloaded,
+        else stats-pruned row-group reads + exact numpy filter."""
+        if self._mem is not None:
+            mem = self._mem.get(int(tree))
+            if mem is None:
+                return None
+            h_sorted, ids_sorted = mem
+            hs = np.asarray(sorted(hashes), dtype=h_sorted.dtype)
+            lo = np.searchsorted(h_sorted, hs, side="left")
+            hi = np.searchsorted(h_sorted, hs, side="right")
+            spans = [(a, b) for a, b in zip(lo, hi) if b > a]
+            if not spans:
+                return None
+            h = np.concatenate([h_sorted[a:b] for a, b in spans])
+            ids = np.concatenate([ids_sorted[a:b] for a, b in spans])
+            return h, ids
         idx = self._trees.get(int(tree))
         if idx is None:
             return None
@@ -180,10 +252,21 @@ class TreeBucketIndex:
         return h[mask], ids
 
     def probe_many(self, probes: dict[int, list], max_workers: int = 8):
-        """{tree: hashes} -> {tree: (hash_arr, id_arr)} in parallel."""
+        """{tree: hashes} -> {tree: (hash_arr, id_arr)}; parquet-backed
+        probes fan out on a PERSISTENT thread pool (a fresh pool per
+        query was ~15 ms of thread start/join overhead on the serving
+        path), in-memory probes run inline."""
         items = [(t, hs) for t, hs in probes.items() if int(t) in self._trees]
         if not items:
             return {}
-        with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
-            res = ex.map(lambda th: (th[0], self.probe(th[0], th[1])), items)
-            return {t: r for t, r in res if r is not None}
+        if self._mem is not None:
+            out = {}
+            for t, hs in items:
+                r = self.probe(t, hs)
+                if r is not None:
+                    out[t] = r
+            return out
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        res = self._pool.map(lambda th: (th[0], self.probe(th[0], th[1])), items)
+        return {t: r for t, r in res if r is not None}

@@ -193,6 +193,37 @@ def hash_long_vec(values, seed: int):
     return h
 
 
+def survivor_pmod_multi(prefixes, counts, ids_concat, mods):
+    """One hash pass over the concatenated members of MANY hot buckets:
+    ``prefixes[b]`` is the scalar (tree, hash) fold of bucket b (
+    ``hash_long(bucket_hash, hash_int(tree, SEED))``), ``counts[b]`` its
+    member count in ``ids_concat``, ``mods[b]`` its keep_mod. Identical
+    arithmetic to per-bucket survivor_pmod_vec (pinned in
+    tests/test_serve_local.py) — batching exists because ~75 separate
+    vectorized calls per query were ~10 ms of the in-memory serving
+    path's budget."""
+    np = _u64()
+    counts = np.asarray(counts, dtype=np.int64)
+    # prefixes are Python ints that may exceed 2^63: a plain asarray
+    # would promote the list to float64 and silently round the low
+    # bits — build the uint64 array element-wise instead
+    seeds = np.repeat(
+        np.array([int(p) & _M for p in prefixes], dtype=np.uint64), counts
+    )
+    v = np.asarray(ids_concat).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h0 = seeds + np.uint64((_P5 + 8) & _M)
+        h = h0 ^ (_rotl_vec(v * np.uint64(_P2), 31) * np.uint64(_P1))
+        h = _rotl_vec(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+    mod_per = np.repeat(np.asarray(mods, dtype=np.int64), counts)
+    return h.astype(np.int64) % mod_per
+
+
 def survivor_pmod_vec(tree: int, bucket_hash: int, ids, mod: int):
     """Vectorized ``pmod(xxhash64(tree, hash, id), mod)`` over an int64
     id array: the (tree, hash) prefix folds once in scalar Python, the
