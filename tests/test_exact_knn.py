@@ -74,3 +74,44 @@ def test_distance_based_recall_catches_misses(spark):
     )
     p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
     assert p == 0.5 and r == 0.5
+
+
+def test_arrow_two_stage_matches_expr_oracle(spark):
+    """The arrow kernel's per-batch local-top-k + two-stage rescore must
+    be BIT-identical to the pure-Catalyst expr plan on a block big
+    enough to take the BLAS path (n_v x n_q > 65536), including
+    duplicate-tie clusters, both metrics, and a threshold cut."""
+    rng = np.random.default_rng(23)
+    C = rng.normal(size=(1200, 8))
+    C[1100:] = C[1100]  # 100-way tie cluster at the top-k boundary
+    Q = np.vstack([rng.normal(size=(59, 8)), C[1100][None, :]])
+    corpus = spark.createDataFrame(
+        [(i, list(map(float, C[i]))) for i in range(len(C))],
+        "id bigint, vec array<double>",
+    ).repartition(3)
+    queries = spark.createDataFrame(
+        [(j, list(map(float, Q[j]))) for j in range(len(Q))],
+        "query_id bigint, qvec array<double>",
+    )
+
+    def rows(df):
+        return [
+            (r["query_id"], r["id"], r["dist"], r["rn"])
+            for r in df.orderBy("query_id", "rn").collect()
+        ]
+
+    for metric in ("l2", "cosine"):
+        for thr in (None, 1.0 if metric == "cosine" else 4.0):
+            a = rows(
+                exact_knn_join(
+                    queries, corpus, metric=metric, k=12, threshold=thr,
+                    impl="arrow",
+                )
+            )
+            b = rows(
+                exact_knn_join(
+                    queries, corpus, metric=metric, k=12, threshold=thr,
+                    impl="expr",
+                )
+            )
+            assert a == b, f"metric={metric} threshold={thr}"

@@ -50,13 +50,19 @@ def exact_knn_join(
     ``impl='arrow'`` (default): ``mapInPandas`` over corpus batches
     with the query matrix in the closure (queries are the
     broadcast-small side by contract — collecting them driver-side is
-    the same bound as the broadcast). Each batch computes the full
-    |batch| x |queries| distance matrix in numpy with SEQUENTIAL
-    per-dimension adds — the exact IEEE order of the fold — so
-    distances are bit-identical (operators.argmin kernels; parity
-    pinned by the knn oracle hashes and tests/test_argmin_parity.py).
-    No pair rows materialize; the corpus streams past once, exactly
-    like the expr plan, minus the interpreted lambda dispatch.
+    the same bound as the broadcast). Each batch emits only its LOCAL
+    exact top-k rows per query: top-k under the global (dist, id)
+    order is selection-monotone across any partition of the corpus, so
+    the global winners are exactly the winners of the per-batch
+    winners, and the threshold filter only ever removes a suffix of
+    that order — |batch| x k rows cross the shuffle instead of
+    |batch| x |queries| pairs. Inside a batch the local top-k is found
+    two-stage: a BLAS approximate pass bounds the per-query k-th
+    distance, the SEQUENTIAL per-dimension kernels (operators.argmin —
+    the exact IEEE order of the fold) rescore everything within a
+    provable margin, and emitted distances are always the exact
+    values (parity pinned by the knn oracle hashes and
+    tests/test_argmin_parity.py).
     """
     from vector_search_go_spark.io import ensure_parallelism
 
@@ -99,20 +105,93 @@ def _exact_knn_arrow(
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
     is_cos = metric in ("cosine", "angular")
+    q2 = np.einsum("ij,ij->i", Q, Q)
+    nq = np.sqrt(q2)
+    # margin for the approximate stage (same bound as the serving
+    # reader's two-stage scorer, serve/local_reader.py): BLAS distance
+    # error is ~1e-7 x scale worst-case, selection within margin of the
+    # per-query k-th approximate distance provably contains the exact
+    # (dist, id) top-k
+    MARGIN = 1e-4
+
+    def _emit(ids_b, sel_rows, sel_cols, dist_sel, kk):
+        # exact local top-kk per query among the rescored (row, col)
+        # pairs — (dist, id) lexicographic, the global order
+        out_q, out_i, out_d = [], [], []
+        for j in np.unique(sel_cols):
+            mask = sel_cols == j
+            d, rid = dist_sel[mask], ids_b[sel_rows[mask]]
+            take = np.lexsort((rid, d))[:kk]
+            out_q.append(np.full(len(take), qids[j], dtype=np.int64))
+            out_i.append(rid[take])
+            out_d.append(d[take])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "id": np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    def _seq_pair(V, rows, cols):
+        # sequential-IEEE distances of the selected (corpus row, query)
+        # pairs only — identical per-pair arithmetic to the full-matrix
+        # kernels (operand broadcast order preserved)
+        A, B = V[rows], Q[cols]
+        if not is_cos:
+            s = np.zeros(len(A))
+            for d in range(A.shape[1]):
+                diff = A[:, d] - B[:, d]
+                s += diff * diff
+            return np.sqrt(s)
+        na = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            na += A[:, d] * A[:, d]
+        na = np.sqrt(na)
+        nb = nq[cols]
+        dot = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            dot += A[:, d] * B[:, d]
+        raw = 1.0 - dot / (na * nb)
+        out = np.where(raw < 1e-6, 0.0, raw)
+        return np.where((na <= 1e-6) | (nb <= 1e-6), 1.0, out)
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            D = _seq_cosine(V, Q) if is_cos else np.sqrt(_seq_sq_l2(V, Q))
-            n_v, n_q = D.shape
-            out = {
-                "query_id": np.repeat(qids[None, :], n_v, axis=0).ravel(),
-                "id": np.repeat(pdf["id"].to_numpy(), n_q),
-                "dist": D.ravel(),
-            }
-            yield pd.DataFrame(out)
+            ids_b = pdf["id"].to_numpy()
+            n_v, n_q = len(V), len(Q)
+            kk = min(k, n_v)
+            if n_v * n_q <= 65536:
+                # small block: the full sequential matrix is cheaper
+                # than two stages
+                D = _seq_cosine(V, Q) if is_cos else np.sqrt(_seq_sq_l2(V, Q))
+                rows, cols = np.nonzero(np.ones_like(D, dtype=bool))
+                yield _emit(ids_b, rows, cols, D[rows, cols], kk)
+                continue
+            n2 = np.einsum("ij,ij->i", V, V)
+            G = V @ Q.T
+            if is_cos:
+                nv = np.sqrt(n2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    approx = 1.0 - G / (nv[:, None] * nq[None, :])
+                approx = np.where(
+                    (nv[:, None] <= 1e-6) | (nq[None, :] <= 1e-6), 1.0, approx
+                )
+                m = MARGIN
+            else:
+                approx = np.sqrt(
+                    np.maximum(n2[:, None] - 2.0 * G + q2[None, :], 0.0)
+                )
+                m = MARGIN * max(
+                    1.0, float(np.sqrt(n2.max() + q2.max()))
+                )
+            cut = np.partition(approx, kk - 1, axis=0)[kk - 1] + m
+            rows, cols = np.nonzero(approx <= cut[None, :])
+            dist_sel = _seq_pair(V, rows, cols)
+            yield _emit(ids_b, rows, cols, dist_sel, kk)
 
     cand = corpus.mapInPandas(gen, "query_id long, id long, dist double")
     if threshold is not None:
