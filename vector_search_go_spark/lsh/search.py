@@ -166,8 +166,14 @@ def lsh_search(
             fanin = F.broadcast(fanin)
         qid_t = queries.schema["query_id"].dataType.simpleString()
         id_t = index.vectors.schema["id"].dataType.simpleString()
+        # downstream is [threshold →] topk(max_candidates) → topk(k),
+        # net rank cutoff min(k, max_candidates): per-batch exact local
+        # top-L emission is result-identical and shuffles |Q| x L rows
+        # per batch instead of every pair
+        mc = index.config.max_candidates
+        local_l = k if mc is None else min(k, mc)
         scored = fanin.join(index.vectors, on="id").mapInPandas(
-            fanin_query_scorer(queries, metric),
+            fanin_query_scorer(queries, metric, local_topk=local_l),
             schema=f"query_id {qid_t}, id {id_t}, dist double",
         )
         if threshold is not None:
@@ -307,7 +313,7 @@ def lsh_point_search_batch(
     vectors = spark.read.parquet(f"{index_path}/vectors")
     id_t = vectors.schema["id"].dataType.simpleString()
     scored = vectors.join(F.broadcast(fanin), on="id").mapInPandas(
-        fanin_query_scorer(queries_df, metric),
+        fanin_query_scorer(queries_df, metric, local_topk=k),
         schema=f"query_id bigint, id {id_t}, dist double",
     )
     if threshold is not None:

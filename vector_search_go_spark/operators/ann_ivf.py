@@ -228,7 +228,7 @@ def ivf_point_search_batch(
     )
     id_t = cells.schema["id"].dataType.simpleString()
     scored = cells.join(F.broadcast(map_df), on="cell").mapInPandas(
-        fanin_query_scorer(queries_df, metric),
+        fanin_query_scorer(queries_df, metric, local_topk=k),
         schema=f"query_id bigint, id {id_t}, dist double",
     )
     if threshold is not None:

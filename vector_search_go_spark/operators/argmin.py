@@ -187,7 +187,7 @@ def argmin_id_arrow_grouped(
 
 def fanin_query_scorer(queries: DataFrame, metric: str,
                        qid_col: str = "query_id", qvec_col: str = "qvec",
-                       tol: float = 1e-6):
+                       tol: float = 1e-6, local_topk: int | None = None):
     """Fan-in candidate scorer for LSH search: consumes rows
     ``(id, qids array, vec)`` — one row per candidate CORPUS vector with
     the list of query ids it must be scored against — and emits
@@ -206,7 +206,18 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
     Distances use the same sequential per-dimension IEEE adds as the
     fold expression and the pairwise kernel, with identical operand
     order (A = query, B = corpus), so results are bit-identical to
-    impl='expr' (pinned in tests/test_argmin_parity.py)."""
+    impl='expr' (pinned in tests/test_argmin_parity.py).
+
+    ``local_topk=L`` pre-reduces each emitted Arrow batch to its EXACT
+    local top-L pairs per query under the (dist, id) order. Safe for
+    every downstream ``[threshold filter →] topk_per_group`` pipeline
+    whose net rank cutoff is ≤ L: top-L is selection-monotone across
+    any partition of the pair set (the global winners are winners of
+    the per-batch winners) and a dist-threshold only removes a suffix
+    of the order — so results are identical while only |queries| x L
+    rows per batch reach the shuffle instead of every candidate pair.
+    Distances are never approximated here; this is pure row
+    reduction."""
     rows = queries.select(qid_col, qvec_col).collect()
     Q = np.array([list(r[qvec_col]) for r in rows], dtype=np.float64)
     qpos = {r[qid_col]: i for i, r in enumerate(rows)}
@@ -255,10 +266,33 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
                     raw = 1.0 - dot / (na * nb)
                     dc = np.where(raw < tol, 0.0, raw)
                     dist[sl] = np.where((na <= tol) | (nb <= tol), 1.0, dc)
+            pair_ids = np.asarray(pdf["id"])[rep]
+            if (
+                local_topk is not None
+                and n_pairs > local_topk
+                and np.issubdtype(np.asarray(qidx).dtype, np.number)
+                and np.issubdtype(pair_ids.dtype, np.number)
+            ):
+                keep_parts = []
+                for g in np.unique(qidx):
+                    m = np.nonzero(qidx == g)[0]
+                    if len(m) > local_topk:
+                        sub = np.lexsort((pair_ids[m], dist[m]))[:local_topk]
+                        m = m[sub]
+                    keep_parts.append(m)
+                keep = np.concatenate(keep_parts)
+                yield pd.DataFrame(
+                    {
+                        "query_id": [flat_qids[i] for i in keep],
+                        "id": pair_ids[keep],
+                        "dist": dist[keep],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": flat_qids,
-                    "id": np.asarray(pdf["id"])[rep],
+                    "id": pair_ids,
                     "dist": dist,
                 }
             )

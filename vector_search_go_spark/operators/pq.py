@@ -655,7 +655,7 @@ def ivfpq_point_search_batch(
         F.col("id").isin(sorted(id_qids))
     )
     rer = vectors.join(F.broadcast(fan_df), on="id").mapInPandas(
-        fanin_query_scorer(queries_df, metric),
+        fanin_query_scorer(queries_df, metric, local_topk=k),
         schema=f"query_id bigint, id {id_t}, dist double",
     )
     top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
