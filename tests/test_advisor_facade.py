@@ -160,3 +160,24 @@ def test_ivf_store_save_load_roundtrip(spark, clustered, tmp_path):
     a = [(r["id"], r["dist"]) for r in eng.search(q, k=5).orderBy("rn").collect()]
     b = [(r["id"], r["dist"]) for r in back.search(q, k=5).orderBy("rn").collect()]
     assert a == b
+
+
+def test_metric_rebuild_preserves_max_bucket_size(spark):
+    # the constructor's is_angular rebuild must carry EVERY user field,
+    # including the hot-bucket cap (review r5 finding)
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    eng = VectorSearchEngine(
+        spark,
+        config=LshConfig(
+            dims=16, is_angular=False, max_bucket_size=77, max_candidates=5,
+            seed=9, sample_size=1234,
+        ),
+        metric="cosine",  # forces the rebuild branch
+    )
+    c = eng.config
+    assert c.is_angular is True
+    assert (c.max_bucket_size, c.max_candidates, c.seed, c.sample_size) == (
+        77, 5, 9, 1234,
+    )

@@ -76,11 +76,18 @@ def test_distance_based_recall_catches_misses(spark):
     assert p == 0.5 and r == 0.5
 
 
-def test_arrow_two_stage_matches_expr_oracle(spark):
-    """The arrow kernel's per-batch local-top-k + two-stage rescore must
-    be BIT-identical to the pure-Catalyst expr plan on a block big
-    enough to take the BLAS path (n_v x n_q > 65536), including
-    duplicate-tie clusters, both metrics, and a threshold cut."""
+import pytest
+
+
+@pytest.mark.parametrize("n_parts", [3, 1])
+def test_arrow_two_stage_matches_expr_oracle(spark, n_parts):
+    """The arrow kernel must be BIT-identical to the pure-Catalyst expr
+    plan, including duplicate-tie clusters, both metrics, and a
+    threshold cut. n_parts=3 exercises the cross-batch local-top-k
+    merge on the small-block (full sequential) branch; n_parts=1 makes
+    a single 1200-row batch so n_v x n_q = 72,000 > 65,536 and the
+    BLAS-approx + margin-selection + pair-rescore branch is ON the
+    tested path."""
     rng = np.random.default_rng(23)
     C = rng.normal(size=(1200, 8))
     C[1100:] = C[1100]  # 100-way tie cluster at the top-k boundary
@@ -88,7 +95,7 @@ def test_arrow_two_stage_matches_expr_oracle(spark):
     corpus = spark.createDataFrame(
         [(i, list(map(float, C[i]))) for i in range(len(C))],
         "id bigint, vec array<double>",
-    ).repartition(3)
+    ).repartition(n_parts)
     queries = spark.createDataFrame(
         [(j, list(map(float, Q[j]))) for j in range(len(Q))],
         "query_id bigint, qvec array<double>",

@@ -24,6 +24,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def land_corpus(spark, X: np.ndarray, n_partitions: int = 32):
+    """Land an (n, dims) matrix as a cached Spark corpus DataFrame via
+    a pyarrow parquet write — createDataFrame of 1M python lists costs
+    minutes of driver serialization; this is seconds. Returns the
+    cached DataFrame (id bigint, vec array<double>); the temp file is
+    left for the OS tmp reaper (the probes' own stores dwarf it)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    n, dims = X.shape
+    land_dir = tempfile.mkdtemp(prefix="probe_corpus_")
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.reshape(-1)), dims
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    papq.write_table(tbl, f"{land_dir}/corpus.parquet", row_group_size=65536)
+    corpus = spark.read.parquet(f"{land_dir}/corpus.parquet").repartition(
+        n_partitions
+    )
+    corpus.cache().count()
+    return corpus
+
+
 def main(
     n: int = 100_000,
     dims: int = 64,
@@ -496,10 +525,7 @@ def serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None
     rng = np.random.default_rng(7)
     centers = rng.normal(size=(64, dims)) * 2.0
     X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
-    corpus = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
-    ).repartition(32)
-    corpus.cache().count()
+    corpus = land_corpus(spark, X)
     step = max(1, n // k_cells)
     cents = corpus.filter(F.col("id") % step == 0).select(
         (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")
@@ -573,10 +599,7 @@ def serve_batch_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
     rng = np.random.default_rng(7)
     centers = rng.normal(size=(64, dims)) * 2.0
     X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
-    corpus = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
-    ).repartition(32)
-    corpus.cache().count()
+    corpus = land_corpus(spark, X)
     step = max(1, n // k_cells)
     cents = corpus.filter(F.col("id") % step == 0).select(
         (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")
@@ -902,10 +925,7 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
     rng = np.random.default_rng(7)
     centers = rng.normal(size=(64, dims)) * 2.0
     X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
-    corpus = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
-    ).repartition(32)
-    corpus.cache().count()
+    corpus = land_corpus(spark, X)
     step = max(1, n // k_cells)
     cents = corpus.filter(F.col("id") % step == 0).select(
         (F.col("id") / step).cast("int").alias("cid"), F.col("vec").alias("cvec")

@@ -63,6 +63,7 @@ class VectorSearchEngine:
                 max_candidates=config.max_candidates,
                 seed=config.seed,
                 sample_size=config.sample_size,
+                max_bucket_size=config.max_bucket_size,
             )
         self.config = config
         self.ivf_cells = ivf_cells
@@ -134,7 +135,14 @@ class VectorSearchEngine:
     ) -> None:
         from vector_search_go_spark.operators.tune import advisor_report
 
-        n = vectors.count()
+        # size the sample from a BOUNDED count (limit early-terminates
+        # the scan), never a full vectors.count() — the probe contract
+        # is one partition's worth of work, and at corpus scale an
+        # exact count is itself a full pass. Past the cap the fraction
+        # is computed against the lower bound (over-sampling slightly)
+        # and the trailing limit() short-circuits the sampled scan at
+        # probe_rows rows.
+        n = vectors.limit(50 * probe_rows).count()
         probe = vectors
         if n > probe_rows:
             probe = vectors.sample(
@@ -346,9 +354,31 @@ class VectorSearchEngine:
         import json as _json
         import os as _os
 
-        if _os.path.exists(_os.path.join(path, "centroids")) and not _os.path.exists(
-            _os.path.join(path, "model_nodes")
-        ):
+        def _exists(sub: str) -> bool:
+            p = _os.path.join(path, sub)
+            if _os.path.exists(p):
+                return True
+            if "://" in path:
+                # non-local store (s3://, hdfs://...): os.path can't
+                # see it — probe with a schema-only spark read
+                try:
+                    spark.read.parquet(p).schema
+                    return True
+                except Exception:
+                    return False
+            return False
+
+        if _exists("codebook"):
+            # ivfpq_save layout (centroids + codebook + coded cells) —
+            # its cells hold PQ codes, not vectors, so neither engine
+            # backend can serve it; refuse clearly instead of crashing
+            # later on a missing `vec` column.
+            raise ValueError(
+                f"store at {path!r} is an IVF+PQ store: the engine facade "
+                "has no ivfpq backend — use operators.pq.ivfpq_point_search "
+                "or serve.local_reader.LocalIvfPqReader on it directly"
+            )
+        if _exists("centroids") and not _exists("model_nodes"):
             # IVF store (ivf_save layout: centroids + cells holding the
             # vectors) — the save/load counterpart of backend='ivf'
             cents = spark.read.parquet(f"{path}/centroids")
@@ -372,8 +402,14 @@ class VectorSearchEngine:
             eng._index = idx
             eng._vectors = idx.vectors
         adv = _os.path.join(path, "advisor")
-        if _os.path.exists(adv):
-            eng.advisor_decision = _json.loads(
-                spark.read.json(adv).collect()[0]["advisor_json"]
-            )
+        if _os.path.exists(adv) or "://" in path:
+            # tolerant read: a store without a saved decision (or a
+            # remote path where existence can't be pre-checked) just
+            # leaves advisor_decision = None
+            try:
+                eng.advisor_decision = _json.loads(
+                    spark.read.json(adv).collect()[0]["advisor_json"]
+                )
+            except Exception:
+                pass
         return eng
