@@ -168,10 +168,7 @@ def make_angular_corpus(
     assign = rng.integers(0, len(centers), size=n)
     X = centers[assign] * center_scale + rng.normal(size=(n, dims))
     X /= np.linalg.norm(X, axis=1, keepdims=True)
-    corpus = spark.createDataFrame(
-        [(int(i), X[i].tolist()) for i in range(n)], "id bigint, vec array<double>"
-    ).repartition(32)
-    corpus.cache().count()
+    corpus = land_corpus(spark, X)
     qidx = rng.choice(n, size=n_queries, replace=False)
     queries = spark.createDataFrame(
         [(int(i), X[i].tolist()) for i in qidx], "query_id bigint, qvec array<double>"

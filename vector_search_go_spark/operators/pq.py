@@ -405,11 +405,15 @@ def ivfpq_save(
         .repartitionByRange(8, "id")
         .sortWithinPartitions("id")
         .write.mode("overwrite")
-        # small row groups: the rerank fetch reads scattered shortlist
-        # ids, so decode cost per matched row group must stay near the
-        # shortlist row size (the local reader's stats index and
-        # Spark's pushed `id IN` both prune at row-group granularity)
-        .option("parquet.block.size", 512 << 10)
+        # small row groups: the rerank fetch reads ~shortlist-many
+        # SCATTERED ids, so decode cost per matched row group must stay
+        # near the shortlist row size (the local reader's stats index
+        # and Spark's pushed `id IN` both prune at row-group
+        # granularity). 64 KiB ≈ 120 x 64-d rows per group: measured
+        # 237.6 -> 23.9 ms/q median on the 1M ivfpq-local probe vs
+        # 512 KiB, at ~8x more footer stats (tiny) and a mild
+        # sequential-scan cost only compaction-style readers ever see.
+        .option("parquet.block.size", 64 << 10)
         .parquet(f"{path}/vectors")
     )
     coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")
