@@ -325,3 +325,29 @@ def test_preload_buckets_matches_lazy_buckets(spark, stores):
         assert _frame_rows(mem.search(q, k=10)) == _frame_rows(
             lazy.search(q, k=10)
         )
+
+
+def test_search_many_matches_per_query(stores):
+    # the batch API must be row-identical to per-query search()
+    # concatenated — including through the batch-vs-single hashing
+    # paths, the survivor rule, and a threshold cut
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+
+    base, queries = stores
+    reader = LocalLshReader(str(base / "lsh"), metric="l2",
+                            preload_buckets=True)
+    Q = np.asarray(queries, dtype=np.float64)
+    got = reader.search_many(Q, k=10, query_ids=[10, 11, 12, 13])
+    want = [reader.search(q, k=10, query_id=10 + i) for i, q in enumerate(Q)]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        pd.concat(want, ignore_index=True),
+    )
+    got_t = reader.search_many(Q, k=10, threshold=8.0)
+    want_t = [reader.search(q, k=10, threshold=8.0, query_id=i)
+              for i, q in enumerate(Q)]
+    pd.testing.assert_frame_equal(
+        got_t.reset_index(drop=True), pd.concat(want_t, ignore_index=True)
+    )

@@ -345,6 +345,45 @@ class LocalLshReader:
             dists = dists[m]
         return _result_frame(ids, dists, k, query_id)
 
+    def search_many(
+        self,
+        Q,
+        k: int = 10,
+        threshold: float | None = None,
+        query_ids=None,
+    ) -> pd.DataFrame:
+        """Batch point lookups: row-identical to per-query ``search``
+        concatenated (pinned in tests/test_serve_local.py), with the
+        forest hashing amortized across the batch — one vectorized
+        hash_batch/probe_batch pass instead of per-query tree walks.
+        The per-query candidate work (probe, survivor rule, gather,
+        two-stage score) is already bounded by bucket mass, so a
+        serving tier that batches arrivals pays the reader's floor
+        once per batch, not once per query."""
+        Q = np.asarray(Q, dtype=np.float64)
+        if query_ids is None:
+            query_ids = np.arange(len(Q), dtype=np.int64)
+        hashes = self.forest.hash_batch(Q)
+        probes = self.forest.probe_batch(hashes)
+        frames = []
+        for i, qid in enumerate(query_ids):
+            cand = self._candidates(hashes[i : i + 1], probes[i : i + 1])
+            if len(cand) == 0:
+                frames.append(_result_frame([], [], k, int(qid)))
+                continue
+            ids, V, rows = self._fetch_vectors(cand)
+            dists = self._score(Q[i], V, rows, k, threshold)
+            if threshold is not None:
+                m = dists <= float(threshold)
+                ids = (
+                    ids[m]
+                    if isinstance(ids, np.ndarray)
+                    else [x for x, keep in zip(ids, m) if keep]
+                )
+                dists = dists[m]
+            frames.append(_result_frame(ids, dists, k, int(qid)))
+        return pd.concat(frames, ignore_index=True)
+
 
 class LocalIvfReader:
     """Point lookups over a saved IVF store (ivf_save layout:
