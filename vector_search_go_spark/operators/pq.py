@@ -190,7 +190,7 @@ def pq_codes_udf(codebook: DataFrame):
 
 def pq_adc_candidates(
     queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-    impl: str = "arrow",
+    impl: str = "arrow", local_topk: int | None = None,
 ) -> DataFrame:
     """(query_id, id, approx_dist) for every (query, candidate) pair the
     ``codes`` side supplies — the ADC lookup-table core, factored out so
@@ -204,7 +204,16 @@ def pq_adc_candidates(
     and scores each candidate batch with numpy fancy indexing — the
     lookup-sum folds its M terms in the same subspace order, so
     approx_dist is bit-identical to the ``impl='expr'`` expression fold
-    (pinned by the pq/ivf_pq oracle hashes)."""
+    (pinned by the pq/ivf_pq oracle hashes).
+
+    ``local_topk=L`` (arrow impl only) emits each batch's exact local
+    top-L rows per query under the (approx_dist, id) order instead of
+    every pair — result-identical for the downstream
+    ``topk(shortlist) → rerank → topk(k)`` pipeline when L >= the
+    shortlist (top-L is selection-monotone across any partition of the
+    pair set), while |queries| x L rows per batch reach the shuffle
+    instead of |batch| x |queries|. ADC values are never approximated;
+    pure row reduction."""
     has_qid = "query_id" in codes.columns
     codes_arr = codes.groupBy(
         *(["query_id", "id"] if has_qid else ["id"])
@@ -242,23 +251,40 @@ def pq_adc_candidates(
             sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
             adc[:, sub, :] = _seq_sq_l2(sl, mat)
 
+        def _flat_local_top(q_arr, ids_arr, d_arr):
+            # exact per-query top-L over flat pair arrays by (d, id)
+            parts = []
+            for g in np.unique(q_arr):
+                m = np.nonzero(q_arr == g)[0]
+                if len(m) > local_topk:
+                    sub = np.lexsort((ids_arr[m], d_arr[m]))[:local_topk]
+                    m = m[sub]
+                parts.append(m)
+            return np.concatenate(parts)
+
         def gen(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 C = np.array(pdf["codes"].tolist(), dtype=np.int64)
                 if has_qid:
+                    q_arr = pdf["query_id"].to_numpy()
                     qidx = np.array(
-                        [qpos[int(q)] for q in pdf["query_id"]], dtype=np.int64
+                        [qpos[int(q)] for q in q_arr], dtype=np.int64
                     )
                     s = np.zeros(len(C))
                     for j in range(M_SUB):
                         s += adc[qidx, j, C[:, j]]
+                    d = np.sqrt(s)
+                    ids_arr = pdf["id"].to_numpy()
+                    if local_topk is not None and len(d) > local_topk:
+                        keep = _flat_local_top(q_arr, ids_arr, d)
+                        q_arr, ids_arr, d = q_arr[keep], ids_arr[keep], d[keep]
                     yield pd.DataFrame(
                         {
-                            "query_id": pdf["query_id"].to_numpy(),
-                            "id": pdf["id"].to_numpy(),
-                            "approx_dist": np.sqrt(s),
+                            "query_id": q_arr,
+                            "id": ids_arr,
+                            "approx_dist": d,
                         }
                     )
                 else:
@@ -266,13 +292,40 @@ def pq_adc_candidates(
                     s = np.zeros((n_v, len(qids)))
                     for j in range(M_SUB):
                         s += adc[:, j, C[:, j]].T
+                    D = np.sqrt(s)
+                    ids_b = pdf["id"].to_numpy()
+                    if local_topk is not None and n_v > local_topk:
+                        out_q, out_i, out_d = [], [], []
+                        for j in range(len(qids)):
+                            col = D[:, j]
+                            pivot = np.partition(col, local_topk - 1)[
+                                local_topk - 1
+                            ]
+                            rows = np.nonzero(col <= pivot)[0]
+                            sub = np.lexsort((ids_b[rows], col[rows]))[
+                                :local_topk
+                            ]
+                            rows = rows[sub]
+                            out_q.append(
+                                np.full(len(rows), qids[j], dtype=np.int64)
+                            )
+                            out_i.append(ids_b[rows])
+                            out_d.append(col[rows])
+                        yield pd.DataFrame(
+                            {
+                                "query_id": np.concatenate(out_q),
+                                "id": np.concatenate(out_i),
+                                "approx_dist": np.concatenate(out_d),
+                            }
+                        )
+                        continue
                     yield pd.DataFrame(
                         {
                             "query_id": np.repeat(
                                 qids[None, :], n_v, axis=0
                             ).ravel(),
-                            "id": np.repeat(pdf["id"].to_numpy(), len(qids)),
-                            "approx_dist": np.sqrt(s).ravel(),
+                            "id": np.repeat(ids_b, len(qids)),
+                            "approx_dist": D.ravel(),
                         }
                     )
 
@@ -350,7 +403,7 @@ def pq_adc_search(
     compressed codes for a shortlist, exact L2 rerank for the final
     top-k. The per-(query, id) ADC sum folds its M terms in subspace
     order so the float result is bit-portable."""
-    approx = pq_adc_candidates(queries, codes, codebook)
+    approx = pq_adc_candidates(queries, codes, codebook, local_topk=shortlist)
     return pq_rerank(approx, queries, corpus, k, shortlist)
 
 
@@ -620,12 +673,23 @@ def ivfpq_point_search_batch(
                     acc = np.zeros(len(Cm))
                     for sub in range(M_SUB):
                         acc = acc + lut[pos, sub][Cm[:, sub]]
+                    d = np.sqrt(acc)
+                    out_ids = idm
+                    # exact local top-shortlist per (cell, query) chunk:
+                    # downstream is topk(shortlist) -> rerank ->
+                    # topk(k), so pre-truncating each chunk under the
+                    # same (adc_dist, id) order is result-identical
+                    if len(d) > shortlist and np.issubdtype(
+                        out_ids.dtype, np.number
+                    ):
+                        keep = np.lexsort((out_ids, d))[:shortlist]
+                        d, out_ids = d[keep], out_ids[keep]
                     outs.append(
                         pd.DataFrame(
                             {
                                 "query_id": qid_arr[pos],
-                                "id": idm,
-                                "adc_dist": np.sqrt(acc),
+                                "id": out_ids,
+                                "adc_dist": d,
                             }
                         )
                     )

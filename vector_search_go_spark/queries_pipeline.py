@@ -824,7 +824,9 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate list is |queries| x nprobe-cells rows — always the
     # small side against the corpus-wide code table
     cand_codes = F.broadcast(cand_ids).join(codes, on="id")
-    approx = pq_adc_candidates(queries, cand_codes, cb)
+    approx = pq_adc_candidates(
+        queries, cand_codes, cb, local_topk=_IVFPQ_SHORT
+    )
     return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
 
 
