@@ -130,10 +130,36 @@ def sq8_search(
                 xhat = mins[None, :] + (C + 0.5) * scales[None, :]
                 D = np.sqrt(_seq_sq_l2(xhat, Q))
                 n_v, n_q = D.shape
+                ids_b = pdf["id"].to_numpy()
+                if n_v > shortlist:
+                    # exact local top-shortlist per query: downstream is
+                    # topk(shortlist) -> rerank -> topk(k), so emitting
+                    # each batch's winners under the same
+                    # (approx_dist, id) order is result-identical and
+                    # |queries| x shortlist rows reach the shuffle
+                    # instead of the full batch x query mesh
+                    out_q, out_i, out_d = [], [], []
+                    for j in range(n_q):
+                        col = D[:, j]
+                        pivot = np.partition(col, shortlist - 1)[shortlist - 1]
+                        rows = np.nonzero(col <= pivot)[0]
+                        sub = np.lexsort((ids_b[rows], col[rows]))[:shortlist]
+                        rows = rows[sub]
+                        out_q.append(np.full(len(rows), qids[j], dtype=np.int64))
+                        out_i.append(ids_b[rows])
+                        out_d.append(col[rows])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "id": np.concatenate(out_i),
+                            "approx_dist": np.concatenate(out_d),
+                        }
+                    )
+                    continue
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids[None, :], n_v, axis=0).ravel(),
-                        "id": np.repeat(pdf["id"].to_numpy(), n_q),
+                        "id": np.repeat(ids_b, n_q),
                         "approx_dist": D.ravel(),
                     }
                 )
