@@ -351,3 +351,22 @@ def test_search_many_matches_per_query(stores):
     pd.testing.assert_frame_equal(
         got_t.reset_index(drop=True), pd.concat(want_t, ignore_index=True)
     )
+
+
+def test_local_ivf_reader_preload_cells(spark, stores):
+    # in-memory cells mode must match the parquet-backed reader AND the
+    # Spark point path
+    from vector_search_go_spark.operators.ann_ivf import ivf_point_search
+    from vector_search_go_spark.serve.local_reader import LocalIvfReader
+
+    base, queries = stores
+    path = str(base / "ivf")
+    mem = LocalIvfReader(path, metric="cosine", preload_cells=True)
+    lazy = LocalIvfReader(path, metric="cosine")
+    for q in queries:
+        a = _frame_rows(mem.search(q, k=10, nprobe=3))
+        assert a == _frame_rows(lazy.search(q, k=10, nprobe=3))
+        want = _rows(
+            ivf_point_search(spark, path, q.tolist(), "cosine", k=10, nprobe=3)
+        )
+        assert a == want

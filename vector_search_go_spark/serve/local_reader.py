@@ -387,9 +387,15 @@ class LocalLshReader:
 
 class LocalIvfReader:
     """Point lookups over a saved IVF store (ivf_save layout:
-    centroids + cells/cell=N/ holding full vectors)."""
+    centroids + cells/cell=N/ holding full vectors).
 
-    def __init__(self, path: str, metric: str = "cosine"):
+    ``preload_cells=True`` pins every cell's (ids, matrix) in reader
+    RAM at init — the fully in-memory regime (same trade as the LSH
+    reader's ``preload_buckets``): a probe becomes a dict lookup +
+    numpy concat instead of per-query parquet decode."""
+
+    def __init__(self, path: str, metric: str = "cosine",
+                 preload_cells: bool = False):
         import pyarrow.parquet as pq
 
         self.path = path
@@ -404,6 +410,17 @@ class LocalIvfReader:
         )
         self.dims = self.model[1].shape[1]
         self._cells = HivePartIndex(os.path.join(path, "cells"), "cell")
+        self._mem_cells = None
+        if preload_cells:
+            self._mem_cells = {}
+            for v in self._cells.values():
+                t = self._cells.read_value(v, ["id", "vec"])
+                if t is None or t.num_rows == 0:
+                    continue
+                self._mem_cells[v] = (
+                    t.column("id").to_numpy(zero_copy_only=False),
+                    list_column_matrix(t, "vec", self.dims),
+                )
 
     def search(
         self,
@@ -419,22 +436,33 @@ class LocalIvfReader:
 
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, self.metric, nprobe, model=self.model)
-        tbls = [
-            t for t in
-            self._cells.read_values_parallel(probed, ["id", "vec"]).values()
-            if t is not None and t.num_rows
-        ]
-        if not tbls:
-            return _result_frame([], [], k, query_id)
-        tbl = pa.concat_tables(tbls)
-        ids = tbl.column("id").to_pylist()
-        V = list_column_matrix(tbl, "vec", self.dims)
+        if self._mem_cells is not None:
+            hits = [
+                self._mem_cells[int(c)]
+                for c in probed
+                if int(c) in self._mem_cells
+            ]
+            if not hits:
+                return _result_frame([], [], k, query_id)
+            ids = np.concatenate([h[0] for h in hits])
+            V = np.concatenate([h[1] for h in hits])
+        else:
+            tbls = [
+                t for t in
+                self._cells.read_values_parallel(probed, ["id", "vec"]).values()
+                if t is not None and t.num_rows
+            ]
+            if not tbls:
+                return _result_frame([], [], k, query_id)
+            tbl = pa.concat_tables(tbls)
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            V = list_column_matrix(tbl, "vec", self.dims)
         dists = single_query_dists(self.metric, q, V)
         if threshold is not None:
             m = dists <= float(threshold)
-            ids = [i for i, keep in zip(ids, m) if keep]
+            ids = ids[m]
             dists = dists[m]
-        return _result_frame(ids, list(dists), k, query_id)
+        return _result_frame(ids, dists, k, query_id)
 
 
 class LocalIvfPqReader:
