@@ -267,19 +267,27 @@ class VectorSearchEngine:
             .collect()
         )
 
-    def local_reader(self, path: str, preload_buckets: bool = False):
+    def local_reader(
+        self,
+        path: str,
+        preload_buckets: bool = False,
+        preload_cells: bool = False,
+    ):
         """Driver-side serving reader over a SAVED index dir — point
         lookups with no Spark job (serve.local_reader; bit-identical
         to point_search on the same store). The reference's serving
         regime (in-process Search over an in-memory store,
         lsh/lsh.go:137-197) rebuilt from the engine's own artifacts.
-        ``preload_buckets=True`` additionally pins the bucket arrays in
-        reader RAM (LSH only) — the fully in-memory regime, ~tens of
-        ms/query at 1M (SCALE.md serving table)."""
+        ``preload_buckets=True`` (LSH) / ``preload_cells=True`` (IVF)
+        additionally pin the bucket/cell arrays in reader RAM — the
+        fully in-memory regime, ~11-27 ms/query at 1M (SCALE.md
+        serving table)."""
         if self.backend == "ivf":
             from vector_search_go_spark.serve.local_reader import LocalIvfReader
 
-            return LocalIvfReader(path, metric=self.metric)
+            return LocalIvfReader(
+                path, metric=self.metric, preload_cells=preload_cells
+            )
         from vector_search_go_spark.serve.local_reader import LocalLshReader
 
         return LocalLshReader(
