@@ -122,3 +122,35 @@ def test_arrow_two_stage_matches_expr_oracle(spark, n_parts):
                 )
             )
             assert a == b, f"metric={metric} threshold={thr}"
+
+
+def test_searches_tolerate_empty_queries(spark):
+    # the local-top-k kernels must emit well-formed empty results for an
+    # empty query batch, not crash in np.concatenate (review r5 pass 3)
+    rng = np.random.default_rng(3)
+    C = rng.normal(size=(200, 8))
+    corpus = spark.createDataFrame(
+        [(i, list(map(float, C[i]))) for i in range(len(C))],
+        "id bigint, vec array<double>",
+    )
+    empty_q = spark.createDataFrame([], "query_id bigint, qvec array<double>")
+
+    from vector_search_go_spark.operators.pq import (
+        pq_adc_search,
+        pq_codebook,
+        pq_encode,
+    )
+    from vector_search_go_spark.operators.sq8 import (
+        sq8_encode,
+        sq8_search,
+        sq8_stats,
+    )
+
+    emb = corpus.select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    cb = pq_codebook(emb)
+    codes = pq_encode(corpus, cb)
+    assert pq_adc_search(empty_q, codes, cb, corpus, k=5, shortlist=20).count() == 0
+    stats = sq8_stats(corpus, 8)
+    scodes = sq8_encode(corpus, stats, 8)
+    assert sq8_search(empty_q, scodes, stats, corpus, 8, k=5, shortlist=20).count() == 0
+    assert exact_knn_join(empty_q, corpus, metric="l2", k=5).count() == 0

@@ -370,3 +370,27 @@ def test_local_ivf_reader_preload_cells(spark, stores):
             ivf_point_search(spark, path, q.tolist(), "cosine", k=10, nprobe=3)
         )
         assert a == want
+
+
+def test_search_many_input_validation(stores):
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+
+    base, queries = stores
+    reader = LocalLshReader(str(base / "lsh"), metric="l2")
+    # empty batch -> well-formed empty frame, not a concat crash
+    out = reader.search_many(np.empty((0, 64)), k=5)
+    assert len(out) == 0 and list(out.columns) == ["query_id", "id", "dist", "rn"]
+    # mismatched lengths -> loud error, never silent drops
+    with pytest.raises(ValueError, match="query_ids"):
+        reader.search_many(np.asarray(queries[:2]), k=5, query_ids=[1, 2, 3])
+
+
+def test_local_reader_flag_routing(spark):
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    lsh_eng = VectorSearchEngine(spark, metric="l2", backend="lsh")
+    with pytest.raises(ValueError, match="preload_cells"):
+        lsh_eng.local_reader("/nonexistent", preload_cells=True)
+    ivf_eng = VectorSearchEngine(spark, metric="l2", backend="ivf")
+    with pytest.raises(ValueError, match="preload_buckets"):
+        ivf_eng.local_reader("/nonexistent", preload_buckets=True)

@@ -283,10 +283,20 @@ class VectorSearchEngine:
         fully in-memory regime, ~11-27 ms/query at 1M (SCALE.md
         serving table)."""
         if self.backend == "ivf":
+            if preload_buckets:
+                raise ValueError(
+                    "preload_buckets is the LSH reader's flag; an ivf "
+                    "backend pins its store with preload_cells=True"
+                )
             from vector_search_go_spark.serve.local_reader import LocalIvfReader
 
             return LocalIvfReader(
                 path, metric=self.metric, preload_cells=preload_cells
+            )
+        if preload_cells:
+            raise ValueError(
+                "preload_cells is the IVF reader's flag; an lsh backend "
+                "pins its store with preload_buckets=True"
             )
         from vector_search_go_spark.serve.local_reader import LocalLshReader
 

@@ -185,6 +185,44 @@ def argmin_id_arrow_grouped(
     return nearest
 
 
+def local_topk_flat(q_arr, ids_arr, d_arr, L: int):
+    """Indices of the exact per-query top-L pairs under the (d, id)
+    order, over flat parallel arrays (query, id, dist) — the one shared
+    implementation of the local-top-k reduction every Arrow kernel
+    leans on (exact-KNN, fan-in scorer, ADC, SQ8). One grouped lexsort;
+    no per-query boolean scans. Returns an index array into the inputs
+    (grouped by query, (d, id)-sorted within each group); empty input
+    -> empty index array."""
+    n = len(d_arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ids_arr, d_arr, q_arr))
+    qs = np.asarray(q_arr)[order]
+    starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+    sizes = np.diff(np.r_[starts, n])
+    grp = np.repeat(np.arange(len(starts)), sizes)
+    rank = np.arange(n) - starts[grp]
+    return order[rank < L]
+
+
+def local_topk_mesh(D, ids_b, L: int):
+    """Per-column exact top-L of an (n_rows, n_queries) distance matrix
+    under the (dist, id) order, WITHOUT flattening the mesh (a flat
+    lexsort over n_rows x n_queries entries is the cost this avoids).
+    Yields (col_j, row_indices) per column; row_indices are
+    (dist, id)-sorted and at most L long."""
+    n_v, n_q = D.shape
+    for j in range(n_q):
+        col = D[:, j]
+        if n_v > L:
+            pivot = np.partition(col, L - 1)[L - 1]
+            rows = np.nonzero(col <= pivot)[0]
+            rows = rows[np.lexsort((ids_b[rows], col[rows]))[:L]]
+        else:
+            rows = np.lexsort((ids_b, col))
+        yield j, rows
+
+
 def fanin_query_scorer(queries: DataFrame, metric: str,
                        qid_col: str = "query_id", qvec_col: str = "qvec",
                        tol: float = 1e-6, local_topk: int | None = None):
@@ -273,14 +311,7 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
                 and np.issubdtype(np.asarray(qidx).dtype, np.number)
                 and np.issubdtype(pair_ids.dtype, np.number)
             ):
-                keep_parts = []
-                for g in np.unique(qidx):
-                    m = np.nonzero(qidx == g)[0]
-                    if len(m) > local_topk:
-                        sub = np.lexsort((pair_ids[m], dist[m]))[:local_topk]
-                        m = m[sub]
-                    keep_parts.append(m)
-                keep = np.concatenate(keep_parts)
+                keep = local_topk_flat(qidx, pair_ids, dist, local_topk)
                 yield pd.DataFrame(
                     {
                         "query_id": [flat_qids[i] for i in keep],

@@ -104,6 +104,12 @@ def _exact_knn_arrow(
                    key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if len(qrows) == 0:
+        # empty query batch: Q is 1-D and every kernel slice below is
+        # invalid — short-circuit to a well-formed empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, id long, dist double, rn int"
+        )
     is_cos = metric in ("cosine", "angular")
     q2 = np.einsum("ij,ij->i", Q, Q)
     nq = np.sqrt(q2)

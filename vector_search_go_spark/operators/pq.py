@@ -232,6 +232,12 @@ def pq_adc_candidates(
             queries.select("query_id", "qvec").collect(),
             key=lambda r: r["query_id"],
         )
+        if not qrows:
+            # an empty query batch makes Q 1-D and every slice below
+            # invalid — short-circuit to a well-formed empty result
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, id long, approx_dist double"
+            )
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qpos = {int(q): i for i, q in enumerate(qids)}
         Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
@@ -251,16 +257,10 @@ def pq_adc_candidates(
             sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
             adc[:, sub, :] = _seq_sq_l2(sl, mat)
 
-        def _flat_local_top(q_arr, ids_arr, d_arr):
-            # exact per-query top-L over flat pair arrays by (d, id)
-            parts = []
-            for g in np.unique(q_arr):
-                m = np.nonzero(q_arr == g)[0]
-                if len(m) > local_topk:
-                    sub = np.lexsort((ids_arr[m], d_arr[m]))[:local_topk]
-                    m = m[sub]
-                parts.append(m)
-            return np.concatenate(parts)
+        from vector_search_go_spark.operators.argmin import (
+            local_topk_flat,
+            local_topk_mesh,
+        )
 
         def gen(batches):
             for pdf in batches:
@@ -278,7 +278,7 @@ def pq_adc_candidates(
                     d = np.sqrt(s)
                     ids_arr = pdf["id"].to_numpy()
                     if local_topk is not None and len(d) > local_topk:
-                        keep = _flat_local_top(q_arr, ids_arr, d)
+                        keep = local_topk_flat(q_arr, ids_arr, d, local_topk)
                         q_arr, ids_arr, d = q_arr[keep], ids_arr[keep], d[keep]
                     yield pd.DataFrame(
                         {
@@ -294,23 +294,18 @@ def pq_adc_candidates(
                         s += adc[:, j, C[:, j]].T
                     D = np.sqrt(s)
                     ids_b = pdf["id"].to_numpy()
-                    if local_topk is not None and n_v > local_topk:
+                    if (
+                        local_topk is not None
+                        and n_v > local_topk
+                        and len(qids) > 0
+                    ):
                         out_q, out_i, out_d = [], [], []
-                        for j in range(len(qids)):
-                            col = D[:, j]
-                            pivot = np.partition(col, local_topk - 1)[
-                                local_topk - 1
-                            ]
-                            rows = np.nonzero(col <= pivot)[0]
-                            sub = np.lexsort((ids_b[rows], col[rows]))[
-                                :local_topk
-                            ]
-                            rows = rows[sub]
+                        for j, rows in local_topk_mesh(D, ids_b, local_topk):
                             out_q.append(
                                 np.full(len(rows), qids[j], dtype=np.int64)
                             )
                             out_i.append(ids_b[rows])
-                            out_d.append(col[rows])
+                            out_d.append(D[rows, j])
                         yield pd.DataFrame(
                             {
                                 "query_id": np.concatenate(out_q),

@@ -119,6 +119,13 @@ def sq8_search(
             queries.select("query_id", "qvec").collect(),
             key=lambda r: r["query_id"],
         )
+        if not qrows:
+            # empty query batch: Q would be 1-D and the kernel slices
+            # invalid — feed an empty approx frame to the shared rerank
+            approx = queries.sparkSession.createDataFrame(
+                [], "query_id long, id long, approx_dist double"
+            )
+            return _sq8_finish(approx, queries, corpus, k, shortlist)
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
 
@@ -131,23 +138,23 @@ def sq8_search(
                 D = np.sqrt(_seq_sq_l2(xhat, Q))
                 n_v, n_q = D.shape
                 ids_b = pdf["id"].to_numpy()
-                if n_v > shortlist:
-                    # exact local top-shortlist per query: downstream is
+                if n_v > shortlist and n_q > 0:
+                    # exact local top-shortlist per query
+                    # (operators.argmin.local_topk_mesh): downstream is
                     # topk(shortlist) -> rerank -> topk(k), so emitting
                     # each batch's winners under the same
                     # (approx_dist, id) order is result-identical and
                     # |queries| x shortlist rows reach the shuffle
                     # instead of the full batch x query mesh
+                    from vector_search_go_spark.operators.argmin import (
+                        local_topk_mesh,
+                    )
+
                     out_q, out_i, out_d = [], [], []
-                    for j in range(n_q):
-                        col = D[:, j]
-                        pivot = np.partition(col, shortlist - 1)[shortlist - 1]
-                        rows = np.nonzero(col <= pivot)[0]
-                        sub = np.lexsort((ids_b[rows], col[rows]))[:shortlist]
-                        rows = rows[sub]
+                    for j, rows in local_topk_mesh(D, ids_b, shortlist):
                         out_q.append(np.full(len(rows), qids[j], dtype=np.int64))
                         out_i.append(ids_b[rows])
-                        out_d.append(col[rows])
+                        out_d.append(D[rows, j])
                     yield pd.DataFrame(
                         {
                             "query_id": np.concatenate(out_q),
@@ -175,6 +182,18 @@ def sq8_search(
             .withColumn("approx_dist", l2_dist(F.col("qvec"), F.col("xhat")))
             .select("query_id", "id", "approx_dist")
         )
+    return _sq8_finish(approx, queries, corpus, k, shortlist)
+
+
+def _sq8_finish(
+    approx: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared tail of sq8_search: topk(shortlist) over the approximate
+    distances, exact rerank of the shortlist, topk(k)."""
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", shortlist, tiebreak_cols=["id"],
         rank_name="_s",

@@ -363,6 +363,13 @@ class LocalLshReader:
         Q = np.asarray(Q, dtype=np.float64)
         if query_ids is None:
             query_ids = np.arange(len(Q), dtype=np.int64)
+        if len(query_ids) != len(Q):
+            raise ValueError(
+                f"search_many: {len(Q)} query vectors but "
+                f"{len(query_ids)} query_ids"
+            )
+        if len(Q) == 0:
+            return _result_frame([], [], k, 0)
         hashes = self.forest.hash_batch(Q)
         probes = self.forest.probe_batch(hashes)
         frames = []
@@ -412,15 +419,20 @@ class LocalIvfReader:
         self._cells = HivePartIndex(os.path.join(path, "cells"), "cell")
         self._mem_cells = None
         if preload_cells:
-            self._mem_cells = {}
-            for v in self._cells.values():
-                t = self._cells.read_value(v, ["id", "vec"])
-                if t is None or t.num_rows == 0:
-                    continue
-                self._mem_cells[v] = (
+            # parquet reads release the GIL — fan the one-time preload
+            # across the index's thread pool instead of one cell at a
+            # time
+            tbls = self._cells.read_values_parallel(
+                self._cells.values(), ["id", "vec"]
+            )
+            self._mem_cells = {
+                v: (
                     t.column("id").to_numpy(zero_copy_only=False),
                     list_column_matrix(t, "vec", self.dims),
                 )
+                for v, t in tbls.items()
+                if t is not None and t.num_rows
+            }
 
     def search(
         self,
