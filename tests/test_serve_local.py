@@ -7,6 +7,7 @@ tie-breaks (VERDICT r4 next-round item 1)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -394,3 +395,79 @@ def test_local_reader_flag_routing(spark):
     ivf_eng = VectorSearchEngine(spark, metric="l2", backend="ivf")
     with pytest.raises(ValueError, match="preload_buckets"):
         ivf_eng.local_reader("/nonexistent", preload_buckets=True)
+
+
+def test_local_ivfpq_reader_preload_codes(spark, stores):
+    # preloaded (ids, codes) arrays must give the SAME rows as the
+    # lazy parquet path and the Spark point path on every fixture query
+    from vector_search_go_spark.operators.pq import ivfpq_point_search
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries = stores
+    path = str(base / "ivfpq")
+    mem = LocalIvfPqReader(path, preload_codes=True)
+    lazy = LocalIvfPqReader(path)
+    for q in queries:
+        a = _frame_rows(mem.search(q, k=10, nprobe=3))
+        assert a == _frame_rows(lazy.search(q, k=10, nprobe=3))
+        want = _rows(
+            ivfpq_point_search(spark, path, q.tolist(), metric="l2", k=10, nprobe=3)
+        )
+        assert a == want
+
+
+def test_local_ivf_search_many_matches_single(stores):
+    # batch lookups must be row-identical to per-query search
+    # concatenated, in both the lazy and preloaded regimes
+    from vector_search_go_spark.serve.local_reader import LocalIvfReader
+
+    base, queries = stores
+    path = str(base / "ivf")
+    for preload in (False, True):
+        reader = LocalIvfReader(path, metric="cosine", preload_cells=preload)
+        Q = np.asarray(queries)
+        got = reader.search_many(Q, k=10, nprobe=3, query_ids=[7, 8, 9, 10])
+        want = pd.concat(
+            [
+                reader.search(Q[i], k=10, nprobe=3, query_id=7 + i)
+                for i in range(len(Q))
+            ],
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(got, want)
+    # threshold path too
+    reader = LocalIvfReader(path, metric="cosine")
+    got = reader.search_many(Q, k=10, nprobe=3, threshold=0.5)
+    want = pd.concat(
+        [
+            reader.search(Q[i], k=10, nprobe=3, threshold=0.5, query_id=i)
+            for i in range(len(Q))
+        ],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_local_ivfpq_search_many_matches_single(stores):
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries = stores
+    path = str(base / "ivfpq")
+    Q = np.asarray(queries)
+    for preload in (False, True):
+        reader = LocalIvfPqReader(path, preload_codes=preload)
+        got = reader.search_many(Q, k=10, nprobe=3)
+        want = pd.concat(
+            [
+                reader.search(Q[i], k=10, nprobe=3, query_id=i)
+                for i in range(len(Q))
+            ],
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(got, want)
+    # empty batch + mismatched ids behave like the LSH batch API
+    reader = LocalIvfPqReader(path)
+    out = reader.search_many(np.empty((0, DIMS)), k=5)
+    assert len(out) == 0 and list(out.columns) == ["query_id", "id", "dist", "rn"]
+    with pytest.raises(ValueError, match="query_ids"):
+        reader.search_many(Q[:2], k=5, query_ids=[1, 2, 3])

@@ -1026,6 +1026,15 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
             ),
             t_pq,
         )
+        bench_reader(
+            "ivfpq-local-mem",
+            lambda: LocalIvfPqReader(f"{base}/ivfpq", preload_codes=True),
+            lambda r, q: r.search(q, k=10, nprobe=8),
+            lambda qv: ivfpq_point_search(
+                spark, f"{base}/ivfpq", qv, "l2", k=10, nprobe=8
+            ),
+            t_pq,
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -476,13 +476,90 @@ class LocalIvfReader:
             dists = dists[m]
         return _result_frame(ids, dists, k, query_id)
 
+    def search_many(
+        self,
+        Q,
+        k: int = 10,
+        nprobe: int = 4,
+        threshold: float | None = None,
+        query_ids=None,
+    ) -> pd.DataFrame:
+        """Batch point lookups, row-identical to per-query ``search``
+        concatenated (pinned in tests/test_serve_local.py). Each
+        distinct probed cell is decoded ONCE per batch — queries
+        probing overlapping cells share the parquet read, so batch
+        cost is bounded by the UNION of probed cells, not
+        batch x nprobe. Per-query scoring order is unchanged (cells in
+        probe order, rows in store order), so results cannot differ."""
+        from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+
+        Q = np.asarray(Q, dtype=np.float64)
+        if query_ids is None:
+            query_ids = np.arange(len(Q), dtype=np.int64)
+        if len(query_ids) != len(Q):
+            raise ValueError(
+                f"search_many: {len(Q)} query vectors but "
+                f"{len(query_ids)} query_ids"
+            )
+        if len(Q) == 0:
+            return _result_frame([], [], k, 0)
+        probes = [
+            probe_cells_for(None, None, Q[i], self.metric, nprobe,
+                            model=self.model)
+            for i in range(len(Q))
+        ]
+        if self._mem_cells is not None:
+            cell_map = self._mem_cells
+        else:
+            needed, seen = [], set()
+            for pr in probes:
+                for c in pr:
+                    ci = int(c)
+                    if ci not in seen:
+                        seen.add(ci)
+                        needed.append(ci)
+            tbls = self._cells.read_values_parallel(needed, ["id", "vec"])
+            cell_map = {
+                v: (
+                    t.column("id").to_numpy(zero_copy_only=False),
+                    list_column_matrix(t, "vec", self.dims),
+                )
+                for v, t in tbls.items()
+                if t is not None and t.num_rows
+            }
+        frames = []
+        for i, qid in enumerate(query_ids):
+            hits = [
+                cell_map[int(c)] for c in probes[i] if int(c) in cell_map
+            ]
+            if not hits:
+                frames.append(_result_frame([], [], k, int(qid)))
+                continue
+            ids = np.concatenate([h[0] for h in hits])
+            V = np.concatenate([h[1] for h in hits])
+            dists = single_query_dists(self.metric, Q[i], V)
+            if threshold is not None:
+                m = dists <= float(threshold)
+                ids = ids[m]
+                dists = dists[m]
+            frames.append(_result_frame(ids, dists, k, int(qid)))
+        return pd.concat(frames, ignore_index=True)
+
 
 class LocalIvfPqReader:
     """Point lookups over a saved IVFADC store (ivfpq_save layout:
     centroids + codebook + cells/cell=N/ codes + id-sorted vectors).
-    L2-only, like the store itself."""
+    L2-only, like the store itself.
 
-    def __init__(self, path: str):
+    ``preload_codes=True`` pins the per-cell (ids, codes) arrays in
+    reader RAM — the canonical IVFADC memory contract (codes are
+    M_SUB bytes/vector, ~8 MB at 1M; full vectors stay on disk and are
+    read only for the shortlist rerank). A probe then skips the
+    per-query parquet decode entirely; results are identical because
+    shortlist selection keys on (adc_dist, id) and ids are unique
+    across cells, so cell concat order cannot matter."""
+
+    def __init__(self, path: str, preload_codes: bool = False):
         import pyarrow.parquet as pq
 
         self.path = path
@@ -513,6 +590,21 @@ class LocalIvfPqReader:
         self._vectors = RowGroupIndex(
             glob.glob(os.path.join(path, "vectors", "*.parquet")), "id"
         )
+        self._mem_codes = None
+        if preload_codes:
+            from vector_search_go_spark.operators.pq import M_SUB
+
+            tbls = self._cells.read_values_parallel(
+                self._cells.values(), ["id", "codes"]
+            )
+            self._mem_codes = {
+                v: (
+                    t.column("id").to_numpy(zero_copy_only=False),
+                    list_column_int_matrix(t, "codes", M_SUB),
+                )
+                for v, t in tbls.items()
+                if t is not None and t.num_rows
+            }
 
     def search(
         self,
@@ -539,16 +631,27 @@ class LocalIvfPqReader:
             sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
             lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
 
-        tbls = [
-            t for t in
-            self._cells.read_values_parallel(probed, ["id", "codes"]).values()
-            if t is not None and t.num_rows
-        ]
-        if not tbls:
-            return _result_frame([], [], k, query_id)
-        tbl = pa.concat_tables(tbls)
-        ids = tbl.column("id").to_numpy(zero_copy_only=False)
-        C = list_column_int_matrix(tbl, "codes", M_SUB)
+        if self._mem_codes is not None:
+            hits = [
+                self._mem_codes[int(c)]
+                for c in probed
+                if int(c) in self._mem_codes
+            ]
+            if not hits:
+                return _result_frame([], [], k, query_id)
+            ids = np.concatenate([h[0] for h in hits])
+            C = np.concatenate([h[1] for h in hits])
+        else:
+            tbls = [
+                t for t in
+                self._cells.read_values_parallel(probed, ["id", "codes"]).values()
+                if t is not None and t.num_rows
+            ]
+            if not tbls:
+                return _result_frame([], [], k, query_id)
+            tbl = pa.concat_tables(tbls)
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            C = list_column_int_matrix(tbl, "codes", M_SUB)
         acc = np.zeros(len(C))
         for sub in range(M_SUB):
             acc = acc + lut[sub][C[:, sub]]
@@ -570,6 +673,117 @@ class LocalIvfPqReader:
         V = list_column_matrix(vtbl, "vec", self.dims)[mask]
         dists = single_query_dists("l2", q, V)
         return _result_frame(rids, list(dists), k, query_id)
+
+    def search_many(
+        self,
+        Q,
+        k: int = 10,
+        nprobe: int = 4,
+        shortlist: int | None = None,
+        query_ids=None,
+    ) -> pd.DataFrame:
+        """Batch point lookups, row-identical to per-query ``search``
+        concatenated (pinned in tests/test_serve_local.py). Two batch
+        amortizations, neither able to change results: (a) each
+        distinct probed cell's (ids, codes) decode is shared across
+        the batch (per-query ADC order is unchanged: cells in probe
+        order, rows in store order); (b) the shortlist vector rerank
+        reads the UNION of the batch's shortlist ids in one id-sorted
+        pass — per query the isin mask selects exactly the rows its
+        own read would have, in the same store order."""
+        from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+        from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
+
+        if shortlist is None:
+            shortlist = pq_shortlist(k)
+        Q = np.asarray(Q, dtype=np.float64)
+        if query_ids is None:
+            query_ids = np.arange(len(Q), dtype=np.int64)
+        if len(query_ids) != len(Q):
+            raise ValueError(
+                f"search_many: {len(Q)} query vectors but "
+                f"{len(query_ids)} query_ids"
+            )
+        if len(Q) == 0:
+            return _result_frame([], [], k, 0)
+        probes = [
+            probe_cells_for(None, None, Q[i], "l2", nprobe, model=self.coarse)
+            for i in range(len(Q))
+        ]
+        if self._mem_codes is not None:
+            cell_map = self._mem_codes
+        else:
+            needed, seen = [], set()
+            for pr in probes:
+                for c in pr:
+                    ci = int(c)
+                    if ci not in seen:
+                        seen.add(ci)
+                        needed.append(ci)
+            tbls = self._cells.read_values_parallel(needed, ["id", "codes"])
+            cell_map = {
+                v: (
+                    t.column("id").to_numpy(zero_copy_only=False),
+                    list_column_int_matrix(t, "codes", M_SUB),
+                )
+                for v, t in tbls.items()
+                if t is not None and t.num_rows
+            }
+
+        n_codes = max(int(self.cb_ids[s].max()) for s in self.cb_ids) + 1
+        per_query = []  # (qid, qvec, short_ids) -- scored after one union read
+        union_ids: set = set()
+        for i, qid in enumerate(query_ids):
+            hits = [
+                cell_map[int(c)] for c in probes[i] if int(c) in cell_map
+            ]
+            if not hits:
+                per_query.append((int(qid), Q[i], None))
+                continue
+            ids = np.concatenate([h[0] for h in hits])
+            C = np.concatenate([h[1] for h in hits])
+            lut = np.zeros((M_SUB, n_codes))
+            for sub in range(M_SUB):
+                sl = Q[i, sub * D_SUB : (sub + 1) * D_SUB][None, :]
+                lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
+            acc = np.zeros(len(C))
+            for sub in range(M_SUB):
+                acc = acc + lut[sub][C[:, sub]]
+            adc = np.sqrt(acc)
+            if np.issubdtype(ids.dtype, np.number):
+                short = np.lexsort((ids, adc))[:shortlist]
+            else:
+                short = sorted(
+                    range(len(ids)), key=lambda i2: (adc[i2], ids[i2])
+                )[:shortlist]
+            short_ids = sorted(ids[j] for j in short)
+            union_ids.update(short_ids)
+            per_query.append((int(qid), Q[i], short_ids))
+
+        vtbl = (
+            self._vectors.read(sorted(union_ids), ["id", "vec"])
+            if union_ids
+            else None
+        )
+        if vtbl is not None and vtbl.num_rows:
+            rid_all = vtbl.column("id").to_numpy(zero_copy_only=False)
+            V_all = list_column_matrix(vtbl, "vec", self.dims)
+        else:
+            rid_all, V_all = None, None
+
+        frames = []
+        for qid, qv, short_ids in per_query:
+            if short_ids is None or rid_all is None:
+                frames.append(_result_frame([], [], k, qid))
+                continue
+            mask = np.isin(rid_all, np.asarray(short_ids))
+            rids = rid_all[mask].tolist()
+            if not rids:
+                frames.append(_result_frame([], [], k, qid))
+                continue
+            dists = single_query_dists("l2", qv, V_all[mask])
+            frames.append(_result_frame(rids, list(dists), k, qid))
+        return pd.concat(frames, ignore_index=True)
 
 
 __all__ = ["LocalLshReader", "LocalIvfReader", "LocalIvfPqReader"]
