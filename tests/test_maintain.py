@@ -125,3 +125,138 @@ def test_maintain_noop_below_thresholds(spark, tmp_path):
     res = maintain(spark, path)
     assert res["action"] == "none"
     assert res["tv_drift"] == pytest.approx(0.0)
+
+
+@pytest.fixture(scope="module")
+def drifted_ivf_store(spark, tmp_path_factory):
+    """IVF twin of drifted_store: k-means centroids trained on region
+    A, region B (6 sigma away) streamed through the FROZEN centroids
+    into the saved store (ingest_to_ivf_store)."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.streaming.ingest import ingest_to_ivf_store
+
+    base = tmp_path_factory.mktemp("drift_ivf")
+    rng = np.random.default_rng(23)
+    A = rng.standard_normal((N_A, DIMS))
+    B = rng.standard_normal((N_B, DIMS)) + 6.0
+    path = str(base / "ivf")
+    cents = kmeans_fit(_df(spark, A), 32, iters=3, dim=DIMS)
+    ivf_save(spark, _df(spark, A), cents, path, metric="l2")
+
+    land = str(base / "landing")
+    _df(spark, B, start_id=N_A).write.mode("overwrite").parquet(land)
+    stream = spark.readStream.schema("id bigint, vec array<double>").parquet(land)
+    ingest_to_ivf_store(
+        spark,
+        stream,
+        spark.read.parquet(f"{path}/centroids"),
+        f"{path}/cells",
+        str(base / "ckpt"),
+        metric="l2",
+    )
+    spark.catalog.refreshByPath(f"{path}/cells")
+    return path, A, B
+
+
+def _ivf_scan_cost_and_recall(spark, path, B, nprobe=4):
+    """Mean candidates scanned per drifted-region query at fixed
+    nprobe, plus eps-recall vs exact — the cost axis is what frozen-
+    centroid drift actually breaks for IVF (recall holds because probed
+    cells are uncapped; the probe just scans a huge cell)."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_search
+
+    cells = spark.read.parquet(f"{path}/cells")
+    cents = spark.read.parquet(f"{path}/centroids")
+    rng = np.random.default_rng(31)
+    qidx = rng.choice(N_B, size=15, replace=False)
+    queries = spark.createDataFrame(
+        [(int(i), B[i].tolist()) for i in qidx],
+        "query_id bigint, qvec array<double>",
+    )
+    # per-query scanned candidates = total size of its probed cells
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cdist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    probes = topk_per_group(
+        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"], rank_name="_r"
+    ).select("query_id", F.col("cid").alias("cell"))
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    cost = (
+        probes.join(sizes, on="cell", how="left")
+        .na.fill(0, ["sz"])
+        .groupBy("query_id")
+        .agg(F.sum("sz").alias("scanned"))
+        .agg(F.avg("scanned"))
+        .collect()[0][0]
+    )
+    corpus = cells.select("id", "vec")
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    pred = ivf_search(queries, cells, cents, metric="l2", k=10, nprobe=nprobe)
+    _, r = mean_precision_recall(
+        distance_based_precision_recall(pred, truth, 0.05)
+    )
+    return float(cost), float(r)
+
+
+def test_ivf_staleness_trips_on_drift(spark, drifted_ivf_store):
+    from vector_search_go_spark.streaming.maintain import cell_staleness
+
+    path, _, _ = drifted_ivf_store
+    st = cell_staleness(spark, path)
+    assert st["n_build"] == N_A
+    assert st["n_now"] == N_A + N_B
+    assert st["growth"] == pytest.approx(1.0)
+    # every drifted vector lands in the few cells whose frozen
+    # centroids happen to be nearest the shifted region
+    assert st["tv_drift"] > 0.25
+
+
+def test_ivf_drift_explodes_scan_cost_then_rebuild_heals(
+    spark, drifted_ivf_store
+):
+    from vector_search_go_spark.streaming.maintain import (
+        cell_staleness,
+        maintain_ivf,
+    )
+
+    path, A, B = drifted_ivf_store
+    cost_before, _ = _ivf_scan_cost_and_recall(spark, path, B)
+    # drifted mass concentrates: a B query's probed cells hold most of
+    # region B (~N_B candidates), not the balanced ~nprobe/k share
+    assert cost_before > 0.5 * N_B
+
+    res = maintain_ivf(spark, path, metric="l2")
+    assert res["action"] == "rebuilt"
+
+    # at the original nprobe the scan cost collapses (balanced cells)
+    cost_after, _ = _ivf_scan_cost_and_recall(spark, path, B)
+    assert cost_after < cost_before / 3, (cost_before, cost_after)
+    # the drifted store's "good recall" was an artifact of scanning
+    # half the corpus in one giant cell; the rebuilt store reaches the
+    # recall band at nprobe=8 while still scanning far less than the
+    # drifted store did at nprobe=4
+    cost_after8, recall_after8 = _ivf_scan_cost_and_recall(
+        spark, path, B, nprobe=8
+    )
+    assert recall_after8 >= 0.9, recall_after8
+    assert cost_after8 < 0.7 * cost_before, (cost_before, cost_after8)
+
+    # re-baselined store is clean and a second maintain is a no-op
+    st = cell_staleness(spark, path)
+    assert st["tv_drift"] < 0.01 and st["growth"] == pytest.approx(0.0)
+    assert maintain_ivf(spark, path, metric="l2")["action"] == "none"

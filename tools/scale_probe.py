@@ -1018,6 +1018,17 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
             t_ivf,
         )
         bench_reader(
+            "ivf-local-mem",
+            lambda: LocalIvfReader(
+                f"{base}/ivf", metric="l2", preload_cells=True
+            ),
+            lambda r, q: r.search(q, k=10, nprobe=8),
+            lambda qv: ivf_point_search(
+                spark, f"{base}/ivf", qv, "l2", k=10, nprobe=8
+            ),
+            t_ivf,
+        )
+        bench_reader(
             "ivfpq-local",
             lambda: LocalIvfPqReader(f"{base}/ivfpq"),
             lambda r, q: r.search(q, k=10, nprobe=8),

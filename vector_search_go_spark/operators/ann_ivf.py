@@ -124,6 +124,17 @@ def ivf_save(
         .parquet(f"{path}/cells")
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time cell-mass baseline for drift maintenance
+    # (streaming.maintain.cell_staleness) — aggregated from the
+    # just-written store, like LshIndex.save's build_stats
+    (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/build_stats")
+    )
 
 
 def load_ivf_model(spark, centroids_path: str):

@@ -45,23 +45,47 @@ from vector_search_go_spark.functions.metrics import as_double
 from vector_search_go_spark.operators.pq import sq_l2
 
 
-def kmeans_init(corpus: DataFrame, k: int, group: list[str] | None = None) -> DataFrame:
+def kmeans_init(
+    corpus: DataFrame,
+    k: int,
+    group: list[str] | None = None,
+    spread: bool = False,
+) -> DataFrame:
     """corpus(id, vec) -> (*group, cid, cvec): the first ``k`` vectors
     by id (per group), cid = 0..k-1 in id order. Ungrouped, TakeOrdered
     pushes the limit into the scan and the single-partition window
-    ranks only k rows; grouped, one window pass partitioned by group."""
+    ranks only k rows; grouped, one window pass partitioned by group.
+
+    ``spread=True`` selects seeds by xxhash64(id) order instead of id
+    order — a deterministic uniform pseudo-random sample over the WHOLE
+    corpus (still a distributed TakeOrdered, no RNG state). First-k-by-
+    id init systematically fails on maintenance retrains: streamed
+    appends always carry ids AFTER the original corpus, so every seed
+    lands in the stale region and Lloyd iterations cannot migrate
+    enough centroids into the drifted one. Default stays first-k (the
+    oracle-pinned kmeans_train_centroids behavior)."""
     group = group or []
+    seed_order = (
+        [F.xxhash64(F.col("id")), F.col("id")] if spread else [F.col("id")]
+    )
     if group:
-        w = Window.partitionBy(*group).orderBy("id")
+        w = Window.partitionBy(*group).orderBy(*seed_order)
         ranked = corpus.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= k
         )
+        if spread:
+            # re-rank the chosen seeds in id order so cid assignment
+            # stays the id-order contract regardless of hash order
+            w2 = Window.partitionBy(*group).orderBy("id")
+            ranked = ranked.drop("_rn").withColumn(
+                "_rn", F.row_number().over(w2)
+            )
         return ranked.select(
             *group,
             (F.col("_rn") - 1).cast("int").alias("cid"),
             as_double(F.col("vec")).alias("cvec"),
         )
-    seeds = corpus.orderBy("id").limit(k)
+    seeds = corpus.orderBy(*seed_order).limit(k)
     w = Window.orderBy("id")
     return seeds.select(
         (F.row_number().over(w) - 1).cast("int").alias("cid"),
@@ -184,6 +208,7 @@ def kmeans_fit(
     dim: int = 64,
     exact: bool = False,
     group: list[str] | None = None,
+    spread_init: bool = False,
 ) -> DataFrame:
     """Train k centroids with ``iters`` Lloyd iterations — one
     independent k-means per group value when ``group`` is given.
@@ -199,7 +224,7 @@ def kmeans_fit(
     bit-identical to the old single-lazy-plan form — pinned by the
     kmeans/PQ/IVF+PQ DuckDB oracle hashes."""
     spark = corpus.sparkSession
-    cents = kmeans_init(corpus, k, group=group)
+    cents = kmeans_init(corpus, k, group=group, spread=spread_init)
     schema = cents.schema
     for _ in range(iters):
         cents = spark.createDataFrame(cents.collect(), schema)

@@ -62,8 +62,15 @@ def bucket_staleness(spark: SparkSession, path: str) -> dict:
         .groupBy("tree", "hash")
         .agg(F.count(F.lit(1)).alias("sz_now"))
     )
+    return _mass_staleness(now, build, ["tree", "hash"], path)
+
+
+def _mass_staleness(now, build, keys: list[str], path: str) -> dict:
+    """Shared staleness math: TV distance + growth + new-key mass
+    between a current keyed-mass distribution and its build-time
+    baseline (both (keys..., sz) shaped)."""
     j = (
-        now.join(build, on=["tree", "hash"], how="full_outer")
+        now.join(build, on=keys, how="full_outer")
         .na.fill(0, ["sz_now", "sz_build"])
         .cache()
     )
@@ -135,5 +142,74 @@ def maintain(
     for sub in (
         "buckets", "vectors", "build_stats", "model_config", "model_nodes"
     ):
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+    return {"action": "rebuilt", **st}
+
+
+def cell_staleness(spark: SparkSession, path: str) -> dict:
+    """IVF twin of ``bucket_staleness``: compare the saved store's
+    CURRENT cell-mass distribution (after streaming appends into
+    ``{path}/cells`` by ingest_to_ivf_store — frozen-centroid
+    assignment, streaming/ingest.py) against the build-time baseline
+    persisted by ``ann_ivf.ivf_save``. A drifted stream lands its mass
+    in the few cells whose frozen centroids happen to be nearest, so
+    nprobe-bounded search starts missing true neighbors while cell
+    scans get slower — the same silent decay as the LSH forest, with
+    the same remedy (retrain on current data)."""
+    stats_path = os.path.join(path, "build_stats")
+    if not os.path.exists(stats_path):
+        raise FileNotFoundError(
+            f"{stats_path} missing: the store predates build-stats "
+            "persistence — re-save the index (ivf_save) to baseline it"
+        )
+    build = spark.read.parquet(stats_path).withColumnRenamed("sz", "sz_build")
+    now = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz_now"))
+    )
+    return _mass_staleness(now, build, ["cell"], path)
+
+
+def maintain_ivf(
+    spark: SparkSession,
+    path: str,
+    metric: str = "cosine",
+    tv_threshold: float = 0.25,
+    growth_threshold: float = 0.5,
+    kmeans_iters: int = 3,
+    dedup_ids: bool = True,
+    force: bool = False,
+) -> dict:
+    """IVF twin of ``maintain``: measure cell staleness; when tripped,
+    retrain the coarse quantizer (operators.kmeans.kmeans_fit, same k
+    as the saved model) on the CURRENT store vectors and rewrite the
+    store in place (ann_ivf.ivf_save), refreshing the catalog. The
+    reference's clear-and-rebuild Train semantics (lsh/lsh.go:107-110)
+    applied to the centroid model instead of the plane forest."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+
+    st = cell_staleness(spark, path)
+    tripped = (
+        force
+        or st["tv_drift"] > tv_threshold
+        or st["growth"] > growth_threshold
+    )
+    if not tripped:
+        return {"action": "none", **st}
+    k = spark.read.parquet(f"{path}/centroids").count()
+    vectors = spark.read.parquet(f"{path}/cells").select("id", "vec")
+    if dedup_ids:
+        vectors = vectors.dropDuplicates(["id"])
+    dim = len(vectors.select("vec").first()["vec"])
+    # cut lineage before overwriting the directory the plan reads from
+    vectors = vectors.localCheckpoint(eager=True)
+    # spread init: streamed appends carry ids AFTER the build corpus,
+    # so first-k-by-id seeds would all land in the stale region and the
+    # retrain could not rebalance (operators.kmeans.kmeans_init)
+    cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
+    ivf_save(spark, vectors, cents, path, metric=metric)
+    for sub in ("cells", "centroids", "build_stats"):
         spark.catalog.refreshByPath(f"{path}/{sub}")
     return {"action": "rebuilt", **st}
