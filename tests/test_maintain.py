@@ -260,3 +260,20 @@ def test_ivf_drift_explodes_scan_cost_then_rebuild_heals(
     st = cell_staleness(spark, path)
     assert st["tv_drift"] < 0.01 and st["growth"] == pytest.approx(0.0)
     assert maintain_ivf(spark, path, metric="l2")["action"] == "none"
+
+
+def test_engine_maintain_routes_by_layout(spark, drifted_ivf_store, tmp_path):
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    path, _, _ = drifted_ivf_store
+    # the drifted IVF fixture has already been rebuilt by the previous
+    # test when run in file order; either way the facade must route to
+    # the IVF path and return a well-formed report
+    res = VectorSearchEngine.maintain(spark, path, metric="l2")
+    assert res["action"] in ("none", "rebuilt") and "tv_drift" in res
+    # an ivfpq layout is refused with direction, not misrouted
+    fake = tmp_path / "pqstore"
+    (fake / "codebook").mkdir(parents=True)
+    (fake / "cells").mkdir()
+    with pytest.raises(ValueError, match="ivfpq"):
+        VectorSearchEngine.maintain(spark, str(fake))

@@ -338,10 +338,24 @@ class VectorSearchEngine:
     @staticmethod
     def maintain(spark: SparkSession, path: str, **kwargs) -> dict:
         """Drift-aware rebuild decision for a saved + streamed-into
-        index (streaming.maintain): measures bucket-mass drift against
-        the build-time baseline and runs the reference's
+        index (streaming.maintain): measures bucket/cell-mass drift
+        against the build-time baseline and runs the reference's
         clear-and-rebuild Train (lsh/lsh.go:107-110) when tripped.
-        Returns the staleness report with the action taken."""
+        Routes by store layout — an LSH store carries ``buckets``, an
+        IVF store ``cells`` (metric and thresholds via kwargs). Returns
+        the staleness report with the action taken."""
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(path, "codebook")):
+            raise ValueError(
+                "ivfpq stores hold PQ codes, not raw vectors — rebuild "
+                "them from the source corpus (ivfpq_save) instead of "
+                "maintain()"
+            )
+        if _os.path.isdir(_os.path.join(path, "cells")):
+            from vector_search_go_spark.streaming.maintain import maintain_ivf
+
+            return maintain_ivf(spark, path, **kwargs)
         from vector_search_go_spark.streaming.maintain import maintain as _m
 
         return _m(spark, path, **kwargs)
