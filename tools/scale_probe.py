@@ -964,6 +964,16 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
                     for r in spark_fn(X[qi].tolist()).orderBy("rn").collect()
                 ]
                 assert got == want, f"{name} parity broke at query {qi}"
+            # warm the reader before timing: the first queries after a
+            # 1M store build in the same process pay allocator/page-cache
+            # settling that is not the steady-state serving cost (an
+            # unwarmed lsh-local-mem measured 53.9 ms/q where warmed
+            # focused probes reproduce 26-29 ms/q)
+            import gc
+
+            gc.collect()
+            for qi in qidx[:10]:
+                local_fn(reader, X[qi])
             times = []
             for qi in qidx:
                 t0 = time.time()
