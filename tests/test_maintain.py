@@ -262,6 +262,137 @@ def test_ivf_drift_explodes_scan_cost_then_rebuild_heals(
     assert maintain_ivf(spark, path, metric="l2")["action"] == "none"
 
 
+def test_ivf_maintain_reuses_saved_metric(spark, tmp_path):
+    """A rebuild must reuse the assignment metric the store was saved
+    under (persisted as store_meta by ivf_save) — defaulting to a
+    DIFFERENT metric would silently reassign every cell and corrupt
+    recall for the metric searches actually run with."""
+    import shutil
+
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.streaming.maintain import (
+        maintain_ivf,
+        store_metric,
+    )
+
+    rng = np.random.default_rng(41)
+    X = rng.standard_normal((400, DIMS))
+    path = str(tmp_path / "ivf_l2")
+    cents = kmeans_fit(_df(spark, X), 8, iters=2, dim=DIMS)
+    ivf_save(spark, _df(spark, X), cents, path, metric="l2")
+    assert store_metric(spark, path) == "l2"
+
+    # no metric kwarg: the rebuild resolves it from the store
+    res = maintain_ivf(spark, path, force=True)
+    assert res["action"] == "rebuilt"
+    assert store_metric(spark, path) == "l2"
+
+    # legacy store (no store_meta): refuse to guess
+    shutil.rmtree(f"{path}/store_meta")
+    spark.catalog.refreshByPath(f"{path}/store_meta")
+    with pytest.raises(ValueError, match="metric"):
+        maintain_ivf(spark, path, force=True)
+    # explicit metric still accepted for legacy stores
+    assert maintain_ivf(spark, path, metric="l2", force=True)["action"] == "rebuilt"
+
+
+def test_ivf_maintain_refuses_conflicting_explicit_metric(spark, tmp_path):
+    """An explicit metric= that contradicts the store's persisted
+    store_meta must be refused, not silently rebuilt under — the exact
+    corruption metric persistence exists to prevent (mirrors the
+    engine.load mismatch guard)."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.streaming.maintain import (
+        maintain_ivf,
+        store_metric,
+    )
+
+    rng = np.random.default_rng(53)
+    X = rng.standard_normal((400, DIMS))
+    path = str(tmp_path / "ivf_conflict")
+    cents = kmeans_fit(_df(spark, X), 8, iters=2, dim=DIMS)
+    ivf_save(spark, _df(spark, X), cents, path, metric="l2")
+    with pytest.raises(ValueError, match="saved with metric='l2'"):
+        maintain_ivf(spark, path, metric="cosine", force=True)
+    assert store_metric(spark, path) == "l2"  # store untouched
+
+
+def test_ivf_maintain_monitors_legacy_store_without_metric(spark, tmp_path):
+    """Pure staleness monitoring (nothing tripped) of a legacy store
+    with no store_meta must return action='none', not raise — metric
+    resolution only matters on the rebuild path."""
+    import shutil
+
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.streaming.maintain import maintain_ivf
+
+    rng = np.random.default_rng(59)
+    X = rng.standard_normal((400, DIMS))
+    path = str(tmp_path / "ivf_legacy_mon")
+    cents = kmeans_fit(_df(spark, X), 8, iters=2, dim=DIMS)
+    ivf_save(spark, _df(spark, X), cents, path, metric="l2")
+    shutil.rmtree(f"{path}/store_meta")
+    spark.catalog.refreshByPath(f"{path}/store_meta")
+    res = maintain_ivf(spark, path)  # undrifted, no metric kwarg
+    assert res["action"] == "none"
+
+
+def test_store_metric_raises_on_corrupt_meta(spark, tmp_path):
+    """A store_meta that EXISTS but cannot be parsed must raise, not
+    return None — None would silently disable engine.load's
+    metric-mismatch guard and mislabel the store as legacy."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.streaming.maintain import store_metric
+
+    rng = np.random.default_rng(61)
+    X = rng.standard_normal((300, DIMS))
+    path = str(tmp_path / "ivf_corrupt")
+    cents = kmeans_fit(_df(spark, X), 8, iters=2, dim=DIMS)
+    ivf_save(spark, _df(spark, X), cents, path, metric="l2")
+    import shutil
+
+    shutil.rmtree(f"{path}/store_meta")
+    import os
+
+    os.makedirs(f"{path}/store_meta")
+    with open(f"{path}/store_meta/part-corrupt.json", "w") as f:
+        f.write("{not json at all")
+    spark.catalog.refreshByPath(f"{path}/store_meta")
+    with pytest.raises(RuntimeError, match="could not be read"):
+        store_metric(spark, path)
+
+
+def test_engine_load_rejects_ivf_metric_mismatch(spark, tmp_path):
+    from vector_search_go_spark.engine import VectorSearchEngine
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(43)
+    X = rng.standard_normal((300, DIMS))
+    path = str(tmp_path / "ivf_meta")
+    cents = kmeans_fit(_df(spark, X), 8, iters=2, dim=DIMS)
+    ivf_save(spark, _df(spark, X), cents, path, metric="l2")
+    with pytest.raises(ValueError, match="metric"):
+        VectorSearchEngine.load(spark, path, metric="cosine")
+    eng = VectorSearchEngine.load(spark, path, metric="l2")
+    assert eng.backend == "ivf"
+
+
+def test_engine_maintain_rejects_metric_for_lsh_store(spark, tmp_path):
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    rng = np.random.default_rng(47)
+    X = rng.standard_normal((400, DIMS))
+    path = str(tmp_path / "lsh_metric")
+    LshIndex.train(spark, _df(spark, X), CFG).save(path)
+    with pytest.raises(ValueError, match="LSH layout"):
+        VectorSearchEngine.maintain(spark, path, metric="l2")
+
+
 def test_engine_maintain_routes_by_layout(spark, drifted_ivf_store, tmp_path):
     from vector_search_go_spark.engine import VectorSearchEngine
 

@@ -930,7 +930,11 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
     emb_like = corpus.select(
         F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
     )
-    qidx = rng.choice(n, size=100, replace=False)
+    # 10 held-out warmup queries + 100 timed queries, disjoint: warming
+    # with members of the timed set would leave those samples measuring
+    # a repeat-query page-cache-hot regime the rest never see
+    _pick = rng.choice(n, size=110, replace=False)
+    warm_idx, qidx = _pick[:10], _pick[10:]
     base = tempfile.mkdtemp(prefix="local_serve_probe_")
     try:
         cfg = LshConfig(
@@ -954,7 +958,7 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
             reader = mk_reader()
             t_init = time.time() - t0
             # parity spot-check (the full gate is tests/test_serve_local.py)
-            for qi in qidx[:3]:
+            for qi in warm_idx[:3]:
                 got = [
                     (int(r.id), float(r.dist), int(r.rn))
                     for r in local_fn(reader, X[qi]).itertuples()
@@ -968,11 +972,12 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
             # 1M store build in the same process pay allocator/page-cache
             # settling that is not the steady-state serving cost (an
             # unwarmed lsh-local-mem measured 53.9 ms/q where warmed
-            # focused probes reproduce 26-29 ms/q)
+            # focused probes reproduce 26-29 ms/q). Held-out queries
+            # only — never members of the timed set.
             import gc
 
             gc.collect()
-            for qi in qidx[:10]:
+            for qi in warm_idx:
                 local_fn(reader, X[qi])
             times = []
             for qi in qidx:

@@ -32,6 +32,24 @@ from vector_search_go_spark.lsh.search import lsh_search
 from vector_search_go_spark.operators.exact_knn import exact_knn_join
 
 
+def _store_has(spark: SparkSession, path: str, sub: str) -> bool:
+    """Whether a saved store carries component ``sub`` — the layout
+    probe load() and maintain() route by. Remote-aware: os.path can't
+    see s3://-style paths, so there a schema-only spark read probes."""
+    import os as _os
+
+    p = _os.path.join(path, sub)
+    if _os.path.exists(p):
+        return True
+    if "://" in path:
+        try:
+            spark.read.parquet(p).schema
+            return True
+        except Exception:
+            return False
+    return False
+
+
 class VectorSearchEngine:
     """metric: 'l2' or 'cosine' (reference Metric interface, lsh/lsh.go:48-51).
     backend: 'lsh' (the index), 'ivf' (coarse-quantizer index), or
@@ -342,20 +360,27 @@ class VectorSearchEngine:
         against the build-time baseline and runs the reference's
         clear-and-rebuild Train (lsh/lsh.go:107-110) when tripped.
         Routes by store layout — an LSH store carries ``buckets``, an
-        IVF store ``cells`` (metric and thresholds via kwargs). Returns
-        the staleness report with the action taken."""
-        import os as _os
-
-        if _os.path.isdir(_os.path.join(path, "codebook")):
+        IVF store ``cells``; thresholds via kwargs. An IVF rebuild
+        reuses the assignment metric persisted in the store
+        (``store_meta``); pass ``metric=`` only for legacy IVF stores
+        without it. Returns the staleness report with the action
+        taken."""
+        if _store_has(spark, path, "codebook"):
             raise ValueError(
                 "ivfpq stores hold PQ codes, not raw vectors — rebuild "
                 "them from the source corpus (ivfpq_save) instead of "
                 "maintain()"
             )
-        if _os.path.isdir(_os.path.join(path, "cells")):
+        if _store_has(spark, path, "cells"):
             from vector_search_go_spark.streaming.maintain import maintain_ivf
 
             return maintain_ivf(spark, path, **kwargs)
+        if "metric" in kwargs:
+            raise ValueError(
+                "metric applies to IVF stores (cell reassignment); this "
+                "store has the LSH layout, whose rebuild reuses the "
+                "persisted forest config"
+            )
         from vector_search_go_spark.streaming.maintain import maintain as _m
 
         return _m(spark, path, **kwargs)
@@ -387,18 +412,7 @@ class VectorSearchEngine:
         import os as _os
 
         def _exists(sub: str) -> bool:
-            p = _os.path.join(path, sub)
-            if _os.path.exists(p):
-                return True
-            if "://" in path:
-                # non-local store (s3://, hdfs://...): os.path can't
-                # see it — probe with a schema-only spark read
-                try:
-                    spark.read.parquet(p).schema
-                    return True
-                except Exception:
-                    return False
-            return False
+            return _store_has(spark, path, sub)
 
         if _exists("codebook"):
             # ivfpq_save layout (centroids + codebook + coded cells) —
@@ -413,6 +427,18 @@ class VectorSearchEngine:
         if _exists("centroids") and not _exists("model_nodes"):
             # IVF store (ivf_save layout: centroids + cells holding the
             # vectors) — the save/load counterpart of backend='ivf'
+            from vector_search_go_spark.streaming.maintain import store_metric
+
+            saved_metric = store_metric(spark, path)
+            if saved_metric is not None and saved_metric != metric:
+                # cell membership was computed under the saved metric;
+                # probing/scoring it under another returns meaningless
+                # rankings — fail loudly, like the LSH is_angular check.
+                raise ValueError(
+                    f"store at {path!r} was saved with "
+                    f"metric={saved_metric!r}, incompatible with "
+                    f"metric={metric!r}"
+                )
             cents = spark.read.parquet(f"{path}/centroids")
             cells = spark.read.parquet(f"{path}/cells")
             eng = cls(spark, metric=metric, backend="ivf", ivf_cells=cents.count())

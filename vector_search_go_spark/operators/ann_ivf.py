@@ -124,9 +124,23 @@ def ivf_save(
         .parquet(f"{path}/cells")
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # assignment metric rides with the store: cell membership is only
+    # meaningful under the metric it was computed with, and a drift
+    # rebuild (streaming.maintain.maintain_ivf) must reuse it rather
+    # than guess
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps({"family": "ivf", "metric": metric}),)],
+        "meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
     # build-time cell-mass baseline for drift maintenance
     # (streaming.maintain.cell_staleness) — aggregated from the
-    # just-written store, like LshIndex.save's build_stats
+    # just-written store, like LshIndex.save's build_stats. Refresh
+    # first: maintain_ivf re-saves over a path this session already
+    # read, and a stale file listing would list deleted pre-rebuild
+    # files (the hazard documented at lsh/index.py build_stats).
+    spark.catalog.refreshByPath(f"{path}/cells")
     (
         spark.read.parquet(f"{path}/cells")
         .groupBy("cell")

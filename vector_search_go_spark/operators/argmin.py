@@ -223,6 +223,23 @@ def local_topk_mesh(D, ids_b, L: int):
         yield j, rows
 
 
+def mesh_topk_arrays(D, ids_b, qids, L: int):
+    """Consume ``local_topk_mesh`` into the three flat output arrays
+    ``(query_id, id, dist)`` the ADC/SQ8 scan kernels emit — the one
+    place the (dist, id)-order truncation contract is materialized for
+    mesh-shaped scorers."""
+    out_q, out_i, out_d = [], [], []
+    for j, rows in local_topk_mesh(D, ids_b, L):
+        out_q.append(np.full(len(rows), qids[j], dtype=np.int64))
+        out_i.append(ids_b[rows])
+        out_d.append(D[rows, j])
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_i),
+        np.concatenate(out_d),
+    )
+
+
 def fanin_query_scorer(queries: DataFrame, metric: str,
                        qid_col: str = "query_id", qvec_col: str = "qvec",
                        tol: float = 1e-6, local_topk: int | None = None):

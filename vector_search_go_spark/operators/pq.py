@@ -259,7 +259,7 @@ def pq_adc_candidates(
 
         from vector_search_go_spark.operators.argmin import (
             local_topk_flat,
-            local_topk_mesh,
+            mesh_topk_arrays,
         )
 
         def gen(batches):
@@ -299,19 +299,11 @@ def pq_adc_candidates(
                         and n_v > local_topk
                         and len(qids) > 0
                     ):
-                        out_q, out_i, out_d = [], [], []
-                        for j, rows in local_topk_mesh(D, ids_b, local_topk):
-                            out_q.append(
-                                np.full(len(rows), qids[j], dtype=np.int64)
-                            )
-                            out_i.append(ids_b[rows])
-                            out_d.append(D[rows, j])
+                        q_o, i_o, d_o = mesh_topk_arrays(
+                            D, ids_b, qids, local_topk
+                        )
                         yield pd.DataFrame(
-                            {
-                                "query_id": np.concatenate(out_q),
-                                "id": np.concatenate(out_i),
-                                "approx_dist": np.concatenate(out_d),
-                            }
+                            {"query_id": q_o, "id": i_o, "approx_dist": d_o}
                         )
                         continue
                     yield pd.DataFrame(

@@ -147,20 +147,12 @@ def sq8_search(
                     # |queries| x shortlist rows reach the shuffle
                     # instead of the full batch x query mesh
                     from vector_search_go_spark.operators.argmin import (
-                        local_topk_mesh,
+                        mesh_topk_arrays,
                     )
 
-                    out_q, out_i, out_d = [], [], []
-                    for j, rows in local_topk_mesh(D, ids_b, shortlist):
-                        out_q.append(np.full(len(rows), qids[j], dtype=np.int64))
-                        out_i.append(ids_b[rows])
-                        out_d.append(D[rows, j])
+                    q_o, i_o, d_o = mesh_topk_arrays(D, ids_b, qids, shortlist)
                     yield pd.DataFrame(
-                        {
-                            "query_id": np.concatenate(out_q),
-                            "id": np.concatenate(out_i),
-                            "approx_dist": np.concatenate(out_d),
-                        }
+                        {"query_id": q_o, "id": i_o, "approx_dist": d_o}
                     )
                     continue
                 yield pd.DataFrame(

@@ -108,6 +108,46 @@ def _result_frame(ids, dists, k: int, query_id: int) -> pd.DataFrame:
     )
 
 
+def _batch_queries(Q, query_ids):
+    """Normalize a ``search_many`` batch shared by all three readers:
+    float64 matrix, sequential default query_ids, length check."""
+    Q = np.asarray(Q, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(Q), dtype=np.int64)
+    if len(query_ids) != len(Q):
+        raise ValueError(
+            f"search_many: {len(Q)} query vectors but "
+            f"{len(query_ids)} query_ids"
+        )
+    return Q, query_ids
+
+
+def _union_values(probes) -> list:
+    """Distinct partition values across a batch's probe lists, first-seen
+    order (the batch reads each probed cell once)."""
+    needed, seen = [], set()
+    for pr in probes:
+        for c in pr:
+            ci = int(c)
+            if ci not in seen:
+                seen.add(ci)
+                needed.append(ci)
+    return needed
+
+
+def _cell_arrays(index: HivePartIndex, values, data_col: str, to_matrix) -> dict:
+    """Decode partition tables to ``{value: (ids, matrix)}`` via the
+    index's parallel reader; empty/missing partitions are dropped. The
+    one (ids, matrix) builder behind both readers' preload modes and
+    their batch paths."""
+    tbls = index.read_values_parallel(list(values), ["id", data_col])
+    return {
+        v: (t.column("id").to_numpy(zero_copy_only=False), to_matrix(t))
+        for v, t in tbls.items()
+        if t is not None and t.num_rows
+    }
+
+
 class LocalLshReader:
     """Point lookups over a saved LSH index dir (LshIndex.save layout:
     model_config + model_nodes + buckets/tree=N/ + vectors)."""
@@ -360,14 +400,7 @@ class LocalLshReader:
         two-stage score) is already bounded by bucket mass, so a
         serving tier that batches arrivals pays the reader's floor
         once per batch, not once per query."""
-        Q = np.asarray(Q, dtype=np.float64)
-        if query_ids is None:
-            query_ids = np.arange(len(Q), dtype=np.int64)
-        if len(query_ids) != len(Q):
-            raise ValueError(
-                f"search_many: {len(Q)} query vectors but "
-                f"{len(query_ids)} query_ids"
-            )
+        Q, query_ids = _batch_queries(Q, query_ids)
         if len(Q) == 0:
             return _result_frame([], [], k, 0)
         hashes = self.forest.hash_batch(Q)
@@ -422,17 +455,10 @@ class LocalIvfReader:
             # parquet reads release the GIL — fan the one-time preload
             # across the index's thread pool instead of one cell at a
             # time
-            tbls = self._cells.read_values_parallel(
-                self._cells.values(), ["id", "vec"]
+            self._mem_cells = _cell_arrays(
+                self._cells, self._cells.values(), "vec",
+                lambda t: list_column_matrix(t, "vec", self.dims),
             )
-            self._mem_cells = {
-                v: (
-                    t.column("id").to_numpy(zero_copy_only=False),
-                    list_column_matrix(t, "vec", self.dims),
-                )
-                for v, t in tbls.items()
-                if t is not None and t.num_rows
-            }
 
     def search(
         self,
@@ -493,14 +519,7 @@ class LocalIvfReader:
         probe order, rows in store order), so results cannot differ."""
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
 
-        Q = np.asarray(Q, dtype=np.float64)
-        if query_ids is None:
-            query_ids = np.arange(len(Q), dtype=np.int64)
-        if len(query_ids) != len(Q):
-            raise ValueError(
-                f"search_many: {len(Q)} query vectors but "
-                f"{len(query_ids)} query_ids"
-            )
+        Q, query_ids = _batch_queries(Q, query_ids)
         if len(Q) == 0:
             return _result_frame([], [], k, 0)
         probes = [
@@ -511,22 +530,10 @@ class LocalIvfReader:
         if self._mem_cells is not None:
             cell_map = self._mem_cells
         else:
-            needed, seen = [], set()
-            for pr in probes:
-                for c in pr:
-                    ci = int(c)
-                    if ci not in seen:
-                        seen.add(ci)
-                        needed.append(ci)
-            tbls = self._cells.read_values_parallel(needed, ["id", "vec"])
-            cell_map = {
-                v: (
-                    t.column("id").to_numpy(zero_copy_only=False),
-                    list_column_matrix(t, "vec", self.dims),
-                )
-                for v, t in tbls.items()
-                if t is not None and t.num_rows
-            }
+            cell_map = _cell_arrays(
+                self._cells, _union_values(probes), "vec",
+                lambda t: list_column_matrix(t, "vec", self.dims),
+            )
         frames = []
         for i, qid in enumerate(query_ids):
             hits = [
@@ -594,17 +601,10 @@ class LocalIvfPqReader:
         if preload_codes:
             from vector_search_go_spark.operators.pq import M_SUB
 
-            tbls = self._cells.read_values_parallel(
-                self._cells.values(), ["id", "codes"]
+            self._mem_codes = _cell_arrays(
+                self._cells, self._cells.values(), "codes",
+                lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
-            self._mem_codes = {
-                v: (
-                    t.column("id").to_numpy(zero_copy_only=False),
-                    list_column_int_matrix(t, "codes", M_SUB),
-                )
-                for v, t in tbls.items()
-                if t is not None and t.num_rows
-            }
 
     def search(
         self,
@@ -696,14 +696,7 @@ class LocalIvfPqReader:
 
         if shortlist is None:
             shortlist = pq_shortlist(k)
-        Q = np.asarray(Q, dtype=np.float64)
-        if query_ids is None:
-            query_ids = np.arange(len(Q), dtype=np.int64)
-        if len(query_ids) != len(Q):
-            raise ValueError(
-                f"search_many: {len(Q)} query vectors but "
-                f"{len(query_ids)} query_ids"
-            )
+        Q, query_ids = _batch_queries(Q, query_ids)
         if len(Q) == 0:
             return _result_frame([], [], k, 0)
         probes = [
@@ -713,22 +706,10 @@ class LocalIvfPqReader:
         if self._mem_codes is not None:
             cell_map = self._mem_codes
         else:
-            needed, seen = [], set()
-            for pr in probes:
-                for c in pr:
-                    ci = int(c)
-                    if ci not in seen:
-                        seen.add(ci)
-                        needed.append(ci)
-            tbls = self._cells.read_values_parallel(needed, ["id", "codes"])
-            cell_map = {
-                v: (
-                    t.column("id").to_numpy(zero_copy_only=False),
-                    list_column_int_matrix(t, "codes", M_SUB),
-                )
-                for v, t in tbls.items()
-                if t is not None and t.num_rows
-            }
+            cell_map = _cell_arrays(
+                self._cells, _union_values(probes), "codes",
+                lambda t: list_column_int_matrix(t, "codes", M_SUB),
+            )
 
         n_codes = max(int(self.cb_ids[s].max()) for s in self.cb_ids) + 1
         per_query = []  # (qid, qvec, short_ids) -- scored after one union read

@@ -34,6 +34,57 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_build_stats(spark: SparkSession, path: str, resave_hint: str):
+    """Load ``{path}/build_stats`` with a clear error when the store
+    predates baseline persistence. Works for remote stores too:
+    os.path can't see s3://-style paths, so there the spark read itself
+    is the existence probe."""
+    stats_path = f"{path}/build_stats"
+    if "://" not in path and not os.path.exists(stats_path):
+        raise FileNotFoundError(
+            f"{stats_path} missing: the store predates build-stats "
+            f"persistence — re-save the index ({resave_hint}) to baseline it"
+        )
+    try:
+        return spark.read.parquet(stats_path)
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"{stats_path} unreadable: the store predates build-stats "
+            f"persistence — re-save the index ({resave_hint}) to baseline it"
+        ) from exc
+
+
+def store_metric(spark: SparkSession, path: str) -> str | None:
+    """The metric a saved IVF store's cells were assigned under
+    (persisted by ann_ivf.ivf_save as ``{path}/store_meta``); None for
+    stores predating metric persistence. Only ABSENCE maps to None —
+    a store_meta that exists but cannot be read raises, so callers'
+    mismatch guards cannot be silently disabled by a transient remote
+    read failure or a corrupt file."""
+    import json
+
+    meta_path = f"{path}/store_meta"
+    if "://" not in path and not os.path.exists(meta_path):
+        return None
+    try:
+        # spark.read.json surfaces malformed JSON as _corrupt_record
+        # rows rather than throwing, so the field access + parse sit
+        # inside the guard too
+        rows = spark.read.json(meta_path).collect()
+        return json.loads(rows[0]["meta_json"]).get("metric")
+    except Exception as exc:
+        # remote path: a missing-path analysis error is the legacy
+        # case; anything else (throttling, credentials, corruption)
+        # must surface rather than masquerade as "no metadata"
+        if "://" in path and "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise RuntimeError(
+            f"{meta_path} exists but could not be read — refusing to "
+            "treat the store as legacy (metric-mismatch guards would "
+            "be silently disabled)"
+        ) from exc
+
+
 def bucket_staleness(spark: SparkSession, path: str) -> dict:
     """Compare a saved index's CURRENT bucket-mass distribution (after
     any streaming appends into ``{path}/buckets``) against the
@@ -50,13 +101,9 @@ def bucket_staleness(spark: SparkSession, path: str) -> dict:
                       drift but stays near growth/(1+growth) under
                       in-distribution growth spread over all buckets).
     """
-    stats_path = os.path.join(path, "build_stats")
-    if not os.path.exists(stats_path):
-        raise FileNotFoundError(
-            f"{stats_path} missing: the store predates build-stats "
-            "persistence — re-save the index (LshIndex.save) to baseline it"
-        )
-    build = spark.read.parquet(stats_path).withColumnRenamed("sz", "sz_build")
+    build = _read_build_stats(spark, path, "LshIndex.save").withColumnRenamed(
+        "sz", "sz_build"
+    )
     now = (
         spark.read.parquet(f"{path}/buckets")
         .groupBy("tree", "hash")
@@ -156,13 +203,9 @@ def cell_staleness(spark: SparkSession, path: str) -> dict:
     nprobe-bounded search starts missing true neighbors while cell
     scans get slower — the same silent decay as the LSH forest, with
     the same remedy (retrain on current data)."""
-    stats_path = os.path.join(path, "build_stats")
-    if not os.path.exists(stats_path):
-        raise FileNotFoundError(
-            f"{stats_path} missing: the store predates build-stats "
-            "persistence — re-save the index (ivf_save) to baseline it"
-        )
-    build = spark.read.parquet(stats_path).withColumnRenamed("sz", "sz_build")
+    build = _read_build_stats(spark, path, "ivf_save").withColumnRenamed(
+        "sz", "sz_build"
+    )
     now = (
         spark.read.parquet(f"{path}/cells")
         .groupBy("cell")
@@ -174,7 +217,7 @@ def cell_staleness(spark: SparkSession, path: str) -> dict:
 def maintain_ivf(
     spark: SparkSession,
     path: str,
-    metric: str = "cosine",
+    metric: str | None = None,
     tv_threshold: float = 0.25,
     growth_threshold: float = 0.5,
     kmeans_iters: int = 3,
@@ -186,7 +229,17 @@ def maintain_ivf(
     as the saved model) on the CURRENT store vectors and rewrite the
     store in place (ann_ivf.ivf_save), refreshing the catalog. The
     reference's clear-and-rebuild Train semantics (lsh/lsh.go:107-110)
-    applied to the centroid model instead of the plane forest."""
+    applied to the centroid model instead of the plane forest.
+
+    ``metric=None`` (default) reuses the assignment metric the store
+    was saved under (``{path}/store_meta``, written by ivf_save) — a
+    rebuild under a different metric than searches use silently
+    reassigns every cell and corrupts recall, so for legacy stores
+    without persisted metadata the metric must be passed explicitly
+    (and an explicit metric contradicting a present store_meta is
+    refused, mirroring engine.load's mismatch guard). Metric
+    resolution only happens on the rebuild path: pure staleness
+    monitoring of a legacy store still returns ``action='none'``."""
     from vector_search_go_spark.operators.ann_ivf import ivf_save
     from vector_search_go_spark.operators.kmeans import kmeans_fit
 
@@ -198,6 +251,23 @@ def maintain_ivf(
     )
     if not tripped:
         return {"action": "none", **st}
+    saved = store_metric(spark, path)
+    if metric is None:
+        if saved is None:
+            raise ValueError(
+                f"store at {path!r} predates metric persistence "
+                "(no store_meta): pass metric= explicitly — it must match "
+                "the metric searches run with, or the rebuilt cell "
+                "assignment silently degrades recall"
+            )
+        metric = saved
+    elif saved is not None and saved != metric:
+        raise ValueError(
+            f"store at {path!r} was saved with metric={saved!r}; "
+            f"rebuilding under metric={metric!r} would reassign every "
+            "cell and silently degrade recall for searches still using "
+            f"{saved!r} — re-save the store (ivf_save) to change metrics"
+        )
     k = spark.read.parquet(f"{path}/centroids").count()
     vectors = spark.read.parquet(f"{path}/cells").select("id", "vec")
     if dedup_ids:
@@ -210,6 +280,6 @@ def maintain_ivf(
     # retrain could not rebalance (operators.kmeans.kmeans_init)
     cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
     ivf_save(spark, vectors, cents, path, metric=metric)
-    for sub in ("cells", "centroids", "build_stats"):
+    for sub in ("cells", "centroids", "build_stats", "store_meta"):
         spark.catalog.refreshByPath(f"{path}/{sub}")
     return {"action": "rebuilt", **st}
