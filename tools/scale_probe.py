@@ -903,6 +903,10 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
     from vector_search_go_spark.lsh.index import LshIndex
     from vector_search_go_spark.lsh.search import lsh_point_search
     from vector_search_go_spark.operators.ann_ivf import ivf_point_search, ivf_save
+    from vector_search_go_spark.operators.exact_knn import (
+        exact_knn_join,
+        scan_save,
+    )
     from vector_search_go_spark.operators.pq import (
         ivfpq_point_search,
         ivfpq_save,
@@ -912,6 +916,7 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
         LocalIvfPqReader,
         LocalIvfReader,
         LocalLshReader,
+        LocalScanReader,
     )
     from vector_search_go_spark.session import get_spark
 
@@ -952,6 +957,9 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
             spark, corpus, cents, pq_codebook(emb_like), f"{base}/ivfpq", metric="l2"
         )
         t_pq = time.time() - t0
+        t0 = time.time()
+        scan_save(spark, corpus, f"{base}/scan", metric="l2")
+        t_scan = time.time() - t0
 
         def bench_reader(name, mk_reader, local_fn, spark_fn, t_build):
             t0 = time.time()
@@ -1060,6 +1068,26 @@ def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -
                 spark, f"{base}/ivfpq", qv, "l2", k=10, nprobe=8
             ),
             t_pq,
+        )
+
+        # the advisor's "don't index, scan" verdict served locally: one
+        # BLAS matvec over the preloaded shard per query — the regime
+        # the SCALE.md angular probes showed is the RIGHT plan when no
+        # index prunes (memory contract: n x dims float64 in reader RAM)
+        scan_vectors = spark.read.parquet(f"{base}/scan/vectors")
+
+        def exact_point(qv):
+            qdf = spark.createDataFrame(
+                [(0, qv)], "query_id bigint, qvec array<double>"
+            )
+            return exact_knn_join(qdf, scan_vectors, "l2", k=10)
+
+        bench_reader(
+            "scan-local-mem",
+            lambda: LocalScanReader(f"{base}/scan"),
+            lambda r, q: r.search(q, k=10),
+            exact_point,
+            t_scan,
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -300,6 +300,16 @@ class VectorSearchEngine:
         additionally pin the bucket/cell arrays in reader RAM — the
         fully in-memory regime, ~11-27 ms/query at 1M (SCALE.md
         serving table)."""
+        if self.backend == "exact":
+            if preload_buckets or preload_cells:
+                raise ValueError(
+                    "preload flags are index-reader knobs; a scan "
+                    "reader is always fully in-memory (a scan touches "
+                    "every row by definition)"
+                )
+            from vector_search_go_spark.serve.local_reader import LocalScanReader
+
+            return LocalScanReader(path, metric=self.metric)
         if self.backend == "ivf":
             if preload_buckets:
                 raise ValueError(
@@ -360,7 +370,8 @@ class VectorSearchEngine:
         against the build-time baseline and runs the reference's
         clear-and-rebuild Train (lsh/lsh.go:107-110) when tripped.
         Routes by store layout — an LSH store carries ``buckets``, an
-        IVF store ``cells``; thresholds via kwargs. An IVF rebuild
+        IVF store ``cells``, a scan store only ``vectors`` (no model,
+        so always a no-op); thresholds via kwargs. An IVF rebuild
         reuses the assignment metric persisted in the store
         (``store_meta``); pass ``metric=`` only for legacy IVF stores
         without it. Returns the staleness report with the action
@@ -375,6 +386,18 @@ class VectorSearchEngine:
             from vector_search_go_spark.streaming.maintain import maintain_ivf
 
             return maintain_ivf(spark, path, **kwargs)
+        if not _store_has(spark, path, "buckets") and _store_has(
+            spark, path, "vectors"
+        ):
+            # scan store (exact_knn.scan_save): no model component, so
+            # exact search cannot go stale — a uniform maintenance
+            # sweep over mixed store fleets gets a clean no-op instead
+            # of a confusing missing-build-stats failure
+            return {
+                "action": "none",
+                "family": "scan",
+                "reason": "scan stores have no index model to drift",
+            }
         if "metric" in kwargs:
             raise ValueError(
                 "metric applies to IVF stores (cell reassignment); this "
@@ -384,6 +407,24 @@ class VectorSearchEngine:
         from vector_search_go_spark.streaming.maintain import maintain as _m
 
         return _m(spark, path, **kwargs)
+
+    @staticmethod
+    def ingest_cycle(
+        spark: SparkSession,
+        vec_stream,
+        path: str,
+        checkpoint_path: str,
+        **kwargs,
+    ) -> dict:
+        """One cycle of the streaming maintenance loop: drain the
+        (id, vec) stream into the saved store through its frozen model,
+        rebuild if the drift measurement trips, compact if fragmented
+        (streaming.maintain.ingest_cycle). The one call a scheduled job
+        repeats — any live engine/reader over the store must re-load
+        after a 'rebuilt' or 'compacted' cycle."""
+        from vector_search_go_spark.streaming.maintain import ingest_cycle
+
+        return ingest_cycle(spark, vec_stream, path, checkpoint_path, **kwargs)
 
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 
@@ -396,8 +437,14 @@ class VectorSearchEngine:
             ivf_save(
                 self.spark, self._vectors, self._cents, path, metric=self.metric
             )
+        elif self.backend == "exact" and self._vectors is not None:
+            # scan store: the advisor's "don't index" verdict made
+            # persistent+servable (serve.local_reader.LocalScanReader)
+            from vector_search_go_spark.operators.exact_knn import scan_save
+
+            scan_save(self.spark, self._vectors, path, metric=self.metric)
         else:
-            raise RuntimeError("only a trained lsh or ivf backend can be saved")
+            raise RuntimeError("train() a backend before save()")
         if self.advisor_decision is not None:
             # measured decision rides with the model (VERDICT r4 item 4)
             import json as _json
@@ -445,6 +492,27 @@ class VectorSearchEngine:
             eng._cents = cents
             eng._cells = cells.select("cell", "id", "vec")
             eng._vectors = cells.select("id", "vec")
+        elif _exists("vectors") and not _exists("buckets"):
+            # scan store (exact_knn.scan_save layout: vectors +
+            # store_meta family='scan') — the save/load counterpart of
+            # backend='exact'; search() is the full-scan oracle path.
+            # Discriminator is the ABSENCE of buckets, not of
+            # model_nodes: legacy LSH stores carry a 'model' dir
+            # instead of model_nodes and must still route to
+            # LshIndex.load below (same rule maintain() uses).
+            from vector_search_go_spark.streaming.maintain import store_metric
+
+            saved_metric = store_metric(spark, path)
+            if saved_metric is not None and saved_metric != metric:
+                raise ValueError(
+                    f"store at {path!r} was saved with "
+                    f"metric={saved_metric!r}, incompatible with "
+                    f"metric={metric!r}"
+                )
+            eng = cls(spark, metric=metric, backend="exact")
+            eng._vectors = spark.read.parquet(f"{path}/vectors").select(
+                "id", "vec"
+            )
         else:
             idx = LshIndex.load(spark, path)
             if idx.config.is_angular != is_angular(metric):

@@ -233,3 +233,43 @@ def exact_knn_embeddings(
 ) -> DataFrame:
     queries, corpus = embeddings_split(spark, sf_dir, query_mod)
     return exact_knn_join(queries, corpus, metric=metric, k=k, threshold=threshold)
+
+
+def scan_save(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    metric: str = "l2",
+) -> None:
+    """Persist a corpus as a SCAN store — the serving layout for the
+    backend the measured advisor picks when no index prunes (the
+    SCALE.md angular probes; reference anchor: NNMock's full-scan
+    Search, annbench/annbench.go:56-125). Layout: ``{path}/vectors``
+    (id-sorted parquet, same shape as LshIndex.save's vector table) +
+    ``{path}/store_meta`` recording family/metric/dims — the metric
+    guard engine.load and serve.LocalScanReader enforce.
+
+    There is deliberately NO model component: exact search cannot go
+    stale, so maintain() on this layout is a no-op by construction."""
+    import json as _json
+
+    vectors = vectors.select("id", "vec")
+    first = vectors.select("vec").head()
+    if first is None:
+        raise ValueError("scan_save: corpus is empty — nothing to persist")
+    dims = len(first["vec"])
+    (
+        # id-sorted, modest row groups: the local reader preloads the
+        # whole table (a scan touches every row by definition), but
+        # id-sorted order keeps the preloaded matrix gather-free and
+        # lets any future id-pruned consumer skip row groups
+        vectors.repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 512 << 10)
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(_json.dumps({"family": "scan", "metric": metric, "dims": dims}),)],
+        "meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")

@@ -108,6 +108,75 @@ def _result_frame(ids, dists, k: int, query_id: int) -> pd.DataFrame:
     )
 
 
+def _read_store_meta(path: str) -> dict:
+    """Read ``{path}/store_meta`` (one JSON line, written by ivf_save /
+    scan_save) without Spark; {} when the store has none."""
+    for f in sorted(
+        glob.glob(os.path.join(path, "store_meta", "*.json"))
+        + glob.glob(os.path.join(path, "store_meta", "part-*"))
+    ):
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    return json.loads(json.loads(line)["meta_json"])
+    return {}
+
+
+# margin for the two-stage scorers: the BLAS stage's distance error is
+# bounded by sqrt(64 * ulp(scale^2)) ~ 1e-7 * scale (worst case,
+# near-duplicate cancellation); selecting everything within
+# TWO_STAGE_MARGIN of the k-th approximate distance therefore provably
+# contains the exact top-k (and every threshold-passing row), with
+# ~400x headroom. Proof sketch: |approx-exact| <= m' and
+# cutoff = kth_approx + m with m >= 2m' => any excluded candidate has
+# exact > kth_approx + m - m' >= exact_kth + (m - 2m') >= the k-th
+# exact distance, strictly — so exclusion never flips the exact
+# (dist, id) ranking of the returned rows.
+TWO_STAGE_MARGIN = 1e-4
+
+
+def _two_stage_dists(
+    metric: str,
+    q: np.ndarray,
+    V: np.ndarray,
+    n2: np.ndarray,
+    k: int,
+    threshold: float | None,
+    margin: float = TWO_STAGE_MARGIN,
+) -> np.ndarray:
+    """Distances of q to the rows of V, bit-identical to
+    single_query_dists on every row that can be returned: a BLAS
+    approximate pass (precomputed squared norms ``n2``) picks the
+    margin set, the sequential-IEEE exact kernel rescores only that
+    set. Shared by the LSH candidate scorer and the scan reader."""
+    n = len(V)
+    is_cos = metric in ("cosine", "angular")
+    q2 = float(q @ q)
+    dot = V @ q
+    if is_cos:
+        nq = math.sqrt(q2)
+        if nq <= 1e-6:
+            return single_query_dists(metric, q, V)
+        nv = np.sqrt(n2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = 1.0 - dot / (nq * nv)
+        approx = np.where(nv <= 1e-6, 1.0, approx)
+        m = margin
+    else:
+        approx = np.sqrt(np.maximum(n2 - 2.0 * dot + q2, 0.0))
+        scale = math.sqrt(q2 + float(n2.max()))
+        m = margin * max(1.0, scale)
+    cutoff = np.partition(approx, k - 1)[k - 1] if n > k else np.inf
+    cutoff += m
+    if threshold is not None:
+        cutoff = max(cutoff, float(threshold) + m)
+    sel = approx <= cutoff
+    dists = approx
+    dists[sel] = single_query_dists(metric, q, V[sel])
+    return dists
+
+
 def _batch_queries(Q, query_ids):
     """Normalize a ``search_many`` batch shared by all three readers:
     float64 matrix, sequential default query_ids, length check."""
@@ -311,54 +380,23 @@ class LocalLshReader:
         V = list_column_matrix(tbl, "vec", self.config.dims)
         return ids[mask].tolist(), V[mask], None
 
-    # margin for the two-stage scorer: the BLAS stage's distance error
-    # is bounded by sqrt(64 * ulp(scale^2)) ~ 1e-7 * scale (worst case,
-    # near-duplicate cancellation); selecting everything within
-    # TWO_STAGE_MARGIN of the k-th approximate distance therefore
-    # provably contains the exact top-k (and every threshold-passing
-    # row), with ~400x headroom. Proof sketch: |approx-exact| <= m' and
-    # cutoff = kth_approx + m with m >= 2m' => any excluded candidate
-    # has exact > kth_approx + m - m' >= exact_kth + (m - 2m') >= the
-    # k-th exact distance, strictly — so exclusion never flips the
-    # exact (dist, id) ranking of the returned rows.
-    TWO_STAGE_MARGIN = 1e-4
+    # kept as a class attribute for existing callers/tests; the proof
+    # lives at the module-level constant
+    TWO_STAGE_MARGIN = TWO_STAGE_MARGIN
 
     def _score(self, q: np.ndarray, V: np.ndarray, rows, k: int,
                threshold: float | None) -> np.ndarray:
         """Distances of q to V, bit-identical to single_query_dists on
         every row that can be returned. Large preloaded candidate sets
-        use two stages: a BLAS approximate pass (precomputed norms)
-        picks the margin set, the sequential-IEEE exact kernel rescores
-        only that set — the 64-strided-pass exact kernel over 40k+
-        candidates was ~50 ms of the serving path."""
-        n = len(V)
-        if rows is None or n <= 2048:
+        use the shared two-stage scorer (_two_stage_dists) — the
+        64-strided-pass exact kernel over 40k+ candidates was ~50 ms
+        of the serving path."""
+        if rows is None or len(V) <= 2048:
             return single_query_dists(self.metric, q, V)
-        is_cos = self.metric in ("cosine", "angular")
-        q2 = float(q @ q)
-        n2 = self._norms2[rows]
-        dot = V @ q
-        if is_cos:
-            nq = math.sqrt(q2)
-            if nq <= 1e-6:
-                return single_query_dists(self.metric, q, V)
-            nv = np.sqrt(n2)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                approx = 1.0 - dot / (nq * nv)
-            approx = np.where(nv <= 1e-6, 1.0, approx)
-            m = self.TWO_STAGE_MARGIN
-        else:
-            approx = np.sqrt(np.maximum(n2 - 2.0 * dot + q2, 0.0))
-            scale = math.sqrt(q2 + float(n2.max()))
-            m = self.TWO_STAGE_MARGIN * max(1.0, scale)
-        cutoff = np.partition(approx, k - 1)[k - 1] if n > k else np.inf
-        cutoff += m
-        if threshold is not None:
-            cutoff = max(cutoff, float(threshold) + m)
-        sel = approx <= cutoff
-        dists = approx
-        dists[sel] = single_query_dists(self.metric, q, V[sel])
-        return dists
+        return _two_stage_dists(
+            self.metric, q, V, self._norms2[rows], k, threshold,
+            self.TWO_STAGE_MARGIN,
+        )
 
     def search(
         self,
@@ -767,4 +805,122 @@ class LocalIvfPqReader:
         return pd.concat(frames, ignore_index=True)
 
 
-__all__ = ["LocalLshReader", "LocalIvfReader", "LocalIvfPqReader"]
+class LocalScanReader:
+    """Point lookups over a saved SCAN store (operators.exact_knn.
+    scan_save layout: vectors + store_meta) — the serving tier for
+    corpora where the measured advisor says DON'T index (the SCALE.md
+    angular probes; reference anchor: NNMock's full-scan Search,
+    annbench/annbench.go:56-125): an exact full scan per query,
+    two-stage scored over the preloaded matrix.
+
+    Always in-memory: a scan touches every row by definition, so a
+    lazy mode would re-decode the whole table on every query. The
+    memory contract is the corpus shard itself (n x dims float64 —
+    512 MB at 1M x 64); past RAM, split the store across readers (the
+    same fleet shape as the bucket readers, minus the router's hash
+    step — every reader scores its shard, the router merges top-k,
+    which is exactly the selection-monotone per-partition top-k
+    argument the Spark exact path relies on).
+
+    Bit-identical to exact_knn_join on the same corpus (the engine's
+    backend='exact' batch path): same sequential-IEEE kernels via the
+    shared two-stage scorer, same (dist, id) tie-break, same threshold
+    semantics (pinned in tests/test_serve_scan.py)."""
+
+    TWO_STAGE_MARGIN = TWO_STAGE_MARGIN
+
+    def __init__(self, path: str, metric: str | None = None):
+        import pyarrow.parquet as pq
+
+        meta = _read_store_meta(path)
+        family = meta.get("family")
+        if family not in (None, "scan"):
+            raise ValueError(
+                f"store at {path!r} is a {family!r} store, not a scan "
+                "store — use the matching reader"
+            )
+        saved = meta.get("metric")
+        if metric is None:
+            if saved is None:
+                raise ValueError(
+                    f"store at {path!r} has no persisted metric "
+                    "(legacy / hand-built layout): pass metric= explicitly"
+                )
+            metric = saved
+        elif saved is not None and saved != metric:
+            raise ValueError(
+                f"store at {path!r} was saved with metric={saved!r}, "
+                f"incompatible with metric={metric!r}"
+            )
+        self.path = path
+        self.metric = metric
+        tbl = pq.read_table(os.path.join(path, "vectors"), columns=["id", "vec"])
+        if tbl.num_rows == 0:
+            raise ValueError(f"scan store at {path!r} holds no vectors")
+        dims = meta.get("dims") or len(tbl.column("vec")[0])
+        self.dims = int(dims)
+        mat = list_column_matrix(tbl, "vec", self.dims)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.number):
+            # id-sorted matrix: ties in dist resolve by id, and a
+            # sorted id axis keeps _result_frame's lexsort stable
+            # against the Spark path's (dist, id) ordering for free
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.mat = np.ascontiguousarray(mat[order])
+        else:
+            self.ids = ids
+            self.mat = mat
+        self._norms2 = np.einsum("ij,ij->i", self.mat, self.mat)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def search(
+        self,
+        qvec,
+        k: int = 10,
+        threshold: float | None = None,
+        query_id: int = 0,
+    ) -> pd.DataFrame:
+        q = np.asarray(list(qvec), dtype=np.float64)
+        if len(self.mat) <= 2048:
+            dists = single_query_dists(self.metric, q, self.mat)
+        else:
+            dists = _two_stage_dists(
+                self.metric, q, self.mat, self._norms2, k, threshold,
+                self.TWO_STAGE_MARGIN,
+            )
+        ids = self.ids
+        if threshold is not None:
+            m = dists <= float(threshold)
+            ids, dists = ids[m], dists[m]
+        return _result_frame(ids, dists, k, query_id)
+
+    def search_many(
+        self,
+        Q,
+        k: int = 10,
+        threshold: float | None = None,
+        query_ids=None,
+    ) -> pd.DataFrame:
+        """Batch lookups, row-identical to per-query ``search``
+        concatenated. The per-query cost is the scan itself (one BLAS
+        matvec over the shard), so batching buys allocator locality,
+        not amortized model work."""
+        Q, query_ids = _batch_queries(Q, query_ids)
+        if len(Q) == 0:
+            return _result_frame([], [], k, 0)
+        frames = [
+            self.search(Q[i], k=k, threshold=threshold, query_id=int(qid))
+            for i, qid in enumerate(query_ids)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+
+__all__ = [
+    "LocalLshReader",
+    "LocalIvfReader",
+    "LocalIvfPqReader",
+    "LocalScanReader",
+]

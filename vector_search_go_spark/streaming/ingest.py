@@ -26,14 +26,21 @@ from vector_search_go_spark.lsh.hasher import Forest
 from vector_search_go_spark.lsh.index import _hash_probe_udf
 
 
+def _bucket_rows(df: DataFrame, hash_vec) -> DataFrame:
+    """(id, vec) -> (tree, hash, id) bucket rows via the frozen forest's
+    hash UDF — the one projection both the streaming bucketizer and the
+    combined LSH drain share (same plan as batch LshIndex._bucketize)."""
+    return df.select(
+        "id", F.posexplode(hash_vec("vec")).alias("tree", "hash")
+    ).select(F.col("tree").cast("int"), "hash", "id")
+
+
 def stream_bucketize(
     spark: SparkSession, vec_stream: DataFrame, forest: Forest
 ) -> DataFrame:
     """vec_stream(id, vec) -> streaming (tree, hash, id) bucket rows."""
-    hash_vec = _hash_probe_udf(spark, forest, with_probes=False)
-    return (
-        vec_stream.select("id", F.posexplode(hash_vec("vec")).alias("tree", "hash"))
-        .select(F.col("tree").cast("int"), "hash", "id")
+    return _bucket_rows(
+        vec_stream, _hash_probe_udf(spark, forest, with_probes=False)
     )
 
 
@@ -60,6 +67,53 @@ def ingest_to_bucket_store(
     size matters."""
     buckets = stream_bucketize(spark, vec_stream, forest)
     _drain_append(buckets, bucket_path, "tree", checkpoint_path, timeout)
+
+
+def ingest_to_lsh_store(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    forest: Forest,
+    path: str,
+    checkpoint_path: str,
+    timeout: int = 120,
+) -> None:
+    """One drain, BOTH store components: each microbatch appends its
+    (tree, hash, id) rows to ``{path}/buckets`` AND its (id, vec) rows
+    to ``{path}/vectors`` — the missing half of ingest_to_bucket_store,
+    whose callers had to append vectors out-of-band for maintain()'s
+    clear-and-rebuild to see streamed data. Both appends share the one
+    checkpoint, so the at-least-once contract is per-batch-coherent: a
+    replayed batch duplicates rows in both components together
+    (compact(dedup=True) / maintain(dedup_ids=True) heal each side)."""
+    _check_no_sink_log(f"{path}/buckets")
+    _check_no_sink_log(f"{path}/vectors")
+    hash_vec = _hash_probe_udf(spark, forest, with_probes=False)
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = batch_df.select("id", "vec").persist()
+        (
+            _bucket_rows(batch_df, hash_vec)
+            .write.mode("append")
+            .partitionBy("tree")
+            .parquet(f"{path}/buckets")
+        )
+        batch_df.write.mode("append").parquet(f"{path}/vectors")
+        batch_df.unpersist()
+
+    _run_drain(vec_stream, append, checkpoint_path, timeout, path)
+
+
+def parquet_file_count(root: str) -> int:
+    """Parquet fragment count under a store component — the
+    fragmentation signal ingest_cycle's compaction trigger reads."""
+    import os
+
+    return sum(
+        1
+        for _dirp, _dirs, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def compact_bucket_store(
@@ -154,16 +208,13 @@ def _check_no_sink_log(path: str) -> None:
         )
 
 
-def _drain_append(
-    df: DataFrame, path: str, part_col: str, checkpoint_path: str, timeout: int
+def _run_drain(
+    df: DataFrame, append_fn, checkpoint_path: str, timeout: int, path_desc: str
 ) -> None:
-    _check_no_sink_log(path)
-
-    def append(batch_df: DataFrame, _epoch: int) -> None:
-        batch_df.write.mode("append").partitionBy(part_col).parquet(path)
-
+    """availableNow foreachBatch drain with the shared timeout contract
+    (used by every ingest in this module — keep it in ONE place)."""
     q = (
-        df.writeStream.foreachBatch(append)
+        df.writeStream.foreachBatch(append_fn)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
@@ -174,9 +225,20 @@ def _drain_append(
         # race the still-running appends — stop and say so
         q.stop()
         raise TimeoutError(
-            f"stream ingest into {path} still running after {timeout}s; "
+            f"stream ingest into {path_desc} still running after {timeout}s; "
             "stopped mid-drain — rerun with the same checkpoint to resume"
         )
+
+
+def _drain_append(
+    df: DataFrame, path: str, part_col: str, checkpoint_path: str, timeout: int
+) -> None:
+    _check_no_sink_log(path)
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("append").partitionBy(part_col).parquet(path)
+
+    _run_drain(df, append, checkpoint_path, timeout, path)
 
 
 def compact_cells_store(
@@ -199,28 +261,46 @@ def compact_cells_store(
     )
 
 
+def compact_vectors_store(
+    spark: SparkSession,
+    vectors_path: str,
+    dedup: bool = False,
+    keep_backup: bool = True,
+) -> dict:
+    """Compact the FLAT vectors table back to the LshIndex.save layout
+    (id-sorted, 512 KiB row groups): ingest_to_lsh_store appends one
+    unsorted fragment per microbatch here too, and a fragmented vectors
+    table degrades both reader preloads and candidate row-group
+    skipping even when the bucket side is healthy. ``dedup`` collapses
+    at-least-once replay duplicates by id (the same rule as
+    maintain(dedup_ids=True))."""
+    return _compact_store(
+        spark,
+        vectors_path,
+        part_col=None,
+        sort_cols=["id"],
+        select=[F.col("id"), F.col("vec")],
+        dedup_cols=["id"] if dedup else None,
+        keep_backup=keep_backup,
+        block_size=512 << 10,
+    )
+
+
 def _compact_store(
     spark: SparkSession,
     path: str,
-    part_col: str,
+    part_col: str | None,
     sort_cols: list,
     select: list,
     dedup_cols: list | None,
     keep_backup: bool = True,
+    block_size: int | None = None,
 ) -> dict:
     import os
     import shutil
 
-    def _parquet_files(root: str) -> int:
-        return sum(
-            1
-            for _dirp, _dirs, files in os.walk(root)
-            for f in files
-            if f.endswith(".parquet")
-        )
-
     _check_no_sink_log(path)
-    before = _parquet_files(path)
+    before = parquet_file_count(path)
     df = spark.read.parquet(path).select(*select)
     if dedup_cols:
         # collapse at-least-once replay duplicates from the foreachBatch
@@ -228,13 +308,18 @@ def _compact_store(
         df = df.dropDuplicates(dedup_cols)
     tmp = path.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        df.repartitionByRange(8, part_col)
+    # part_col=None: flat (unpartitioned) component like the vectors
+    # table — range-partition on the leading sort column instead
+    writer = (
+        df.repartitionByRange(8, part_col or sort_cols[0])
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(tmp)
     )
+    if block_size is not None:
+        writer = writer.option("parquet.block.size", block_size)
+    if part_col is not None:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(tmp)
     # count from the written copy's footers — counting the lazy df
     # would scan (and dedup-shuffle) the fragmented store a second time
     n_rows = spark.read.parquet(tmp).count()
@@ -274,7 +359,7 @@ def _compact_store(
     spark.catalog.refreshByPath(path)
     return {
         "files_before": before,
-        "files_after": _parquet_files(path),
+        "files_after": parquet_file_count(path),
         "rows": n_rows,
         "backup_path": old if keep_backup else None,
     }

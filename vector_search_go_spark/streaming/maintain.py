@@ -55,9 +55,10 @@ def _read_build_stats(spark: SparkSession, path: str, resave_hint: str):
 
 
 def store_metric(spark: SparkSession, path: str) -> str | None:
-    """The metric a saved IVF store's cells were assigned under
-    (persisted by ann_ivf.ivf_save as ``{path}/store_meta``); None for
-    stores predating metric persistence. Only ABSENCE maps to None —
+    """The metric a saved store was built under (persisted as
+    ``{path}/store_meta`` by ann_ivf.ivf_save for cell assignment and
+    exact_knn.scan_save for scoring); None for stores predating metric
+    persistence. Only ABSENCE maps to None —
     a store_meta that exists but cannot be read raises, so callers'
     mismatch guards cannot be silently disabled by a transient remote
     read failure or a corrupt file."""
@@ -83,6 +84,119 @@ def store_metric(spark: SparkSession, path: str) -> str | None:
             "treat the store as legacy (metric-mismatch guards would "
             "be silently disabled)"
         ) from exc
+
+
+def ingest_cycle(
+    spark: SparkSession,
+    vec_stream,
+    path: str,
+    checkpoint_path: str,
+    timeout: int = 120,
+    compact_over: int | None = 256,
+    compact_dedup: bool = False,
+    **maintain_kwargs,
+) -> dict:
+    """One cycle of the streaming maintenance loop over a saved LSH or
+    IVF store — the operational wrapper a scheduled job calls per drain
+    window instead of wiring drain/staleness/rebuild/compact by hand:
+
+      1. drain ``vec_stream`` (id, vec) into the store through its own
+         frozen model (LSH: ingest_to_lsh_store appends buckets AND
+         vectors under one checkpoint; IVF: ingest_to_ivf_store assigns
+         cells under the store's persisted metric);
+      2. measure staleness against the build-time baseline and run the
+         clear-and-rebuild when tripped (maintain / maintain_ivf — the
+         reference's Train semantics, lsh/lsh.go:107-110, fired by
+         measurement);
+      3. when NOT tripped, heal fragmentation instead: every appended
+         store component holding more than ``compact_over`` parquet
+         fragments (LSH: buckets AND vectors; IVF: cells) is compacted
+         back to the trained layout (compaction is folded into the
+         rebuild otherwise — a retrain rewrites the store).
+
+    Routes by store layout like engine.maintain (including its ivfpq
+    refusal — coded stores cannot absorb raw vectors). Returns the
+    staleness report with ``action`` (none | rebuilt | compacted) and,
+    when compacted, per-component stats under ``compact``.
+
+    A caller holding a live reader/engine over the store must re-load
+    after a 'rebuilt' or 'compacted' cycle — both rewrite the files the
+    old file index points at (the same contract as engine.compact)."""
+    from vector_search_go_spark.streaming.ingest import (
+        compact_bucket_store,
+        compact_cells_store,
+        compact_vectors_store,
+        ingest_to_ivf_store,
+        ingest_to_lsh_store,
+        parquet_file_count,
+    )
+
+    def _has(sub: str) -> bool:
+        if "://" not in path:
+            return os.path.isdir(os.path.join(path, sub))
+        try:
+            spark.read.parquet(f"{path}/{sub}").schema
+            return True
+        except Exception:
+            return False
+
+    if _has("codebook"):
+        # ivfpq stores hold PQ codes, not raw vectors: appending raw
+        # (id, vec, cell) rows into the coded cells table would corrupt
+        # the store with mixed schemas AND mark the batches drained —
+        # same refusal as engine.maintain
+        raise ValueError(
+            "ivfpq stores hold PQ codes, not raw vectors — re-encode and "
+            "rebuild from the source corpus (ivfpq_save) instead of "
+            "ingest_cycle()"
+        )
+    if _has("cells"):
+        metric = store_metric(spark, path)
+        if metric is None:
+            metric = maintain_kwargs.get("metric")
+            if metric is None:
+                raise ValueError(
+                    f"store at {path!r} predates metric persistence: pass "
+                    "metric= (frozen-centroid assignment must match the "
+                    "metric searches run with)"
+                )
+        centroids = spark.read.parquet(f"{path}/centroids").select(
+            F.col("cid").cast("int"), "cvec"
+        )
+        ingest_to_ivf_store(
+            spark, vec_stream, centroids, f"{path}/cells",
+            checkpoint_path, metric=metric, timeout=timeout,
+        )
+        spark.catalog.refreshByPath(f"{path}/cells")
+        report = maintain_ivf(spark, path, **maintain_kwargs)
+        components = [(f"{path}/cells", compact_cells_store)]
+    else:
+        from vector_search_go_spark.lsh.index import LshIndex
+
+        forest = LshIndex.load_forest(spark, path)
+        ingest_to_lsh_store(
+            spark, vec_stream, forest, path, checkpoint_path, timeout=timeout
+        )
+        for sub in ("buckets", "vectors"):
+            spark.catalog.refreshByPath(f"{path}/{sub}")
+        report = maintain(spark, path, **maintain_kwargs)
+        # the combined drain fragments BOTH components — the quiet path
+        # heals both (a rebuild rewrites the whole store anyway)
+        components = [
+            (f"{path}/buckets", compact_bucket_store),
+            (f"{path}/vectors", compact_vectors_store),
+        ]
+    if report["action"] == "none" and compact_over is not None and "://" not in path:
+        compacted = {
+            data_dir: compact_fn(spark, data_dir, dedup=compact_dedup)
+            for data_dir, compact_fn in components
+            if parquet_file_count(data_dir) > compact_over
+        }
+        if compacted:
+            report = {**report, "action": "compacted", "compact": compacted}
+            for data_dir in compacted:
+                spark.catalog.refreshByPath(data_dir)
+    return report
 
 
 def bucket_staleness(spark: SparkSession, path: str) -> dict:
