@@ -88,3 +88,35 @@ def test_advisor_picks_index_on_structured_scan_on_uniform(spark):
     for r in rep_u:
         if r["family"] != "exact":  # the pruned configs all miss the band
             assert not r["in_band"], r
+
+
+def test_advisor_max_useful_frac_gates_weakly_pruning_index(spark):
+    """The GloVe-shape break-even lesson as a gate: an index that is
+    in-band by recall but prunes less than the gate requires must NOT
+    be recommended — the scan wins in wall-clock at weak pruning (the
+    SCALE.md GloVe row: frac 0.447 in-band, yet scan 13x faster). A
+    near-zero gate forces every index out; the scan is always exempt."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    X = centers[rng.integers(0, 8, size=400)] + 0.05 * rng.standard_normal(
+        (400, 16)
+    )
+
+    ungated = _report(spark, X)
+    best_free = ungated.filter(F.col("recommended")).collect()[0]
+    assert best_free["family"] != "exact"  # clustered: an index wins
+
+    gated = _report(spark, X, max_useful_frac=1e-4)
+    rows = gated.collect()
+    best = [r for r in rows if r["recommended"]]
+    assert len(best) == 1 and best[0]["family"] == "exact"
+    # reporting is unchanged — in_band still reflects recall only
+    assert any(r["in_band"] and r["family"] != "exact" for r in rows)
+
+    # a gate the winning config satisfies leaves the decision alone
+    same = _report(spark, X, max_useful_frac=float(best_free["cand_frac"]))
+    keep = same.filter(F.col("recommended")).collect()[0]
+    assert (keep["family"], keep["config"]) == (
+        best_free["family"],
+        best_free["config"],
+    )

@@ -104,6 +104,7 @@ class VectorSearchEngine:
         probe_queries: int = 20,
         recall_band: float = 0.85,
         probe_threshold: float | None = None,
+        max_useful_frac: float | None = 0.33,
     ) -> None:
         """``auto=True`` picks the backend by measurement before
         training (VERDICT r4 item 4): advisor_report runs on a bounded
@@ -124,12 +125,21 @@ class VectorSearchEngine:
         trivially in-band for any candidate set and the probe cannot
         distinguish a pruning index from a useless one (the SCALE.md
         angular probes all measure at the reference's MaxDist for the
-        same reason)."""
+        same reason).
+
+        ``max_useful_frac``: break-even gate — an in-band index config
+        whose candidate fraction exceeds it loses to the scan anyway
+        (full hashing + bucket join + trees-factor store for <3x
+        pruning; the SCALE.md GloVe row measured scan 13x FASTER at
+        frac 0.447 despite in-band recall, while frac 0.028 configs
+        win 23x). Default 0.33 sits between those measurements; None
+        restores fraction-only ranking."""
         vectors = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         self._vectors = vectors
         if auto:
             self._auto_pick(
-                vectors, probe_rows, probe_queries, recall_band, probe_threshold
+                vectors, probe_rows, probe_queries, recall_band,
+                probe_threshold, max_useful_frac,
             )
         if self.backend == "lsh":
             if self.config is None:
@@ -150,6 +160,7 @@ class VectorSearchEngine:
     def _auto_pick(
         self, vectors: DataFrame, probe_rows: int, probe_queries: int,
         recall_band: float, probe_threshold: float | None = None,
+        max_useful_frac: float | None = 0.33,
     ) -> None:
         from vector_search_go_spark.operators.tune import advisor_report
 
@@ -178,6 +189,7 @@ class VectorSearchEngine:
             recall_band=recall_band,
             lsh_configs=((8, 50), (16, 50)),
             ivf_configs=((self.ivf_cells, self.ivf_nprobe),),
+            max_useful_frac=max_useful_frac,
         )
         best = report.filter(F.col("recommended")).collect()[0]
         probe.unpersist()

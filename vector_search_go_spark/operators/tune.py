@@ -122,6 +122,7 @@ def advisor_report(
     ivf_configs: tuple = ((16, 2), (16, 4)),
     seed: int = 42,
     sample_size: int = 20_000,
+    max_useful_frac: float | None = None,
 ) -> DataFrame:
     """corpus(id, vec) x queries(query_id, qvec) -> one report row per
     candidate config: (family, config, eps_recall, cand_frac, in_band,
@@ -130,7 +131,19 @@ def advisor_report(
     lexicographic tie-break — deterministic); the exact scan row
     (recall 1.0, fraction 1.0) is always present, so a corpus where no
     index prunes in-band recommends the scan — the SCALE.md angular
-    conclusion, as an operator."""
+    conclusion, as an operator.
+
+    ``max_useful_frac``: break-even gate on how much an index must
+    prune before it can beat the scan at all. An in-band config whose
+    candidate fraction exceeds it is reported but NOT recommendable
+    (the scan row is exempt — it IS the fallback). Rationale is
+    measured, not assumed: at frac 0.028 (Fashion-MNIST shape) the
+    index beat the exact scan 23x; at frac 0.447 (the GloVe-shape
+    probe) the scan beat the index 13x in wall-clock despite in-band
+    recall, because a weakly-pruning index still pays full hashing,
+    bucket-join, and a trees-factor store blow-up (SCALE.md GloVe
+    row). None (default) disables the gate — fraction-only ranking,
+    the pre-gate behavior."""
     from vector_search_go_spark.operators.exact_knn import exact_knn_join
     from vector_search_go_spark.operators.recall import (
         distance_based_precision_recall,
@@ -168,7 +181,15 @@ def advisor_report(
 
     for df in pins:
         df.unpersist()
-    in_band = [row for row in rows if row[2] >= recall_band]
+
+    def _eligible(fam: str, rec: float, frac: float) -> bool:
+        if rec < recall_band:
+            return False
+        if max_useful_frac is None or fam == "exact":
+            return True
+        return frac <= max_useful_frac
+
+    in_band = [row for row in rows if _eligible(row[0], row[2], row[3])]
     best = min(in_band, key=lambda row: (row[3], row[0], row[1]))
     out = [
         (fam, cfg, rec, frac, rec >= recall_band,
