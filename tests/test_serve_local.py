@@ -471,3 +471,55 @@ def test_local_ivfpq_search_many_matches_single(stores):
     assert len(out) == 0 and list(out.columns) == ["query_id", "id", "dist", "rn"]
     with pytest.raises(ValueError, match="query_ids"):
         reader.search_many(Q[:2], k=5, query_ids=[1, 2, 3])
+
+
+def test_reader_snapshot_across_compaction(spark, tmp_path):
+    """Serving vs compaction contract: a FULLY-PRELOADED reader keeps
+    serving its in-RAM snapshot through a store compaction (no file
+    access after init), and a NEW reader over the compacted store is
+    bit-identical — the re-load rule engine.compact/ingest_cycle
+    document, pinned for the local serving tier."""
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+    from vector_search_go_spark.streaming.ingest import (
+        compact_bucket_store,
+        ingest_to_lsh_store,
+    )
+
+    rng = np.random.default_rng(131)
+    X = rng.standard_normal((800, DIMS))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(600)],
+        "id bigint, vec array<double>",
+    )
+    path = str(tmp_path / "idx")
+    LshIndex.train(
+        spark, corpus, LshConfig(dims=DIMS, n_trees=6, k_min_vecs=30, seed=5)
+    ).save(path)
+    # fragment the store the way production does: a streamed drain
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(int(600 + i), X[600 + i].tolist()) for i in range(200)],
+        "id bigint, vec array<double>",
+    ).write.mode("overwrite").parquet(land)
+    forest = LshIndex.load_forest(spark, path)
+    ingest_to_lsh_store(
+        spark,
+        spark.readStream.schema("id bigint, vec array<double>").parquet(land),
+        forest,
+        path,
+        str(tmp_path / "ckpt"),
+    )
+
+    q = X[42]
+    pre_mem = LocalLshReader(path, metric="l2", preload_buckets=True)
+    want = _frame_rows(pre_mem.search(q, k=10))
+    assert len(want) == 10
+
+    compact_bucket_store(spark, f"{path}/buckets", keep_backup=False)
+    # new reader over the compacted store: bit-identical
+    post = LocalLshReader(path, metric="l2")
+    assert _frame_rows(post.search(q, k=10)) == want
+    # the preloaded pre-compaction reader still serves its snapshot
+    assert _frame_rows(pre_mem.search(q, k=10)) == want

@@ -37,6 +37,14 @@ size. ``preload_vectors=True`` additionally pins the vector table in
 reader RAM (the reference's own regime — its whole store is in-memory);
 at shard sizes where that doesn't fit, lazy mode reads only candidate
 row groups from the id-sorted vectors table.
+
+Compaction contract (same rule as engine.compact / ingest_cycle): a
+FULLY-PRELOADED reader serves its in-RAM snapshot through a store
+rewrite (it never touches files after init — pinned in
+test_reader_snapshot_across_compaction); any reader that still reads
+from disk (lazy vectors, stats-pruned buckets, on-disk cells/codes)
+holds file paths a compaction swap deletes and must be reconstructed
+after 'rebuilt'/'compacted' cycles.
 """
 
 from __future__ import annotations
