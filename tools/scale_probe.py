@@ -1207,13 +1207,22 @@ def glove_probe(
         t_exact = time.time() - t0
 
         p, r = mean_precision_recall(distance_based_precision_recall(pred, truth, 0.05))
-        verdict = (
-            "scan (index does not prune in-band)"
-            if cand_frac > 0.5 or r < 0.85
-            else "index (prunes in-band)"
-        )
-        if cand_frac > 0.5 and r >= 0.85:
-            verdict = "scan (recall holds but candidate fraction ~1 — no pruning)"
+        # same break-even gate as VectorSearchEngine.train(auto=True):
+        # in-band recall is necessary but not sufficient — at this
+        # probe's own measured frac 0.447 the exact scan beat the index
+        # 13x in wall-clock (the hashing + bucket-join + store-blow-up
+        # overhead of weak pruning), so the verdict gates on frac 0.33
+        gate = 0.33
+        if r < 0.85:
+            verdict = "scan (index does not hold the recall band)"
+        elif cand_frac > gate:
+            verdict = (
+                f"scan (in-band recall but frac {cand_frac:.2f} > "
+                f"break-even {gate} — weak pruning loses to the scan "
+                "in wall-clock)"
+            )
+        else:
+            verdict = "index (prunes in-band)"
         print(
             f"| {n:,} x {dims} | {n_trees} trees, k_min {k_min_vecs}, "
             f"sample {sample_size // 1000}k | train {t_train:.0f} s | "
