@@ -402,9 +402,14 @@ def test_engine_maintain_routes_by_layout(spark, drifted_ivf_store, tmp_path):
     # the IVF path and return a well-formed report
     res = VectorSearchEngine.maintain(spark, path, metric="l2")
     assert res["action"] in ("none", "rebuilt") and "tv_drift" in res
-    # an ivfpq layout is refused with direction, not misrouted
+    # an ivfpq layout routes to maintain_ivfpq (rebuilds from its own
+    # rerank vectors, tests/test_ingest_cycle.py): metric= is refused
+    # (ADC is l2-only), and a store predating the build_stats baseline
+    # gets the re-save hint instead of a misroute
     fake = tmp_path / "pqstore"
     (fake / "codebook").mkdir(parents=True)
     (fake / "cells").mkdir()
-    with pytest.raises(ValueError, match="ivfpq"):
+    with pytest.raises(ValueError, match="l2-only"):
+        VectorSearchEngine.maintain(spark, str(fake), metric="l2")
+    with pytest.raises(FileNotFoundError, match="build_stats"):
         VectorSearchEngine.maintain(spark, str(fake))

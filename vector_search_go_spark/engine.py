@@ -381,19 +381,23 @@ class VectorSearchEngine:
         index (streaming.maintain): measures bucket/cell-mass drift
         against the build-time baseline and runs the reference's
         clear-and-rebuild Train (lsh/lsh.go:107-110) when tripped.
-        Routes by store layout — an LSH store carries ``buckets``, an
-        IVF store ``cells``, a scan store only ``vectors`` (no model,
-        so always a no-op); thresholds via kwargs. An IVF rebuild
-        reuses the assignment metric persisted in the store
-        (``store_meta``); pass ``metric=`` only for legacy IVF stores
-        without it. Returns the staleness report with the action
-        taken."""
+        Routes by store layout — an IVF+PQ store carries ``codebook``
+        (rebuilt from its own full-precision rerank table,
+        maintain_ivfpq), an LSH store ``buckets``, an IVF store
+        ``cells``, a scan store only ``vectors`` (no model, so always a
+        no-op); thresholds via kwargs. An IVF rebuild reuses the
+        assignment metric persisted in the store (``store_meta``); pass
+        ``metric=`` only for legacy IVF stores without it. Returns the
+        staleness report with the action taken."""
         if _store_has(spark, path, "codebook"):
-            raise ValueError(
-                "ivfpq stores hold PQ codes, not raw vectors — rebuild "
-                "them from the source corpus (ivfpq_save) instead of "
-                "maintain()"
-            )
+            if "metric" in kwargs:
+                raise ValueError(
+                    "ivfpq stores are l2-only (ADC ranks by squared L2); "
+                    "metric= does not apply"
+                )
+            from vector_search_go_spark.streaming.maintain import maintain_ivfpq
+
+            return maintain_ivfpq(spark, path, **kwargs)
         if _store_has(spark, path, "cells"):
             from vector_search_go_spark.streaming.maintain import maintain_ivf
 

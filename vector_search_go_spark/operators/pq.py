@@ -458,6 +458,25 @@ def ivfpq_save(
     )
     coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    # family/metric metadata + the build-time cell-mass baseline —
+    # streaming ingest (ingest_to_ivfpq_store) appends through the
+    # frozen models, and drift maintenance (maintain_ivfpq) compares
+    # the store's current cell masses against this snapshot, exactly
+    # like ivf_save/cell_staleness
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps({"family": "ivfpq", "metric": metric}),)],
+        "meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+    spark.catalog.refreshByPath(f"{path}/cells")
+    (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/build_stats")
+    )
 
 
 def load_ivfpq_models(spark, path: str):

@@ -103,6 +103,61 @@ def ingest_to_lsh_store(
     _run_drain(vec_stream, append, checkpoint_path, timeout, path)
 
 
+def ingest_to_ivfpq_store(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    timeout: int = 120,
+) -> None:
+    """Frozen-model IVFADC drain (store written by pq.ivfpq_save): each
+    microbatch assigns cells with the frozen coarse centroids, encodes
+    PQ codes with the frozen codebook, and appends (cell, id, codes) to
+    ``{path}/cells`` AND the full-precision (id, vec) rows to
+    ``{path}/vectors`` under one checkpoint — the rerank-fetch table
+    must see streamed vectors too, or ADC shortlists rank ids the exact
+    rerank cannot fetch. Uses the exact kernels ivfpq_save's
+    projections use (assign_cells' argmin_id_arrow + pq_codes_udf), so
+    streamed rows are bit-identical to a batch re-save of the same
+    vectors. Same at-least-once, per-batch-coherent contract as
+    ingest_to_lsh_store."""
+    from vector_search_go_spark.operators.argmin import argmin_id_arrow
+    from vector_search_go_spark.operators.pq import pq_codes_udf
+
+    _check_no_sink_log(f"{path}/cells")
+    _check_no_sink_log(f"{path}/vectors")
+    # build both frozen-model UDFs ONCE outside the batch loop — each
+    # collects its model at construction (argmin_id_arrow /
+    # pq_codes_udf), so per-batch work is a pure projection, the same
+    # hoisting ingest_to_ivf_store does
+    nearest = argmin_id_arrow(
+        spark.read.parquet(f"{path}/centroids"), metric="l2"
+    )
+    codes_udf = pq_codes_udf(spark.read.parquet(f"{path}/codebook"))
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = batch_df.select("id", "vec").persist()
+        (
+            batch_df.select(
+                nearest(F.col("vec")).alias("cell"),
+                "id",
+                codes_udf(F.col("vec")).alias("codes"),
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/cells")
+        )
+        (
+            batch_df.write.mode("append")
+            # same 64 KiB row groups as ivfpq_save's rerank table
+            .option("parquet.block.size", 64 << 10)
+            .parquet(f"{path}/vectors")
+        )
+        batch_df.unpersist()
+
+    _run_drain(vec_stream, append, checkpoint_path, timeout, path)
+
+
 def parquet_file_count(root: str) -> int:
     """Parquet fragment count under a store component — the
     fragmentation signal ingest_cycle's compaction trigger reads."""
@@ -266,14 +321,17 @@ def compact_vectors_store(
     vectors_path: str,
     dedup: bool = False,
     keep_backup: bool = True,
+    block_size: int = 512 << 10,
 ) -> dict:
-    """Compact the FLAT vectors table back to the LshIndex.save layout
-    (id-sorted, 512 KiB row groups): ingest_to_lsh_store appends one
+    """Compact a FLAT vectors table back to its saved layout
+    (id-sorted): ingest_to_lsh_store / ingest_to_ivfpq_store append one
     unsorted fragment per microbatch here too, and a fragmented vectors
     table degrades both reader preloads and candidate row-group
-    skipping even when the bucket side is healthy. ``dedup`` collapses
+    skipping even when the indexed side is healthy. ``dedup`` collapses
     at-least-once replay duplicates by id (the same rule as
-    maintain(dedup_ids=True))."""
+    maintain(dedup_ids=True)). ``block_size`` matches the saving
+    writer's row groups: 512 KiB for LshIndex.save, 64 KiB for
+    ivfpq_save's scattered-shortlist rerank table."""
     return _compact_store(
         spark,
         vectors_path,
@@ -282,7 +340,28 @@ def compact_vectors_store(
         select=[F.col("id"), F.col("vec")],
         dedup_cols=["id"] if dedup else None,
         keep_backup=keep_backup,
-        block_size=512 << 10,
+        block_size=block_size,
+    )
+
+
+def compact_codes_store(
+    spark: SparkSession,
+    cells_path: str,
+    dedup: bool = False,
+    keep_backup: bool = True,
+) -> dict:
+    """IVFADC twin of compact_cells_store for the CODES cells table
+    (cell, id, codes — written by pq.ivfpq_save): restore a few cells
+    per task, rows sorted by (cell, id), after streaming appends
+    fragment the store."""
+    return _compact_store(
+        spark,
+        cells_path,
+        part_col="cell",
+        sort_cols=["cell", "id"],
+        select=[F.col("cell").cast("int"), F.col("id"), F.col("codes")],
+        dedup_cols=["cell", "id"] if dedup else None,
+        keep_backup=keep_backup,
     )
 
 

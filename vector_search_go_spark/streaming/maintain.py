@@ -96,28 +96,31 @@ def ingest_cycle(
     compact_dedup: bool = False,
     **maintain_kwargs,
 ) -> dict:
-    """One cycle of the streaming maintenance loop over a saved LSH or
-    IVF store — the operational wrapper a scheduled job calls per drain
-    window instead of wiring drain/staleness/rebuild/compact by hand:
+    """One cycle of the streaming maintenance loop over a saved LSH,
+    IVF, or IVF+PQ store — the operational wrapper a scheduled job
+    calls per drain window instead of wiring
+    drain/staleness/rebuild/compact by hand:
 
       1. drain ``vec_stream`` (id, vec) into the store through its own
          frozen model (LSH: ingest_to_lsh_store appends buckets AND
          vectors under one checkpoint; IVF: ingest_to_ivf_store assigns
-         cells under the store's persisted metric);
+         cells under the store's persisted metric; IVF+PQ:
+         ingest_to_ivfpq_store encodes codes into cells AND appends the
+         rerank vectors);
       2. measure staleness against the build-time baseline and run the
-         clear-and-rebuild when tripped (maintain / maintain_ivf — the
-         reference's Train semantics, lsh/lsh.go:107-110, fired by
-         measurement);
+         clear-and-rebuild when tripped (maintain / maintain_ivf /
+         maintain_ivfpq — the reference's Train semantics,
+         lsh/lsh.go:107-110, fired by measurement);
       3. when NOT tripped, heal fragmentation instead: every appended
          store component holding more than ``compact_over`` parquet
-         fragments (LSH: buckets AND vectors; IVF: cells) is compacted
-         back to the trained layout (compaction is folded into the
-         rebuild otherwise — a retrain rewrites the store).
+         fragments (LSH: buckets AND vectors; IVF: cells; IVF+PQ: cells
+         AND vectors) is compacted back to the trained layout
+         (compaction is folded into the rebuild otherwise — a retrain
+         rewrites the store).
 
-    Routes by store layout like engine.maintain (including its ivfpq
-    refusal — coded stores cannot absorb raw vectors). Returns the
-    staleness report with ``action`` (none | rebuilt | compacted) and,
-    when compacted, per-component stats under ``compact``.
+    Routes by store layout like engine.maintain. Returns the staleness
+    report with ``action`` (none | rebuilt | compacted) and, when
+    compacted, per-component stats under ``compact``.
 
     A caller holding a live reader/engine over the store must re-load
     after a 'rebuilt' or 'compacted' cycle — both rewrite the files the
@@ -125,8 +128,10 @@ def ingest_cycle(
     from vector_search_go_spark.streaming.ingest import (
         compact_bucket_store,
         compact_cells_store,
+        compact_codes_store,
         compact_vectors_store,
         ingest_to_ivf_store,
+        ingest_to_ivfpq_store,
         ingest_to_lsh_store,
         parquet_file_count,
     )
@@ -141,16 +146,35 @@ def ingest_cycle(
             return False
 
     if _has("codebook"):
-        # ivfpq stores hold PQ codes, not raw vectors: appending raw
-        # (id, vec, cell) rows into the coded cells table would corrupt
-        # the store with mixed schemas AND mark the batches drained —
-        # same refusal as engine.maintain
-        raise ValueError(
-            "ivfpq stores hold PQ codes, not raw vectors — re-encode and "
-            "rebuild from the source corpus (ivfpq_save) instead of "
-            "ingest_cycle()"
+        # IVFADC store (ivfpq_save layout): frozen-model encode drain
+        # into cells + the rerank vectors table, rebuild from the
+        # store's own vectors when staleness trips.
+        # Validate EVERY post-drain precondition BEFORE consuming the
+        # stream: the drain checkpoint-commits its batches, so an error
+        # raised after it (missing baseline, bad kwargs) strands rows
+        # an operator following the re-save hint would then lose.
+        if "metric" in maintain_kwargs:
+            raise ValueError(
+                "ivfpq stores are l2-only (ADC ranks by squared L2); "
+                "metric= does not apply"
+            )
+        _read_build_stats(spark, path, "ivfpq_save")
+        ingest_to_ivfpq_store(
+            spark, vec_stream, path, checkpoint_path, timeout=timeout
         )
-    if _has("cells"):
+        for sub in ("cells", "vectors"):
+            spark.catalog.refreshByPath(f"{path}/{sub}")
+        report = maintain_ivfpq(spark, path, **maintain_kwargs)
+        components = [
+            (f"{path}/cells", compact_codes_store),
+            (
+                f"{path}/vectors",
+                lambda s, p, dedup: compact_vectors_store(
+                    s, p, dedup=dedup, block_size=64 << 10
+                ),
+            ),
+        ]
+    elif _has("cells"):
         metric = store_metric(spark, path)
         if metric is None:
             metric = maintain_kwargs.get("metric")
@@ -160,6 +184,7 @@ def ingest_cycle(
                     "metric= (frozen-centroid assignment must match the "
                     "metric searches run with)"
                 )
+        _read_build_stats(spark, path, "ivf_save")  # before the drain
         centroids = spark.read.parquet(f"{path}/centroids").select(
             F.col("cid").cast("int"), "cvec"
         )
@@ -173,6 +198,7 @@ def ingest_cycle(
     else:
         from vector_search_go_spark.lsh.index import LshIndex
 
+        _read_build_stats(spark, path, "LshIndex.save")  # before the drain
         forest = LshIndex.load_forest(spark, path)
         ingest_to_lsh_store(
             spark, vec_stream, forest, path, checkpoint_path, timeout=timeout
@@ -197,6 +223,67 @@ def ingest_cycle(
             for data_dir in compacted:
                 spark.catalog.refreshByPath(data_dir)
     return report
+
+
+def maintain_ivfpq(
+    spark: SparkSession,
+    path: str,
+    tv_threshold: float = 0.25,
+    growth_threshold: float = 0.5,
+    kmeans_iters: int = 3,
+    dedup_ids: bool = True,
+    force: bool = False,
+    retrain_codebook: bool = True,
+) -> dict:
+    """IVFADC twin of ``maintain_ivf``: measure cell staleness on the
+    codes store; when tripped, run the clear-and-rebuild. The store's
+    own ``{path}/vectors`` table (the full-precision rerank component
+    of the ivfpq_save layout) IS the corpus, so the rebuild needs no
+    external source: retrain the coarse quantizer on current vectors,
+    re-derive the PQ codebook (``retrain_codebook=True`` re-trains the
+    per-subspace k-means codewords, pq.pq_codebook_trained; False
+    reuses the saved codebook — keep False only when codeword drift is
+    known to be negligible), re-encode everything, rewrite the store
+    (pq.ivfpq_save), refresh the catalog."""
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        pq_codebook_trained,
+    )
+
+    st = cell_staleness(spark, path)
+    tripped = (
+        force
+        or st["tv_drift"] > tv_threshold
+        or st["growth"] > growth_threshold
+    )
+    if not tripped:
+        return {"action": "none", **st}
+    k = spark.read.parquet(f"{path}/centroids").count()
+    vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+    if dedup_ids:
+        vectors = vectors.dropDuplicates(["id"])
+    dim = len(vectors.select("vec").first()["vec"])
+    # cut lineage before overwriting the directories the plans read from
+    vectors = vectors.localCheckpoint(eager=True)
+    cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
+    if retrain_codebook:
+        codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+    else:
+        codebook = spark.read.parquet(f"{path}/codebook")
+    # materialize both models (KB-sized) before ivfpq_save: its encode
+    # projections collect them eagerly AND its model writes re-execute
+    # the plans — without the cut, every rebuild pays the final k-means
+    # scan twice per model (and the reuse branch would re-read a store
+    # dir the save is about to overwrite)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
+    ivfpq_save(spark, vectors, cents, codebook, path, metric="l2")
+    for sub in (
+        "cells", "vectors", "centroids", "codebook", "build_stats", "store_meta"
+    ):
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+    return {"action": "rebuilt", **st}
 
 
 def bucket_staleness(spark: SparkSession, path: str) -> dict:
@@ -317,7 +404,7 @@ def cell_staleness(spark: SparkSession, path: str) -> dict:
     nprobe-bounded search starts missing true neighbors while cell
     scans get slower — the same silent decay as the LSH forest, with
     the same remedy (retrain on current data)."""
-    build = _read_build_stats(spark, path, "ivf_save").withColumnRenamed(
+    build = _read_build_stats(spark, path, "ivf_save / ivfpq_save").withColumnRenamed(
         "sz", "sz_build"
     )
     now = (
