@@ -101,6 +101,127 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels (8-bit)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (H, W) grayscale / (H, W, 3) RGB / (H, W, 4) RGBA uint8
+    as a real PNG via stdlib zlib (deflate IDAT, filter 0 rows) —
+    upgrades PNG from "stubbed compressed format" to a decodable one
+    with zero third-party codecs."""
+    import struct
+    import zlib
+
+    pixels = np.asarray(pixels)
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 pixels")
+    if pixels.ndim == 2:
+        color, c = 0, 1
+        flat = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color, c = 2, 3
+        flat = pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 4:
+        color, c = 6, 4
+        flat = pixels
+    else:
+        raise ValueError("encode_png expects (H,W), (H,W,3) or (H,W,4)")
+    h, w = flat.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG (grayscale / gray+alpha / RGB
+    / RGBA) back to (H, W, C) uint8 via stdlib zlib, reconstructing all
+    five scanline filters (None/Sub/Up/Average/Paeth). Palette
+    (color type 3), 16-bit, and Adam7-interlaced PNGs raise — they
+    need no new codec machinery, just more branches, and no fixture
+    here produces them."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced gray/gray+alpha/RGB/RGBA "
+                    f"PNG is decoded here (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, c = meta
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub: prefix sum per channel stride
+            rec = cur.copy()
+            for k in range(c):
+                rec[k::c] = np.cumsum(rec[k::c]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average — sequential on reconstructed left
+            rec = cur.copy()
+            rec[:c] = (rec[:c] + (prev[:c] >> 1)) & 0xFF
+            for i in range(c, stride):
+                rec[i] = (rec[i] + ((rec[i - c] + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — sequential on reconstructed left
+            rec = cur.copy()
+            rec[:c] = (rec[:c] + prev[:c]) & 0xFF
+            for i in range(c, stride):
+                a, b_, cc = int(rec[i - c]), int(prev[i]), int(prev[i - c])
+                p = a + b_ - cc
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, c)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """Encode int16 PCM samples ((n,) mono or (n, ch)) as a WAV blob
     via the stdlib ``wave`` module."""
@@ -134,15 +255,24 @@ def decode_wav(payload: bytes):
 def decode_media(payload: bytes, mime: str):
     """Codec entry point, dispatching on mime.
 
-    REAL stdlib decoders: ``image/bmp`` -> {"kind": "image", "width",
-    "height", "pixels" (H, W, 3) uint8} and ``audio/x-wav`` ->
-    {"kind": "audio", "sample_rate", "n_samples", "samples" (n, ch)
-    int16}. Compressed formats (JPEG/PNG/MP4/...) would dispatch to
-    PIL / torchaudio / ffmpeg here; those libraries are not in this
-    environment, so such mimes raise (clearly-marked stub) and
-    fake_decode_features remains the plumbing stand-in for them."""
+    REAL stdlib decoders: ``image/bmp`` and ``image/png`` ->
+    {"kind": "image", "width", "height", "pixels" (H, W, C) uint8}
+    and ``audio/x-wav`` -> {"kind": "audio", "sample_rate",
+    "n_samples", "samples" (n, ch) int16}. Remaining compressed
+    formats (JPEG/MP4/...) would dispatch to PIL / torchaudio /
+    ffmpeg here; those libraries are not in this environment, so such
+    mimes raise (clearly-marked stub) and fake_decode_features remains
+    the plumbing stand-in for them."""
     if mime == "image/bmp":
         px = decode_bmp(payload)
+        return {
+            "kind": "image",
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "pixels": px,
+        }
+    if mime == "image/png":
+        px = decode_png(payload)
         return {
             "kind": "image",
             "width": px.shape[1],
