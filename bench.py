@@ -126,6 +126,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # The FINAL stdout line must stay compact: the driver captures a
+    # bounded stdout tail and parses the last JSON line — r5's `spread`
+    # dict pushed the line past the capture window and BENCH_r05.json
+    # recorded `parsed: null` (VERDICT r5, What's wrong #1). The spread
+    # block now rides on a PRECEDING line (fully captured in r5 even
+    # when the final line was truncated) and in a sidecar file; the
+    # final line carries exactly the r4-shape payload that is known to
+    # parse: {metric, value, unit, queries, runs, gates, sf}.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sidecar = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "runs": n_runs,
+        "gates": gates,
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"),
+        "w",
+    ) as fh:
+        json.dump(sidecar, fh, indent=1)
+    print(json.dumps({"spread": spread}))
     print(
         json.dumps(
             {
@@ -133,10 +158,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
                 "runs": n_runs,
                 "gates": gates,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -398,3 +398,339 @@ def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_configs=((16, 2), (16, 4)),
         seed=23,
     ).orderBy("family", "config")
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable verdict entries (VERDICT r5 item 1).
+#
+# The raw LSH entries above (lsh_knn_*, lsh_recall_*, lsh_bucket_profile,
+# dedup_embedding_lsh, ann_index_advisor, ann_advisor_auto_train) emit
+# bucket-traversal-dependent values no fixed SQL can reproduce, so for four
+# rounds they sat in the driver window as `err:"no_oracle"` rows-only checks.
+# These sibling entries run the SAME pipelines and reduce them to
+# SQL-decidable verdicts — counts DuckDB derives independently, invariants
+# whose violation count must be zero, and bands the reference itself
+# publishes (BASELINE.md) — following the two patterns already driver-green
+# in-repo: invariant verdicts (lsh_model_hashes, lsh_bucket_invariant) and
+# band verdicts (approx_aggregates, queries_relational.py percentile bands).
+# The raw entries stay registered (bench.py headlines, EXPECTED_HASHES pins)
+# below the 50-slot window; these take their priority slots so every window
+# entry carries a full oracle verdict.
+# ---------------------------------------------------------------------------
+
+
+def _knn_verdict(
+    pred: DataFrame, queries: DataFrame, corpus: DataFrame, metric: str, k: int
+) -> DataFrame:
+    """Reduce a (query_id, id, dist, rn) ANN result to three invariant
+    violation counts, each zero for a correct search (reference Search
+    semantics, lsh/lsh.go:137-197):
+
+      n_dist_mismatch   — returned dist != the metric recomputed from the
+                          (qvec, vec) pair with the Catalyst fold
+                          (functions.metrics.metric_dist). Exact equality,
+                          not a tolerance: the Arrow scorer and the fold
+                          use the same sequential IEEE adds (parity pinned
+                          by tests/test_argmin_parity.py).
+      n_bad_rowcount    — queries whose result set is not exactly k rows
+                          (k_min_vecs=100 buckets guarantee >= k
+                          candidates per probe at these corpora), plus
+                          queries missing from the result entirely.
+      n_rank_violations — rows whose rn disagrees with row_number over
+                          (dist, id) — the deterministic heap-pop order
+                          (lsh.go:192-196).
+    """
+    from pyspark.sql import Window
+
+    from vector_search_go_spark.functions.metrics import metric_dist
+
+    joined = (
+        pred.join(queries.select("query_id", "qvec"), "query_id")
+        .join(corpus.select("id", "vec"), "id")
+    )
+    n_mismatch = joined.select(
+        (F.col("dist") != metric_dist(metric, F.col("qvec"), F.col("vec")))
+        .cast("long")
+        .alias("m")
+    ).agg(F.coalesce(F.sum("m"), F.lit(0)).alias("n_dist_mismatch"))
+
+    per_q = pred.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = (
+        queries.select("query_id")
+        .join(per_q, "query_id", "left")
+        .select(
+            (F.coalesce("n", F.lit(0)) != k).cast("long").alias("b")
+        )
+        .agg(F.coalesce(F.sum("b"), F.lit(0)).alias("n_bad_rowcount"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy("dist", "id")
+    rank = pred.select(
+        (F.col("rn") != F.row_number().over(w)).cast("long").alias("v")
+    ).agg(F.coalesce(F.sum("v"), F.lit(0)).alias("n_rank_violations"))
+
+    return n_mismatch.crossJoin(bad).crossJoin(rank)
+
+
+_KNN_VERDICT_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS n_dist_mismatch,
+       CAST(0 AS BIGINT) AS n_bad_rowcount,
+       CAST(0 AS BIGINT) AS n_rank_violations
+"""
+
+
+@register("lsh_knn_l2_verdict", oracle=_KNN_VERDICT_ORACLE)
+def lsh_knn_l2_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full train+search L2 pipeline (lsh_knn_l2's exact plan), reduced
+    to the zero-violation verdict the oracle pins."""
+    idx, queries, corpus = _index(spark, sf_dir, "l2")
+    pred = lsh_search(idx, queries, metric="l2", k=10)
+    return _knn_verdict(pred, queries, corpus, "l2", k=10)
+
+
+@register("lsh_knn_cosine_verdict", oracle=_KNN_VERDICT_ORACLE)
+def lsh_knn_cosine_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angular-metric twin of lsh_knn_l2_verdict (normalized hashing,
+    reference hasher.go:198-205)."""
+    idx, queries, corpus = _index(spark, sf_dir, "cosine")
+    pred = lsh_search(idx, queries, metric="cosine", k=10)
+    return _knn_verdict(pred, queries, corpus, "cosine", k=10)
+
+
+def _recall_band(
+    spark: SparkSession, sf_dir: str, metric: str, band: float
+) -> DataFrame:
+    """Epsilon-recall of LSH vs the exact oracle, emitted as a band
+    verdict: n_queries (DuckDB re-derives it from the embeddings_split
+    convention) + precision/recall >= the reference's published band
+    (BASELINE.md: >=0.93 Euclidean, >=0.85 angular; measured here:
+    1.0/1.0 at sf0.01, 0.995/0.995 at sf0.1 on both metrics)."""
+    idx, queries, corpus = _index(spark, sf_dir, metric)
+    pred = lsh_search(idx, queries, metric=metric, k=10)
+    truth = exact_knn_join(queries, corpus, metric=metric, k=10)
+    pr = distance_based_precision_recall(pred, truth, epsilon=0.05)
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("precision") >= F.lit(band)).alias("precision_in_band"),
+        (F.avg("recall") >= F.lit(band)).alias("recall_in_band"),
+    )
+
+
+_RECALL_BAND_ORACLE = """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+       TRUE AS precision_in_band,
+       TRUE AS recall_in_band
+"""
+
+
+@register("lsh_recall_l2_band", oracle=_RECALL_BAND_ORACLE)
+def lsh_recall_l2_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_recall_l2's pipeline under the reference's Euclidean recall
+    band (annbench_test.go precision/recall thresholds, BASELINE.md
+    >=0.93). n_queries doubles as a completeness check: a query that
+    drops out of the LSH result entirely shrinks the count and fails
+    the row-count compare."""
+    return _recall_band(spark, sf_dir, "l2", band=0.93)
+
+
+@register("lsh_recall_cosine_band", oracle=_RECALL_BAND_ORACLE)
+def lsh_recall_cosine_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_recall_cosine's pipeline under the reference's angular band
+    (BASELINE.md >=0.85 — the reference's own weak metric,
+    README.md:164-167)."""
+    return _recall_band(spark, sf_dir, "cosine", band=0.85)
+
+
+@register(
+    "lsh_bucket_profile_verdict",
+    oracle="""
+    SELECT t.tree,
+           (SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 0) AS sum_sz,
+           TRUE AS partitions_ok,
+           CAST(0 AS BIGINT) AS n_oversize
+    FROM (SELECT unnest(range(40)) AS tree) t
+    ORDER BY tree
+    """,
+)
+def lsh_bucket_profile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_bucket_profile's per-tree store scan, banded: per tree,
+    total bucket mass == corpus count (every vector lands in exactly
+    one bucket per tree, lsh.go:117-127 — the lsh_bucket_invariant
+    check, kept per-row here), the tree genuinely partitions the
+    corpus (>= 2 nonempty buckets: the root plane passes through the
+    midpoint of two sample points, so both sides are nonempty whenever
+    n > 1 — random_plane, hasher.go:94-117), and zero oversize buckets
+    (> 8 x k_min_vecs) on this corpus. NOTE a child bucket may be
+    SMALLER than k_min_vecs — the reference grows children whenever a
+    side exceeds KMinVecs and the resulting halves can be any size
+    (hasher.go:153-160) — so no per-bucket minimum is pinned."""
+    idx, _, _ = _index(spark, sf_dir, "l2")
+    kmin = idx.config.k_min_vecs
+    return (
+        idx.bucket_stats()
+        .groupBy("tree")
+        .agg(
+            F.sum("sz").alias("sum_sz"),
+            (F.count(F.lit(1)) >= 2).alias("partitions_ok"),
+            F.sum((F.col("sz") > 8 * kmin).cast("long")).alias("n_oversize"),
+        )
+        .select(F.col("tree").cast("long").alias("tree"), "sum_sz",
+                "partitions_ok", "n_oversize")
+    )
+
+
+@register(
+    "dedup_embedding_lsh_verdict",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, _x -> CAST(_x AS DOUBLE) * CAST(_x AS DOUBLE))),
+              (_a, _b) -> _a + _b)) AS nrm,
+         embedding
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT count(*) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_missed,
+       CAST(0 AS BIGINT) AS n_false
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE 1 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(a.embedding, b.embedding),
+                           _t -> CAST(_t[1] AS DOUBLE) * CAST(_t[2] AS DOUBLE))),
+            (_x, _y) -> _x + _y) / (a.nrm * b.nrm) <= 0.6
+""",
+)
+def dedup_embedding_lsh_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-completeness verdict for the bucketed LSH dedup self-join:
+    DuckDB counts the TRUE near-dup pairs (exact all-pairs cosine <=
+    0.6) inside the bounded vec_id < 200 region — the same bound
+    dedup_embedding_cosine uses — and the verdict pins that the LSH
+    path (which runs over the FULL corpus; only the scoring is
+    regioned) missed none of them and produced no pair outside the
+    threshold. n_false == 0 is structural (every LSH candidate is
+    re-verified with the exact distance before emission); n_missed ==
+    0 is the measured 1.0 pair recall of the 32-tree forest
+    (tests/test_lsh_e2e.py::test_dedup_embedding_lsh_recall), now
+    driver-checked."""
+    region = F.col("id_a") < 200
+    lsh_pairs = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .filter(region & (F.col("id_b") < 200))
+        .select("id_a", "id_b")
+    )
+    from vector_search_go_spark.queries_text import dedup_embedding_cosine
+
+    exact_pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    n_exact = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_missed = (
+        exact_pairs.join(lsh_pairs, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    n_false = (
+        lsh_pairs.join(exact_pairs, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false"))
+    )
+    return n_exact.crossJoin(n_missed).crossJoin(n_false)
+
+
+@register(
+    "ann_index_advisor_verdict",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_configs,
+           CAST(1 AS BIGINT) AS n_recommended,
+           TRUE AS scan_present,
+           TRUE AS recommended_in_band,
+           TRUE AS recalls_valid,
+           TRUE AS fracs_valid
+    """,
+)
+def ann_index_advisor_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_index_advisor's report (same probe, configs, and seed),
+    reduced to its structural contract: exactly the 5 requested
+    configs, exactly one recommendation, the exact-scan fallback row
+    present at (recall 1.0, fraction 1.0), the recommended row inside
+    the recall band, and every measured quantity in its unit range.
+    The report VALUES stay pinned by EXPECTED_HASHES + test_tune; this
+    entry makes the decision procedure itself driver-checkable."""
+    from vector_search_go_spark.operators.tune import advisor_report
+
+    queries, corpus = embeddings_split(spark, sf_dir)
+    rep = advisor_report(
+        spark,
+        corpus,
+        queries,
+        metric="cosine",
+        k=10,
+        threshold=0.6,
+        recall_band=0.85,
+        lsh_configs=((8, 50), (32, 50)),
+        ivf_configs=((16, 2), (16, 4)),
+        seed=23,
+    )
+    scan_row = (
+        (F.col("family") == "exact")
+        & (F.col("config") == "scan")
+        & (F.col("eps_recall") == 1.0)
+        & (F.col("cand_frac") == 1.0)
+    )
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_configs"),
+        F.sum(F.col("recommended").cast("long")).alias("n_recommended"),
+        (F.max(scan_row.cast("int")) == 1).alias("scan_present"),
+        (
+            F.sum((F.col("recommended") & ~F.col("in_band")).cast("int")) == 0
+        ).alias("recommended_in_band"),
+        (
+            F.sum(
+                ((F.col("eps_recall") < 0) | (F.col("eps_recall") > 1)).cast("int")
+            )
+            == 0
+        ).alias("recalls_valid"),
+        (
+            F.sum(
+                ((F.col("cand_frac") <= 0) | (F.col("cand_frac") > 1)).cast("int")
+            )
+            == 0
+        ).alias("fracs_valid"),
+    )
+
+
+@register(
+    "ann_advisor_auto_train_verdict",
+    oracle="""
+    SELECT TRUE AS family_valid,
+           TRUE AS backend_matches,
+           TRUE AS recall_valid,
+           TRUE AS frac_valid,
+           TRUE AS gate_ok
+    """,
+)
+def ann_advisor_auto_train_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's measured auto-train decision
+    (VectorSearchEngine.train(auto=True), ann_advisor_auto_train's
+    exact call), reduced to its contract: the chosen family is one of
+    the three the advisor ranks, the engine actually trained the
+    backend the decision names, the measured (eps_recall, cand_frac)
+    pair sits in unit range, and the break-even gate held — an indexed
+    family was only chosen at cand_frac <= the facade's 0.33
+    max_useful_frac (SCALE.md GloVe row rationale; engine.py train)."""
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    _, corpus = embeddings_split(spark, sf_dir)
+    eng = VectorSearchEngine(spark, metric="cosine", backend="lsh")
+    eng.train(corpus, auto=True, probe_threshold=0.6)
+    d = eng.advisor_decision
+    family_backend = {"exact": "exact", "lsh": "lsh", "ivf": "ivf"}
+    return spark.createDataFrame(
+        [
+            (
+                d["family"] in family_backend,
+                family_backend.get(d["family"]) == eng.backend,
+                0.0 <= d["eps_recall"] <= 1.0,
+                0.0 < d["cand_frac"] <= 1.0,
+                d["family"] == "exact" or d["cand_frac"] <= 0.33,
+            )
+        ],
+        "family_valid boolean, backend_matches boolean, recall_valid boolean, "
+        "frac_valid boolean, gate_ok boolean",
+    )

@@ -47,12 +47,17 @@ def register(name: str, oracle: str | None = None):
 # in module-import order. Names listed here but not registered raise in
 # tests/test_registry.py, not silently drop.
 _PRIORITY: tuple[str, ...] = (
-    # Tree-LSH ANN — the reference's identity (lsh/lsh.go:106-197)
-    "lsh_knn_l2",
-    "lsh_knn_cosine",
-    "lsh_recall_l2",
-    "lsh_recall_cosine",
-    "lsh_bucket_profile",
+    # Tree-LSH ANN — the reference's identity (lsh/lsh.go:106-197).
+    # r6: the raw search/recall/profile entries recorded `no_oracle` in
+    # every round; their slots now hold the sibling VERDICT entries
+    # (same pipelines, SQL-decidable outputs — queries_lsh.py r6 block)
+    # so the driver value-checks the flagship family. Raw entries stay
+    # registered below the window for bench + determinism pins.
+    "lsh_knn_l2_verdict",
+    "lsh_knn_cosine_verdict",
+    "lsh_recall_l2_band",
+    "lsh_recall_cosine_band",
+    "lsh_bucket_profile_verdict",
     "lsh_model_hashes",
     # IVF + k-means
     "ann_ivf_cosine",
@@ -81,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_groups",
     # Never-driver-checked dedup / text entries
     "dedup_semantic_clusters",
-    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_verdict",
     "text_tfidf_top_terms",
     "text_langid_accuracy",
     # LLM-pipeline extras (never driver-checked)
@@ -105,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_fvecs_roundtrip",
     # r4 session 2: new measured scan-vs-index recommendation (never
     # checked); took the slot of r3-green, unchanged vector_scale_standard
-    "ann_index_advisor",
+    "ann_index_advisor_verdict",
     # r4: new oracle-checked store invariant (never checked); took the
     # slot of r3-green, unchanged scalar_array_funcs
     "lsh_bucket_invariant",
@@ -119,7 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     # r5: the advisor wired into the facade (never checked); took the
     # slot of r4-green, unchanged embed_random_projection
-    "ann_advisor_auto_train",
+    "ann_advisor_auto_train_verdict",
 )
 
 
