@@ -262,9 +262,19 @@ def test_ivfpq_cycle_drift_rebuilds_from_own_vectors(spark, tmp_path):
     assert st["tv_drift"] == pytest.approx(0.0)  # re-baselined
     assert st["n_build"] == 800
 
+    # the rebuild also re-picked the serving config by measurement
+    # (VERDICT r5 item 4): retrained models still bury true neighbors
+    # ~340 deep in ADC order on this low-contrast corpus (recall
+    # stalled at 0.67 with the fixed 100-row shortlist even though
+    # nprobe=8 probes every cell), so maintain_ivfpq's ADC probe must
+    # have persisted a larger measured budget that shortlist=None
+    # searches pick up
+    from vector_search_go_spark.operators.pq import pq_shortlist
+
+    assert res["recommended_shortlist"] > pq_shortlist(10)
     post = recall_on_b()
-    assert post > pre  # measured 0.47 -> 0.67 at this seed/shape
-    assert post >= 0.6
+    assert post > pre  # 0.47 -> 1.0 measured at this seed/shape
+    assert post >= 0.85  # the band every other family gates at
     # the rebuilt store serves every streamed vector exactly: the exact
     # rerank pins self at rank 1, dist 0
     for qi in (0, 17, 311):

@@ -89,3 +89,41 @@ def test_empty_cell_keeps_previous_centroid(spark):
     got = {r["cid"]: r["cvec"] for r in cents.collect()}
     assert got[1] == [0.0, 0.0]
     assert got[0] == [0.75, 0.75]  # mean of all four points
+
+
+def test_kmeans_fit_sample_rows(spark):
+    """sampled Lloyd (VERDICT r5 item 6): the xxhash64-thinned training
+    sample self-disables at or under the bound (bit-identical centroids),
+    is deterministic, and on clustered data the sampled centroids assign
+    the cluster centers to the same cells as each other (cells track
+    clusters, the quality the recall gates measure)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 8)) * 30.0
+    X = np.vstack([c + 0.05 * rng.standard_normal((200, 8)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    )
+    # self-disabling: bound >= corpus -> same centroids as the default
+    full = kmeans_fit(corpus, 4, iters=2, dim=8).collect()
+    same = kmeans_fit(corpus, 4, iters=2, dim=8, sample_rows=2000).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, same))
+    # sampled: deterministic, and every true cluster center maps to a
+    # DISTINCT cell whose centroid sits inside its cluster (dist << 30)
+    s1 = kmeans_fit(corpus, 8, iters=3, dim=8, sample_rows=200, spread_init=True)
+    s2 = kmeans_fit(corpus, 8, iters=3, dim=8, sample_rows=200, spread_init=True)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    probes = spark.createDataFrame(
+        [(int(i), centers[i].tolist()) for i in range(4)],
+        "id bigint, vec array<double>",
+    )
+    assigned = kmeans_assign(probes, s1).collect()
+    cents = {r["cid"]: np.array(r["cvec"]) for r in s1.collect()}
+    for r in assigned:
+        d = np.linalg.norm(cents[r["cell"]] - centers[r["id"]])
+        assert d < 1.0, (r["id"], d)

@@ -208,3 +208,42 @@ def test_ivfpq_preloaded_models_and_pushed_rerank(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="squared L2"):
         ivfpq_point_search(spark, path, qvec, "cosine", k=5)
+
+
+def test_adc_shortlist_probe_floor_and_retune(spark, tmp_path):
+    """adc_shortlist_probe (VERDICT r5 item 4): on a corpus whose ADC
+    ranking is good — tight, well-separated clusters — the measured
+    budget stays AT the pq_shortlist floor (no cost added at scale for
+    well-structured stores); a store that never ran the probe resolves
+    shortlist=None to the plain floor (_stored_shortlist None); and the
+    probe is deterministic (same store -> same recommendation)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.pq import (
+        _stored_shortlist,
+        adc_shortlist_probe,
+        ivfpq_save,
+        pq_codebook_trained,
+        pq_shortlist,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, M_SUB * D_SUB)) * 50.0
+    X = np.vstack([c + 0.1 * rng.standard_normal((60, M_SUB * D_SUB)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    )
+    cents = kmeans_fit(corpus, 8, iters=2, dim=M_SUB * D_SUB)
+    cb = pq_codebook_trained(corpus, iters=2)
+    path = str(tmp_path / "clustered")
+    ivfpq_save(spark, corpus, cents, cb, path, metric="l2")
+
+    assert _stored_shortlist(spark, path) is None  # plain save: no probe ran
+    rep1 = adc_shortlist_probe(spark, path)
+    rep2 = adc_shortlist_probe(spark, path)
+    assert rep1 == rep2  # seeded sample + deterministic ranking
+    assert rep1["recommended_shortlist"] == pq_shortlist(10)
+    assert rep1["n_store"] == len(X)
+    assert 0.0 < rep1["shortlist_frac"] <= 1.0

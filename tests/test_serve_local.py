@@ -523,3 +523,57 @@ def test_reader_snapshot_across_compaction(spark, tmp_path):
     assert _frame_rows(post.search(q, k=10)) == want
     # the preloaded pre-compaction reader still serves its snapshot
     assert _frame_rows(pre_mem.search(q, k=10)) == want
+
+
+def test_swap_retry_lookup_races_directory_swap(spark, tmp_path):
+    """VERDICT r5 item 5: a lookup that races a compaction's directory
+    swap must be absorbed by the serving tier itself — the reader's
+    file index holds pre-swap paths, the lazy open hits
+    FileNotFoundError, and the @_swap_retry wrapper reloads the reader
+    once and replays the lookup, returning the correct rows (the
+    SCALE.md compaction probe's one 'retryable failure', closed)."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.serve.local_reader import LocalIvfReader
+    from vector_search_go_spark.streaming.ingest import compact_cells_store
+
+    rng = np.random.default_rng(97)
+    X = rng.standard_normal((300, DIMS))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(300)],
+        "id bigint, vec array<double>",
+    )
+    cents = corpus.filter(F.col("id") % 50 == 0).select(
+        (F.col("id") / 50).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    path = str(tmp_path / "ivf_swap")
+    ivf_save(spark, corpus, cents, path, metric="cosine")
+    q = X[17]
+
+    want = _frame_rows(LocalIvfReader(path, metric="cosine").search(q, k=10))
+    assert len(want) == 10
+
+    # the racing reader: constructed BEFORE the swap (file paths listed,
+    # parquet handles still cold — the mid-lookup state of a query that
+    # probed before the swap landed), swap, then fetch
+    racing = LocalIvfReader(path, metric="cosine")
+    compact_cells_store(spark, f"{path}/cells", keep_backup=False)
+    # the race is real: the undecorated index read fails on stale paths
+    probed_cell = racing._cells.values()[0]
+    with pytest.raises(FileNotFoundError):
+        racing._cells.read_value(probed_cell, ["id"])
+    # ...but the decorated lookup absorbs it: one reload, correct rows
+    # (compaction rewrites files, not rows, so pre == post here)
+    assert _frame_rows(racing.search(q, k=10)) == want
+
+    # same contract on the batch path, racing a second swap
+    racing2 = LocalIvfReader(path, metric="cosine")
+    compact_cells_store(spark, f"{path}/cells", keep_backup=False)
+    got = racing2.search_many([q, X[33]], k=10, query_ids=[7, 8])
+    single = LocalIvfReader(path, metric="cosine")
+    import pandas as pd
+
+    want2 = pd.concat(
+        [single.search(q, k=10, query_id=7), single.search(X[33], k=10, query_id=8)],
+        ignore_index=True,
+    )
+    assert _frame_rows(got) == _frame_rows(want2)

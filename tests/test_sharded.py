@@ -1,0 +1,232 @@
+"""Sharded serving composition (serve/sharded.py, VERDICT r5 item 3):
+sharded == unsharded, bit-identical, for all three families — including
+LSH hot-bucket thinning when the hot bucket SPANS shards (the global
+keep_mod contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DIMS = 16
+N = 1500
+
+
+def _frame_rows(pdf):
+    return sorted(
+        (int(q), int(i), float(d), int(r))
+        for q, i, d, r in zip(pdf["query_id"], pdf["id"], pdf["dist"], pdf["rn"])
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded_stores(spark, tmp_path_factory):
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.operators.exact_knn import scan_save
+
+    base = tmp_path_factory.mktemp("sharded_stores")
+    rng = np.random.default_rng(53)
+    X = rng.standard_normal((N, DIMS))
+    # a duplicate block k_min_vecs cannot split -> a hot bucket in every
+    # tree, and id-hash sharding scatters its members across shards
+    X[1200:] = X[1200]
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(N)], "id bigint, vec array<double>"
+    )
+    cents = corpus.filter(F.col("id") % 100 == 0).select(
+        (F.col("id") / 100).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    idx = LshIndex.train(
+        spark,
+        corpus,
+        LshConfig(dims=DIMS, n_trees=8, k_min_vecs=20, seed=13, max_bucket_size=40),
+    )
+    idx.save(str(base / "lsh"))
+    idx.save(str(base / "lsh_sharded"), shards=3)
+    ivf_save(spark, corpus, cents, str(base / "ivf"), metric="cosine")
+    ivf_save(spark, corpus, cents, str(base / "ivf_sharded"), metric="cosine", shards=3)
+    scan_save(spark, corpus, str(base / "scan"), metric="l2")
+    scan_save(spark, corpus, str(base / "scan_sharded"), metric="l2", shards=3)
+    queries = [
+        X[42],
+        X[999],
+        X[1200],  # the duplicated point — probes the spanning hot bucket
+        X[5] + 0.05 * rng.standard_normal(DIMS),
+    ]
+    return base, queries
+
+
+def test_shard_layout_and_hot_bucket_spans_shards(spark, sharded_stores):
+    """Layout sanity + non-vacuity: the shards partition the corpus, the
+    hot_buckets table is non-empty (the dup block IS over the cap), and
+    the dup block's members land in more than one shard — so the LSH
+    parity test below genuinely exercises cross-shard thinning."""
+    from vector_search_go_spark.serve.sharded import (
+        _load_hot_buckets,
+        read_shards_meta,
+    )
+
+    base, _ = sharded_stores
+    meta = read_shards_meta(str(base / "lsh_sharded"))
+    assert meta == {"family": "lsh", "n_shards": 3}
+    sizes = [
+        spark.read.parquet(f"{base}/lsh_sharded/shard={k}/vectors").count()
+        for k in range(3)
+    ]
+    assert sum(sizes) == N and all(s > 0 for s in sizes)
+    hot = _load_hot_buckets(str(base / "lsh_sharded"))
+    assert hot and all(sz > 40 for sz in hot.values())
+    dup_shards = (
+        spark.read.parquet(f"{base}/lsh_sharded/shard=*/vectors")
+        .filter(F.col("id") >= 1200)
+        .select(F.pmod(F.xxhash64("id"), F.lit(3)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert dup_shards >= 2
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_sharded_lsh_reader_matches_unsharded(sharded_stores, metric):
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    single = LocalLshReader(str(base / "lsh"), metric=metric)
+    sharded = ShardedReader(str(base / "lsh_sharded"), metric=metric)
+    for q in queries:
+        assert _frame_rows(sharded.search(q, k=10)) == _frame_rows(
+            single.search(q, k=10)
+        )
+    got = sharded.search_many(queries, k=10, query_ids=[3, 5, 7, 9])
+    want = single.search_many(queries, k=10, query_ids=[3, 5, 7, 9])
+    assert _frame_rows(got) == _frame_rows(want)
+
+
+def test_sharded_ivf_reader_matches_unsharded(sharded_stores):
+    from vector_search_go_spark.serve.local_reader import LocalIvfReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    single = LocalIvfReader(str(base / "ivf"), metric="cosine")
+    sharded = ShardedReader(str(base / "ivf_sharded"))  # metric from meta
+    assert sharded.family == "ivf" and sharded.n_shards == 3
+    for q in queries:
+        assert _frame_rows(sharded.search(q, k=10, nprobe=3)) == _frame_rows(
+            single.search(q, k=10, nprobe=3)
+        )
+    got = sharded.search_many(queries, k=10, nprobe=3, query_ids=[1, 2, 3, 4])
+    want = single.search_many(queries, k=10, nprobe=3, query_ids=[1, 2, 3, 4])
+    assert _frame_rows(got) == _frame_rows(want)
+
+
+def test_sharded_scan_reader_matches_unsharded(sharded_stores):
+    from vector_search_go_spark.serve.local_reader import LocalScanReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    single = LocalScanReader(str(base / "scan"))
+    sharded = ShardedReader(str(base / "scan_sharded"))
+    for q in queries:
+        assert _frame_rows(sharded.search(q, k=10)) == _frame_rows(
+            single.search(q, k=10)
+        )
+        # thresholds commute with the shard partition
+        assert _frame_rows(sharded.search(q, k=10, threshold=3.0)) == _frame_rows(
+            single.search(q, k=10, threshold=3.0)
+        )
+
+
+def test_sharded_reader_refusals(sharded_stores, tmp_path):
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, _ = sharded_stores
+    with pytest.raises(FileNotFoundError, match="no shards_meta"):
+        ShardedReader(str(base / "lsh"))  # single store, wrong entry point
+    with pytest.raises(FileNotFoundError):
+        ShardedReader(str(tmp_path / "nowhere"))
+
+
+def test_engine_local_reader_routes_sharded(spark, sharded_stores):
+    """engine.local_reader on a shards_meta path returns the router,
+    same rows as the single-store reader."""
+    from vector_search_go_spark.engine import VectorSearchEngine
+    from vector_search_go_spark.serve.local_reader import LocalScanReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    eng = VectorSearchEngine(spark, metric="l2", backend="exact")
+    rd = eng.local_reader(str(base / "scan_sharded"))
+    assert isinstance(rd, ShardedReader)
+    single = LocalScanReader(str(base / "scan"))
+    q = queries[0]
+    assert _frame_rows(rd.search(q, k=10)) == _frame_rows(single.search(q, k=10))
+
+
+def test_sharded_search_many_positional_order(sharded_stores):
+    """Row ORDER (not just row set) must match the unsharded reader:
+    queries emit in the caller's query_ids order even when a query has
+    zero rows in shard 0 (first-appearance order would reorder it)."""
+    from vector_search_go_spark.serve.local_reader import LocalScanReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    single = LocalScanReader(str(base / "scan"))
+    sharded = ShardedReader(str(base / "scan_sharded"))
+    got = sharded.search_many(queries, k=5, query_ids=[9, 3, 7, 5])
+    want = single.search_many(queries, k=5, query_ids=[9, 3, 7, 5])
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        tuple(r) for r in want.itertuples(index=False)
+    ]
+    # and with a threshold that empties SOME queries' results entirely
+    got_t = sharded.search_many(queries, k=5, query_ids=[9, 3, 7, 5], threshold=0.1)
+    want_t = single.search_many(queries, k=5, query_ids=[9, 3, 7, 5], threshold=0.1)
+    assert [tuple(r) for r in got_t.itertuples(index=False)] == [
+        tuple(r) for r in want_t.itertuples(index=False)
+    ]
+
+
+def test_sharded_save_refuses_empty_shard(spark, tmp_path):
+    """A shard count that would strand an empty shard directory must
+    fail BEFORE any write (an empty single-store layout is unopenable)."""
+    from vector_search_go_spark.operators.exact_knn import scan_save
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id bigint, vec array<double>"
+    )
+    path = str(tmp_path / "tiny_sharded")
+    with pytest.raises(ValueError, match="empty"):
+        scan_save(spark, tiny, path, metric="l2", shards=16)
+    import os
+
+    assert not os.path.exists(path)  # nothing was written
+
+
+def test_sharded_reader_process_mode_parity(sharded_stores):
+    """processes=True (one spawn process per shard — the fleet shape in
+    miniature, and the configuration the flat-latency SCALE.md row
+    measures) must return row-identical frames to thread mode and to
+    the unsharded reader."""
+    from vector_search_go_spark.serve.local_reader import LocalLshReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    single = LocalLshReader(str(base / "lsh"), metric="l2")
+    proc = ShardedReader(str(base / "lsh_sharded"), metric="l2", processes=True)
+    try:
+        for q in queries[:2] + [queries[2]]:  # incl. the hot-bucket dup
+            got = proc.search(q, k=10)
+            want = single.search(q, k=10)
+            assert [tuple(r) for r in got.itertuples(index=False)] == [
+                tuple(r) for r in want.itertuples(index=False)
+            ]
+        got = proc.search_many(queries, k=10, query_ids=[4, 3, 2, 1])
+        want = single.search_many(queries, k=10, query_ids=[4, 3, 2, 1])
+        assert [tuple(r) for r in got.itertuples(index=False)] == [
+            tuple(r) for r in want.itertuples(index=False)
+        ]
+    finally:
+        proc.close()

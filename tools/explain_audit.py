@@ -44,6 +44,12 @@ AUDITS = {
     "dedup_ngram_jaccard": (False, False, False, True),
     "text_quality_score": (False, False, False, True),
     "lsh_knn_l2": (True, False, True, True),  # hash UDF is the allowed Python
+    # r6 window verdict entries: same pipelines + verification joins —
+    # the verification side (pred, 100s of rows) must broadcast, never
+    # drag the corpus into a sort-merge join
+    "lsh_knn_l2_verdict": (True, False, True, True),
+    "lsh_recall_l2_band": (True, False, True, True),
+    "dedup_embedding_lsh_verdict": (True, True, True, True),
     "sessionize_events": (False, False, False, True),
     "asof_click_before_purchase": (False, True, False, True),
     "range_join_click_purchase": (True, True, False, True),

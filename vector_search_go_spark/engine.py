@@ -311,7 +311,51 @@ class VectorSearchEngine:
         ``preload_buckets=True`` (LSH) / ``preload_cells=True`` (IVF)
         additionally pin the bucket/cell arrays in reader RAM — the
         fully in-memory regime, ~11-27 ms/query at 1M (SCALE.md
-        serving table)."""
+        serving table). A path carrying ``shards_meta`` (saved with
+        shards=N) routes to the ShardedReader router over the same
+        family's per-shard readers (serve/sharded.py)."""
+        from vector_search_go_spark.serve.sharded import (
+            ShardedReader,
+            read_shards_meta,
+        )
+
+        smeta = read_shards_meta(path) if "://" not in path else None
+        if smeta is not None:
+            # same guards as the single-store branches below: wrong
+            # preload flag for the backend, and a backend/store family
+            # mismatch, must fail as loudly sharded as unsharded
+            want_family = {"exact": "scan", "ivf": "ivf", "lsh": "lsh"}[
+                self.backend
+            ]
+            if smeta.get("family") != want_family:
+                raise ValueError(
+                    f"sharded store at {path!r} holds family "
+                    f"{smeta.get('family')!r}, not the {want_family!r} "
+                    f"layout backend={self.backend!r} serves"
+                )
+            if self.backend == "lsh":
+                if preload_cells:
+                    raise ValueError(
+                        "preload_cells is the IVF reader's flag; an lsh "
+                        "backend pins its store with preload_buckets=True"
+                    )
+                kw = dict(metric=self.metric, preload_buckets=preload_buckets)
+            elif self.backend == "ivf":
+                if preload_buckets:
+                    raise ValueError(
+                        "preload_buckets is the LSH reader's flag; an ivf "
+                        "backend pins its store with preload_cells=True"
+                    )
+                kw = dict(metric=self.metric, preload_cells=preload_cells)
+            else:
+                if preload_buckets or preload_cells:
+                    raise ValueError(
+                        "preload flags are index-reader knobs; a scan "
+                        "reader is always fully in-memory (a scan touches "
+                        "every row by definition)"
+                    )
+                kw = dict(metric=self.metric)
+            return ShardedReader(path, **kw)
         if self.backend == "exact":
             if preload_buckets or preload_cells:
                 raise ValueError(

@@ -148,7 +148,59 @@ class LshIndex:
     # store Clear == overwrite mode)
     # ------------------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, shards: int | None = None) -> None:
+        """``shards=N`` writes the sharded SERVING layout instead
+        (serve.sharded): {path}/shard=K = a complete single-store save
+        of the id-subset pmod(xxhash64(id), N) == K, {path}/hot_buckets
+        = the whole-store over-cap bucket sizes (so every shard reader
+        applies the survivor rule with the GLOBAL keep_mod — the
+        bit-parity argument in serve/sharded.py), {path}/shards_meta =
+        the router's manifest. Each shard re-filters the buckets/
+        vectors lineage (N passes); a single-pass partitionBy('shard')
+        writer is the 100 TB optimization, kept out until a measured
+        probe needs it — the layout, not the writer, is the contract."""
+        if shards is not None:
+            from vector_search_go_spark.serve.sharded import (
+                check_shard_population,
+                shard_expr,
+                write_shards_meta,
+            )
+
+            spark = self.vectors.sparkSession
+            # pin the bucket table first: its lineage runs the hashing
+            # UDF over the corpus, and the per-shard filtered saves
+            # below would re-execute it once per shard (+ once for
+            # bucket_stats) — an order-of-magnitude build blow-up the
+            # first sharded probe hit. Respect a caller's existing
+            # cache (unpersisting it here would silently kill the
+            # query-pack memo's pinned buckets).
+            was_cached = self.buckets.is_cached
+            if not was_cached:
+                self.buckets = self.buckets.cache()
+                self.buckets.count()
+            try:
+                check_shard_population(self.vectors, shards, "lsh corpus")
+                sh = shard_expr(shards)
+                for k in range(shards):
+                    LshIndex(
+                        self.config,
+                        self.forest,
+                        self.vectors.filter(sh == k),
+                        self.buckets.filter(sh == k),
+                    ).save(f"{path}/shard={k}")
+                cap = self.config.max_bucket_size
+                if cap is not None:
+                    (
+                        self.bucket_stats()
+                        .filter(F.col("sz") > cap)
+                        .write.mode("overwrite")
+                        .parquet(f"{path}/hot_buckets")
+                    )
+                write_shards_meta(spark, path, "lsh", shards)
+            finally:
+                if not was_cached:
+                    self.buckets.unpersist()
+            return
         spark = self.vectors.sparkSession
         # Model = config (one tiny JSON row) + flattened node table as
         # parquet. The old single-JSON-line model hit Spark's JSON

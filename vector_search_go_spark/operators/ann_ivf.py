@@ -105,6 +105,7 @@ def ivf_search(
 def ivf_save(
     spark, corpus: DataFrame, centroids: DataFrame, path: str,
     metric: str = "cosine",
+    shards: int | None = None,
 ) -> None:
     """Persist an IVF index as a serving store: ``{path}/cells`` =
     (id, vec) parquet partitioned by cell, ``{path}/centroids`` = the
@@ -114,7 +115,31 @@ def ivf_save(
     straight out of the pruned partitions, no second fetch join.
 
     Layout mirrors LshIndex.save: a handful of cells per task via range
-    partitioning, rows sorted by (cell, id) for row-group locality."""
+    partitioning, rows sorted by (cell, id) for row-group locality.
+
+    ``shards=N``: the sharded serving layout (serve.sharded) — each
+    {path}/shard=K is a complete ivf_save of the id-subset
+    pmod(xxhash64(id), N) == K against the SAME centroids (every shard
+    probes identical cells, so the per-shard top-k merge is exact —
+    serve/sharded.py). No cross-shard coupling exists for IVF (one
+    cell row per id), so no analog of the LSH hot_buckets table is
+    needed."""
+    if shards is not None:
+        from vector_search_go_spark.serve.sharded import (
+            check_shard_population,
+            shard_expr,
+            write_shards_meta,
+        )
+
+        check_shard_population(corpus, shards, "ivf corpus")
+        sh = shard_expr(shards)
+        for k in range(shards):
+            ivf_save(
+                spark, corpus.filter(sh == k), centroids,
+                f"{path}/shard={k}", metric=metric,
+            )
+        write_shards_meta(spark, path, "ivf", shards, metric=metric)
+        return
     cells = assign_cells(corpus, centroids, metric=metric)
     (
         cells.repartitionByRange(8, "cell")

@@ -240,6 +240,7 @@ def scan_save(
     vectors: DataFrame,
     path: str,
     metric: str = "l2",
+    shards: int | None = None,
 ) -> None:
     """Persist a corpus as a SCAN store — the serving layout for the
     backend the measured advisor picks when no index prunes (the
@@ -250,8 +251,31 @@ def scan_save(
     guard engine.load and serve.LocalScanReader enforce.
 
     There is deliberately NO model component: exact search cannot go
-    stale, so maintain() on this layout is a no-op by construction."""
+    stale, so maintain() on this layout is a no-op by construction.
+
+    ``shards=N``: the sharded serving layout (serve.sharded) — each
+    {path}/shard=K is a complete scan store of the id-subset
+    pmod(xxhash64(id), N) == K. The scan is where sharding pays most:
+    per-query work is O(shard), so N parallel readers hold ms/q flat
+    as the corpus grows N-fold (the SCALE.md sharded row)."""
     import json as _json
+
+    if shards is not None:
+        from vector_search_go_spark.serve.sharded import (
+            check_shard_population,
+            shard_expr,
+            write_shards_meta,
+        )
+
+        check_shard_population(vectors, shards, "scan corpus")
+        sh = shard_expr(shards)
+        for k in range(shards):
+            scan_save(
+                spark, vectors.filter(sh == k), f"{path}/shard={k}",
+                metric=metric,
+            )
+        write_shards_meta(spark, path, "scan", shards, metric=metric)
+        return
 
     vectors = vectors.select("id", "vec")
     first = vectors.select("vec").head()

@@ -209,6 +209,7 @@ def kmeans_fit(
     exact: bool = False,
     group: list[str] | None = None,
     spread_init: bool = False,
+    sample_rows: int | None = None,
 ) -> DataFrame:
     """Train k centroids with ``iters`` Lloyd iterations — one
     independent k-means per group value when ``group`` is given.
@@ -222,13 +223,58 @@ def kmeans_fit(
     the interpreted expression assignment at ~10x the Arrow one).
     The collect round-trips doubles exactly, so trained centroids are
     bit-identical to the old single-lazy-plan form — pinned by the
-    kmeans/PQ/IVF+PQ DuckDB oracle hashes."""
+    kmeans/PQ/IVF+PQ DuckDB oracle hashes.
+
+    ``sample_rows`` (VERDICT r5 item 6, sampled Lloyd): iterate on a
+    deterministic xxhash64-thinned subsample of ~``sample_rows`` rows
+    (cached once, so every iteration scans KBs-MBs instead of the
+    corpus) — the standard mini-batch/coreset trade: centroid QUALITY
+    needs a representative sample, not every row, while the caller's
+    full-corpus assignment pass (assign_cells / pq encode) is unchanged.
+    Measured at the SCALE.md angular-IVF shape (290k x 256-d, 1024
+    cells): train 415.8 s -> well under half, recall/candidate-fraction
+    within the same bands. None (default) = full-corpus Lloyd — the
+    oracle-pinned behavior of every registered query. Corpora at or
+    under ``sample_rows`` sample nothing (the filter self-disables), so
+    the knob is always safe to leave on for store builds. With
+    ``group``, the bound is TOTAL rows across groups (the id filter
+    thins every group identically)."""
     spark = corpus.sparkSession
-    cents = kmeans_init(corpus, k, group=group, spread=spread_init)
+    train_df, pinned = corpus, None
+    if sample_rows is not None:
+        # Iterative deterministic thinning. Each pass sizes its modulus
+        # from a BOUNDED count (limit early-terminates the scan — the
+        # advisor-probe contract, never a full count of a 100 TB
+        # corpus), so one pass can only shrink by up to _CAP_FACTOR;
+        # passes repeat (fresh hash salt each time) until the bounded
+        # count proves the sample is inside the target. 1e12 rows ->
+        # 5k needs 3 passes; each pass's count stops at
+        # _CAP_FACTOR * sample_rows rows read.
+        _CAP_FACTOR = 50
+        salt = 0
+        while True:
+            n = train_df.limit(_CAP_FACTOR * sample_rows).count()
+            mod = n // sample_rows
+            if mod <= 1:
+                break
+            train_df = train_df.filter(
+                F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(mod)) == 0
+            )
+            salt += 1
+            if n < _CAP_FACTOR * sample_rows:
+                break  # count was exact, so the new sample is in bound
+        if salt:
+            train_df = train_df.cache()
+            train_df.count()  # materialize once; iterations re-scan RAM
+            pinned = train_df
+    cents = kmeans_init(train_df, k, group=group, spread=spread_init)
     schema = cents.schema
     for _ in range(iters):
         cents = spark.createDataFrame(cents.collect(), schema)
         cents = kmeans_step(
-            corpus, cents, dim=dim, exact=exact, group=group, impl="arrow"
+            train_df, cents, dim=dim, exact=exact, group=group, impl="arrow"
         )
+    if pinned is not None:
+        cents = spark.createDataFrame(cents.collect(), schema)
+        pinned.unpersist()
     return cents

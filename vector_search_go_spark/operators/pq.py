@@ -479,6 +479,201 @@ def ivfpq_save(
     )
 
 
+# (path) -> (freshness_key, recommended_shortlist | None). Serving loops
+# call ivfpq_point_search per lookup with shortlist=None; without a memo
+# every lookup would pay a glob+JSON parse (local) or a whole Spark json
+# job ('://' paths) — on exactly the path the models= parameter exists
+# to keep corpus-size-independent. Local entries key on the meta files'
+# (path, mtime_ns) so an external rewrite invalidates them for free;
+# remote entries cannot stat cheaply, so maintain_ivfpq drops its entry
+# explicitly after rewriting store_meta (invalidate_stored_shortlist).
+_SHORTLIST_MEMO: dict[str, tuple[tuple, int | None]] = {}
+
+
+def invalidate_stored_shortlist(path: str) -> None:
+    _SHORTLIST_MEMO.pop(path, None)
+
+
+def _stored_shortlist(spark, path: str) -> int | None:
+    """The measured rerank budget persisted in ``{path}/store_meta`` by
+    maintain_ivfpq's rebuild-time ADC probe (adc_shortlist_probe); None
+    when the store predates the probe (plain ivfpq_save) or carries no
+    recommendation. ABSENCE maps to None; a meta directory that exists
+    but cannot be parsed raises — silently falling back would disable
+    the measured budget without a trace (the engine.py:556 lesson)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if "://" in path:
+        hit = _SHORTLIST_MEMO.get(path)
+        if hit is not None:
+            return hit[1]
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = spark.read.json(f"{path}/store_meta").collect()
+            metas = [_json.loads(r["meta_json"]) for r in rows]
+        except AnalysisException:  # absent meta table; parse errors raise
+            metas = []
+        val = next(
+            (
+                int(m["recommended_shortlist"])
+                for m in metas
+                if "recommended_shortlist" in m
+            ),
+            None,
+        )
+        _SHORTLIST_MEMO[path] = ((), val)
+        return val
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "store_meta", "*.json"))
+        + _glob.glob(_os.path.join(path, "store_meta", "part-*"))
+    )
+    if not files:
+        return None
+    key = tuple((f, _os.stat(f).st_mtime_ns) for f in files)
+    hit = _SHORTLIST_MEMO.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    metas = []
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    metas.append(_json.loads(_json.loads(line)["meta_json"]))
+    val = next(
+        (
+            int(m["recommended_shortlist"])
+            for m in metas
+            if "recommended_shortlist" in m
+        ),
+        None,
+    )
+    _SHORTLIST_MEMO[path] = (key, val)
+    return val
+
+
+def adc_shortlist_probe(
+    spark,
+    path: str,
+    k: int = 10,
+    n_queries: int = 20,
+    sample_rows: int = 5_000,
+    quantile: float = 0.9,
+    safety: float = 1.25,
+    seed: int = 7,
+) -> dict:
+    """Measure, on a saved IVFADC store's OWN vectors, how deep the ADC
+    ranking buries true neighbors — and recommend the rerank budget
+    that covers them (VERDICT r5 item 4).
+
+    Rationale: (cells, nprobe) cannot fix IVFADC recall on a
+    low-contrast corpus — in the 6-sigma drift fixture nprobe already
+    covers every cell, yet recall stops at 0.67 because true top-10
+    neighbors rank as deep as ~340/800 in ADC order (quantization
+    error rivals the tiny neighbor-distance gaps, the same
+    no-structure regime as the SCALE.md angular probes). The knob that
+    moves recall is the SHORTLIST, so that is what the rebuild
+    re-picks, by measurement — the LSH advisor lesson (tune.py)
+    applied to IVFADC.
+
+    Shape: bounded driver-side probe, two small reads — sample <=
+    ``sample_rows`` store vectors (a few MB; the advisor_report
+    contract: one partition's worth, never the corpus), take
+    ``n_queries`` evenly-id-spaced members as queries, fetch those
+    rows' codes from the STORE's own cells table (measuring the
+    encoding the store actually serves, not a re-derivation that a
+    floating-point near-tie could flip), build each query's LUT with
+    the sequential-IEEE kernel serving uses (_seq_sq_l2), and take the
+    ``quantile`` of "rank of the worst true top-k neighbor" as a
+    corpus FRACTION, scaled back to store size with a ``safety``
+    margin. The exact-truth ranking uses the BLAS form — ranks only,
+    never served values. Well-separated corpora measure a tiny
+    fraction and stay at the pq_shortlist floor — the recommendation
+    only grows when the store's own geometry demands it, and it is
+    capped at the store size. Returns {recommended_shortlist,
+    shortlist_frac, rank_needed, n_sample, n_store}."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+    vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+    n_store = vectors.count()
+    sample = vectors
+    if n_store > sample_rows:
+        sample = vectors.sample(
+            fraction=min(1.0, 1.2 * sample_rows / n_store), seed=seed
+        ).limit(sample_rows)
+    rows = sample.collect()
+    rows.sort(key=lambda r: r["id"])
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    X = np.array([r["vec"] for r in rows], dtype=np.float64)
+    m = len(ids)
+    qpos = np.unique(np.linspace(0, m - 1, min(n_queries, m)).round().astype(int))
+
+    # exact squared-L2 ranking (ranks only — BLAS form is fine here)
+    sq = (X * X).sum(axis=1)
+    # the STORE's codes for the sampled ids — broadcast-joined, so the
+    # cells scan stays one bounded read (dup ids from at-least-once
+    # streaming drains collapse; codes are identical replays)
+    ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+    code_rows = (
+        spark.read.parquet(f"{path}/cells")
+        .join(F.broadcast(ids_df), "id")
+        .select("id", "codes")
+        .dropDuplicates(["id"])
+        .collect()
+    )
+    code_map = {r["id"]: r["codes"] for r in code_rows}
+    missing = [int(i) for i in ids if int(i) not in code_map]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} sampled vector ids have no codes row in "
+            f"{path}/cells (e.g. {missing[:3]}) — store components are "
+            "out of sync; re-save before probing"
+        )
+    codes = np.array([code_map[int(i)] for i in ids], dtype=np.int64)
+    cb_ids, cb_mats = _codebook_mats(
+        spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
+    )
+    n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
+
+    ranks_needed = []
+    for qi in qpos:
+        q = X[qi]
+        exact = sq - 2.0 * (X @ q) + (q @ q)
+        truth = np.lexsort((ids, exact))[:k]
+        lut = np.zeros((M_SUB, n_codes))
+        for sub in range(M_SUB):
+            sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+            lut[sub, cb_ids[sub]] = _seq_sq_l2(sl, cb_mats[sub])[0]
+        adc = np.zeros(m)
+        for sub in range(M_SUB):
+            adc = adc + lut[sub][codes[:, sub]]
+        order = np.lexsort((ids, adc))
+        pos = np.empty(m, dtype=np.int64)
+        pos[order] = np.arange(m)
+        ranks_needed.append(int(pos[truth].max()) + 1)
+
+    ranks_needed.sort()
+    needed = ranks_needed[
+        min(len(ranks_needed) - 1, int(np.ceil(quantile * (len(ranks_needed) - 1))))
+    ]
+    frac = needed / m
+    recommended = int(
+        max(pq_shortlist(k), min(n_store, int(np.ceil(safety * frac * n_store))))
+    )
+    return {
+        "recommended_shortlist": recommended,
+        "shortlist_frac": round(float(frac), 6),
+        "rank_needed": int(needed),
+        "n_sample": int(m),
+        "n_store": int(n_store),
+    }
+
+
 def load_ivfpq_models(spark, path: str):
     """Collect both model tables of a saved IVFADC store once:
     (coarse (cids, matrix), codebook ({sub: ids}, {sub: mats})). Pass
@@ -531,7 +726,10 @@ def ivfpq_point_search(
             "L2-normalize the corpus and queries and use metric='l2'"
         )
     if shortlist is None:
-        shortlist = pq_shortlist(k)
+        # honor the rebuild-time measured budget when the store carries
+        # one (maintain_ivfpq + adc_shortlist_probe); the pq_shortlist
+        # floor still applies so a larger k keeps its 4k margin
+        shortlist = max(_stored_shortlist(spark, path) or 0, pq_shortlist(k))
     coarse_model, cb_model = models if models is not None else (None, None)
     probe_cells = probe_cells_for(
         spark, f"{path}/centroids", qvec, metric, nprobe, model=coarse_model
@@ -632,7 +830,9 @@ def ivfpq_point_search_batch(
     if not queries:
         raise ValueError("ivfpq_point_search_batch needs at least one query")
     if shortlist is None:
-        shortlist = pq_shortlist(k)
+        # same resolution as ivfpq_point_search — the two paths must
+        # stay bit-identical (tests/test_serving_batch.py)
+        shortlist = max(_stored_shortlist(spark, path) or 0, pq_shortlist(k))
     qids = [int(q) for q, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate query_id in batch")

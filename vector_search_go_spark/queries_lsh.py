@@ -444,10 +444,14 @@ def _knn_verdict(
 
     from vector_search_go_spark.functions.metrics import metric_dist
 
-    joined = (
-        pred.join(queries.select("query_id", "qvec"), "query_id")
-        .join(corpus.select("id", "vec"), "id")
-    )
+    # pred is k x |queries| rows (hundreds); broadcast it into the
+    # corpus join so the verification never shuffles the corpus —
+    # Catalyst can't estimate pred's size through the window+UDF
+    # lineage and would fall back to a sort-merge join (plan-audited
+    # in PLANS.md)
+    joined = F.broadcast(
+        pred.join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
+    ).join(corpus.select("id", "vec"), "id")
     n_mismatch = joined.select(
         (F.col("dist") != metric_dist(metric, F.col("qvec"), F.col("vec")))
         .cast("long")
@@ -457,7 +461,7 @@ def _knn_verdict(
     per_q = pred.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
     bad = (
         queries.select("query_id")
-        .join(per_q, "query_id", "left")
+        .join(F.broadcast(per_q), "query_id", "left")
         .select(
             (F.coalesce("n", F.lit(0)) != k).cast("long").alias("b")
         )
@@ -622,12 +626,16 @@ def dedup_embedding_lsh_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_pairs = dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
     n_exact = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    # both sides are region-bounded pair lists (tens of rows), but the
+    # LSH side's size is unknowable through the bucket-join lineage —
+    # broadcast the anti-join right sides explicitly or Catalyst
+    # sort-merge-joins them (plan-audited)
     n_missed = (
-        exact_pairs.join(lsh_pairs, ["id_a", "id_b"], "left_anti")
+        exact_pairs.join(F.broadcast(lsh_pairs), ["id_a", "id_b"], "left_anti")
         .agg(F.count(F.lit(1)).alias("n_missed"))
     )
     n_false = (
-        lsh_pairs.join(exact_pairs, ["id_a", "id_b"], "left_anti")
+        lsh_pairs.join(F.broadcast(exact_pairs), ["id_a", "id_b"], "left_anti")
         .agg(F.count(F.lit(1)).alias("n_false"))
     )
     return n_exact.crossJoin(n_missed).crossJoin(n_false)

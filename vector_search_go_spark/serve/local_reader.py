@@ -131,6 +131,50 @@ def _read_store_meta(path: str) -> dict:
     return {}
 
 
+def _is_swap_error(exc: BaseException) -> bool:
+    """FileNotFound-class read errors — what a lookup sees when it
+    races a compaction's two-rename directory swap (engine.compact /
+    ingest_cycle): the file index resolved paths that the swap just
+    deleted. Everything else (corruption, permissions, schema) must
+    surface."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    msg = str(exc)
+    return isinstance(exc, (OSError, IOError)) and (
+        "No such file" in msg or "does not exist" in msg
+    )
+
+
+def _swap_retry(fn):
+    """One bounded reload-and-retry on swap errors (VERDICT r5 item 5,
+    the SCALE.md compaction-probe posture: "a serving tier that
+    retries once on read error sees zero failed lookups"). A plain
+    retry cannot help — the reader's file indexes hold the PRE-swap
+    paths — so the retry re-runs __init__ with the captured ctor args
+    (rebuilding file indexes and any preloads against the post-swap
+    store) and replays the lookup once. Correctness: lookups are pure
+    reads, the store swap is atomic per directory (two renames), and a
+    reconstructed reader is pinned bit-identical to the Spark point
+    paths — so the retried answer is exactly the post-swap store's
+    answer. NOT a concurrency primitive: reload mutates reader state,
+    so multi-threaded serving keeps one reader per thread (the fleet
+    shape in the module docstring)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        except Exception as exc:
+            ctor = getattr(self, "_ctor", None)
+            if ctor is None or not _is_swap_error(exc):
+                raise
+            self.__init__(**ctor)
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 # margin for the two-stage scorers: the BLAS stage's distance error is
 # bounded by sqrt(64 * ulp(scale^2)) ~ 1e-7 * scale (worst case,
 # near-duplicate cancellation); selecting everything within
@@ -235,9 +279,27 @@ class LocalLshReader:
         metric: str,
         preload_vectors: bool = True,
         preload_buckets: bool = False,
+        global_hot_buckets: dict | None = None,
     ):
+        """``global_hot_buckets``: {(tree, hash): global_sz} for buckets
+        whose WHOLE-STORE size exceeds config.max_bucket_size — passed
+        by ShardedReader (serve.sharded) when this reader serves one
+        id-shard of a larger store. The survivor rule is per-id
+        deterministic given (tree, hash, keep_mod), so evaluating it
+        with the GLOBAL keep_mod on each shard's local members makes
+        the union across shards exactly the unsharded survivor set; a
+        bucket absent from the dict is globally under the cap (local
+        size <= global size), so it passes whole. None (default) =
+        single-store semantics, sizes observed from this store."""
         import pyarrow.parquet as pq
 
+        # captured for _swap_retry's reload-and-retry (reload == re-init)
+        self._ctor = dict(
+            path=path, metric=metric, preload_vectors=preload_vectors,
+            preload_buckets=preload_buckets,
+            global_hot_buckets=global_hot_buckets,
+        )
+        self._hot_global = global_hot_buckets
         self.path = path
         self.metric = metric
         self.forest = self._load_forest(path)
@@ -324,7 +386,7 @@ class LocalLshReader:
         hit = self._buckets.probe_many(probe_map)
         cap = self.config.max_bucket_size
         kept: list = []
-        over: list = []  # (prefix, members) of over-cap physical buckets
+        over: list = []  # (prefix, members, keep_mod) of hot buckets
         numeric = True
         for t in sorted(hit):
             hvals, ids = hit[t]
@@ -335,27 +397,36 @@ class LocalLshReader:
             tree_prefix = hash_int(int(t), SEED)
             for h in np.unique(hvals):
                 sel = ids[hvals == h]
-                sz = len(sel)
-                if sz <= cap:
-                    kept.append(sel)
-                    continue
+                if self._hot_global is not None:
+                    # sharded store: hotness and keep_mod come from the
+                    # WHOLE-store size so the per-id survivor predicate
+                    # matches the unsharded reader's exactly
+                    g = self._hot_global.get((int(t), int(h)))
+                    if g is None:
+                        kept.append(sel)
+                        continue
+                    mod = int(math.ceil(g / cap))
+                else:
+                    sz = len(sel)
+                    if sz <= cap:
+                        kept.append(sel)
+                        continue
+                    mod = int(math.ceil(sz / cap))
                 if not numeric:
-                    pm = survivor_pmod_vec(
-                        t, int(h), sel, int(math.ceil(sz / cap))
-                    )
+                    pm = survivor_pmod_vec(t, int(h), sel, mod)
                     kept.append(sel[pm == 0])
                     continue
-                over.append((hash_long(int(h), tree_prefix), sel))
+                over.append((hash_long(int(h), tree_prefix), sel, mod))
         if over:
             # one batched hash pass over every hot bucket's members
             # (survivor_pmod_multi) instead of a vectorized call per
             # bucket — same bits, ~5x less per-query overhead
-            members = np.concatenate([s for _, s in over])
+            members = np.concatenate([s for _, s, _ in over])
             pm = survivor_pmod_multi(
-                [p for p, _ in over],
-                [len(s) for _, s in over],
+                [p for p, _, _ in over],
+                [len(s) for _, s, _ in over],
                 members,
-                [int(math.ceil(len(s) / cap)) for _, s in over],
+                [m for _, _, m in over],
             )
             kept.append(members[pm == 0])
         if not kept:
@@ -406,6 +477,7 @@ class LocalLshReader:
             self.TWO_STAGE_MARGIN,
         )
 
+    @_swap_retry
     def search(
         self,
         qvec,
@@ -431,6 +503,7 @@ class LocalLshReader:
             dists = dists[m]
         return _result_frame(ids, dists, k, query_id)
 
+    @_swap_retry
     def search_many(
         self,
         Q,
@@ -484,6 +557,7 @@ class LocalIvfReader:
                  preload_cells: bool = False):
         import pyarrow.parquet as pq
 
+        self._ctor = dict(path=path, metric=metric, preload_cells=preload_cells)
         self.path = path
         self.metric = metric
         tbl = pq.read_table(os.path.join(path, "centroids"))
@@ -506,6 +580,7 @@ class LocalIvfReader:
                 lambda t: list_column_matrix(t, "vec", self.dims),
             )
 
+    @_swap_retry
     def search(
         self,
         qvec,
@@ -548,6 +623,7 @@ class LocalIvfReader:
             dists = dists[m]
         return _result_frame(ids, dists, k, query_id)
 
+    @_swap_retry
     def search_many(
         self,
         Q,
@@ -615,6 +691,7 @@ class LocalIvfPqReader:
     def __init__(self, path: str, preload_codes: bool = False):
         import pyarrow.parquet as pq
 
+        self._ctor = dict(path=path, preload_codes=preload_codes)
         self.path = path
         ctbl = pq.read_table(os.path.join(path, "centroids"))
         crows = sorted(
@@ -644,6 +721,13 @@ class LocalIvfPqReader:
             glob.glob(os.path.join(path, "vectors", "*.parquet")), "id"
         )
         self._mem_codes = None
+        # rebuild-time measured rerank budget (maintain_ivfpq +
+        # adc_shortlist_probe); 0 = none recorded. Read once here so
+        # lookups pay nothing; default-shortlist resolution must match
+        # ivfpq_point_search's (parity pins in tests/test_serve_local.py).
+        self._rec_shortlist = int(
+            _read_store_meta(path).get("recommended_shortlist", 0)
+        )
         if preload_codes:
             from vector_search_go_spark.operators.pq import M_SUB
 
@@ -652,6 +736,7 @@ class LocalIvfPqReader:
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
 
+    @_swap_retry
     def search(
         self,
         qvec,
@@ -666,7 +751,7 @@ class LocalIvfPqReader:
         from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
 
         if shortlist is None:
-            shortlist = pq_shortlist(k)
+            shortlist = max(self._rec_shortlist, pq_shortlist(k))
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, "l2", nprobe, model=self.coarse)
 
@@ -720,6 +805,7 @@ class LocalIvfPqReader:
         dists = single_query_dists("l2", q, V)
         return _result_frame(rids, list(dists), k, query_id)
 
+    @_swap_retry
     def search_many(
         self,
         Q,
@@ -741,7 +827,7 @@ class LocalIvfPqReader:
         from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
 
         if shortlist is None:
-            shortlist = pq_shortlist(k)
+            shortlist = max(self._rec_shortlist, pq_shortlist(k))
         Q, query_ids = _batch_queries(Q, query_ids)
         if len(Q) == 0:
             return _result_frame([], [], k, 0)
@@ -840,6 +926,7 @@ class LocalScanReader:
     def __init__(self, path: str, metric: str | None = None):
         import pyarrow.parquet as pq
 
+        self._ctor = dict(path=path, metric=metric)
         meta = _read_store_meta(path)
         family = meta.get("family")
         if family not in (None, "scan"):
@@ -884,6 +971,7 @@ class LocalScanReader:
     def __len__(self) -> int:
         return len(self.ids)
 
+    @_swap_retry
     def search(
         self,
         qvec,
@@ -905,6 +993,7 @@ class LocalScanReader:
             ids, dists = ids[m], dists[m]
         return _result_frame(ids, dists, k, query_id)
 
+    @_swap_retry
     def search_many(
         self,
         Q,

@@ -234,6 +234,7 @@ def maintain_ivfpq(
     dedup_ids: bool = True,
     force: bool = False,
     retrain_codebook: bool = True,
+    retune_shortlist: bool = True,
 ) -> dict:
     """IVFADC twin of ``maintain_ivf``: measure cell staleness on the
     codes store; when tripped, run the clear-and-rebuild. The store's
@@ -244,9 +245,25 @@ def maintain_ivfpq(
     per-subspace k-means codewords, pq.pq_codebook_trained; False
     reuses the saved codebook — keep False only when codeword drift is
     known to be negligible), re-encode everything, rewrite the store
-    (pq.ivfpq_save), refresh the catalog."""
+    (pq.ivfpq_save), refresh the catalog.
+
+    ``retune_shortlist=True`` (VERDICT r5 item 4): after the rebuild,
+    re-pick the serving config by measurement on the store's own
+    vectors. For IVFADC the knob that moves recall is NOT (cells,
+    nprobe) — the 6-sigma drift fixture probes every cell and still
+    stalls at 0.67 — it is the ADC rerank budget, so the rebuild runs
+    pq.adc_shortlist_probe (bounded driver-side probe, advisor_report's
+    sample contract) and persists ``recommended_shortlist`` in
+    store_meta; every shortlist=None search path (ivfpq_point_search,
+    the batch twin, LocalIvfPqReader) honors it. Well-clustered
+    corpora measure the pq_shortlist floor, so the budget only grows
+    when the store's own geometry demands it."""
+    import json as _json
+
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.pq import (
+        adc_shortlist_probe,
+        invalidate_stored_shortlist,
         ivfpq_save,
         pq_codebook_trained,
     )
@@ -283,7 +300,25 @@ def maintain_ivfpq(
         "cells", "vectors", "centroids", "codebook", "build_stats", "store_meta"
     ):
         spark.catalog.refreshByPath(f"{path}/{sub}")
-    return {"action": "rebuilt", **st}
+    report = {"action": "rebuilt", **st}
+    if retune_shortlist:
+        probe = adc_shortlist_probe(spark, path)
+        meta = {
+            "family": "ivfpq",
+            "metric": "l2",
+            "recommended_shortlist": probe["recommended_shortlist"],
+            "shortlist_frac": probe["shortlist_frac"],
+        }
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+        spark.catalog.refreshByPath(f"{path}/store_meta")
+        # remote paths have no cheap freshness key — drop the memo entry
+        # so the next shortlist=None lookup re-reads the new meta
+        invalidate_stored_shortlist(path)
+        report["recommended_shortlist"] = probe["recommended_shortlist"]
+        report["shortlist_frac"] = probe["shortlist_frac"]
+    return report
 
 
 def bucket_staleness(spark: SparkSession, path: str) -> dict:
