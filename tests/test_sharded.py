@@ -230,3 +230,15 @@ def test_sharded_reader_process_mode_parity(sharded_stores):
         ]
     finally:
         proc.close()
+
+
+def test_sharded_search_many_rejects_duplicate_ids(sharded_stores):
+    """The merge pools shard rows BY LABEL, so two different queries
+    under one query_id would collapse into one wrong top-k — refused up
+    front (the ivfpq_point_search_batch contract)."""
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    sharded = ShardedReader(str(base / "scan_sharded"))
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        sharded.search_many(queries[:2], k=5, query_ids=[7, 7])

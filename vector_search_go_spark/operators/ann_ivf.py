@@ -131,14 +131,30 @@ def ivf_save(
             write_shards_meta,
         )
 
-        check_shard_population(corpus, shards, "ivf corpus")
-        sh = shard_expr(shards)
-        for k in range(shards):
-            ivf_save(
-                spark, corpus.filter(sh == k), centroids,
-                f"{path}/shard={k}", metric=metric,
-            )
-        write_shards_meta(spark, path, "ivf", shards, metric=metric)
+        # pin both inputs once: the per-shard saves below would
+        # otherwise re-run the corpus lineage N more times and the
+        # centroid producer (usually a lazy kmeans_fit plan, itself
+        # corpus-sized) ~2x per shard — the same N-fold build blow-up
+        # LshIndex.save's sharded branch caches buckets to avoid
+        centroids = spark.createDataFrame(
+            centroids.collect(), centroids.schema
+        )
+        was_cached = corpus.is_cached
+        if not was_cached:
+            corpus = corpus.cache()
+            corpus.count()
+        try:
+            check_shard_population(corpus, shards, "ivf corpus")
+            sh = shard_expr(shards)
+            for k in range(shards):
+                ivf_save(
+                    spark, corpus.filter(sh == k), centroids,
+                    f"{path}/shard={k}", metric=metric,
+                )
+            write_shards_meta(spark, path, "ivf", shards, metric=metric)
+        finally:
+            if not was_cached:
+                corpus.unpersist()
         return
     cells = assign_cells(corpus, centroids, metric=metric)
     (

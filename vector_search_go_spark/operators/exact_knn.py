@@ -267,14 +267,25 @@ def scan_save(
             write_shards_meta,
         )
 
-        check_shard_population(vectors, shards, "scan corpus")
-        sh = shard_expr(shards)
-        for k in range(shards):
-            scan_save(
-                spark, vectors.filter(sh == k), f"{path}/shard={k}",
-                metric=metric,
-            )
-        write_shards_meta(spark, path, "scan", shards, metric=metric)
+        # pin the corpus once — the N per-shard writes below would
+        # otherwise re-run its lineage N more times (the LshIndex.save
+        # sharded-branch lesson)
+        was_cached = vectors.is_cached
+        if not was_cached:
+            vectors = vectors.cache()
+            vectors.count()
+        try:
+            check_shard_population(vectors, shards, "scan corpus")
+            sh = shard_expr(shards)
+            for k in range(shards):
+                scan_save(
+                    spark, vectors.filter(sh == k), f"{path}/shard={k}",
+                    metric=metric,
+                )
+            write_shards_meta(spark, path, "scan", shards, metric=metric)
+        finally:
+            if not was_cached:
+                vectors.unpersist()
         return
 
     vectors = vectors.select("id", "vec")

@@ -250,6 +250,11 @@ def kmeans_fit(
         # count proves the sample is inside the target. 1e12 rows ->
         # 5k needs 3 passes; each pass's count stops at
         # _CAP_FACTOR * sample_rows rows read.
+        if sample_rows < 1:
+            raise ValueError(
+                f"sample_rows={sample_rows!r}: pass a positive bound, "
+                "or None to disable sampled Lloyd"
+            )
         _CAP_FACTOR = 50
         salt = 0
         while True:

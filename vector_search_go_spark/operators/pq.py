@@ -501,7 +501,6 @@ def _stored_shortlist(spark, path: str) -> int | None:
     recommendation. ABSENCE maps to None; a meta directory that exists
     but cannot be parsed raises — silently falling back would disable
     the measured budget without a trace (the engine.py:556 lesson)."""
-    import glob as _glob
     import json as _json
     import os as _os
 
@@ -527,29 +526,23 @@ def _stored_shortlist(spark, path: str) -> int | None:
         _SHORTLIST_MEMO[path] = ((), val)
         return val
 
-    files = sorted(
-        _glob.glob(_os.path.join(path, "store_meta", "*.json"))
-        + _glob.glob(_os.path.join(path, "store_meta", "part-*"))
+    from vector_search_go_spark.serve.local_reader import (
+        meta_files,
+        parse_meta_files,
     )
+
+    files = meta_files(path)
     if not files:
         return None
     key = tuple((f, _os.stat(f).st_mtime_ns) for f in files)
     hit = _SHORTLIST_MEMO.get(path)
     if hit is not None and hit[0] == key:
         return hit[1]
-    metas = []
-    for f in files:
-        with open(f) as fh:
-            for line in fh:
-                if line.strip():
-                    metas.append(_json.loads(_json.loads(line)["meta_json"]))
-    val = next(
-        (
-            int(m["recommended_shortlist"])
-            for m in metas
-            if "recommended_shortlist" in m
-        ),
-        None,
+    meta = parse_meta_files(files) or {}
+    val = (
+        int(meta["recommended_shortlist"])
+        if "recommended_shortlist" in meta
+        else None
     )
     _SHORTLIST_MEMO[path] = (key, val)
     return val

@@ -116,19 +116,35 @@ def _result_frame(ids, dists, k: int, query_id: int) -> pd.DataFrame:
     )
 
 
-def _read_store_meta(path: str) -> dict:
-    """Read ``{path}/store_meta`` (one JSON line, written by ivf_save /
-    scan_save) without Spark; {} when the store has none."""
-    for f in sorted(
-        glob.glob(os.path.join(path, "store_meta", "*.json"))
-        + glob.glob(os.path.join(path, "store_meta", "part-*"))
-    ):
+def meta_files(path: str, sub: str = "store_meta") -> list[str]:
+    """The JSON part files of a one-line meta table under ``{path}/{sub}``,
+    deduplicated (``*.json`` and ``part-*`` both match Spark's
+    ``part-...json`` output) and sorted. Shared by every meta reader —
+    store_meta, shards_meta, and the shortlist memo key."""
+    return sorted(
+        set(
+            glob.glob(os.path.join(path, sub, "*.json"))
+            + glob.glob(os.path.join(path, sub, "part-*"))
+        )
+    )
+
+
+def parse_meta_files(files: list[str]) -> dict | None:
+    """First meta_json payload in ``files``; None when no file holds
+    one. Parse errors raise (absence != unreadable)."""
+    for f in files:
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     return json.loads(json.loads(line)["meta_json"])
-    return {}
+    return None
+
+
+def _read_store_meta(path: str) -> dict:
+    """Read ``{path}/store_meta`` (one JSON line, written by ivf_save /
+    scan_save) without Spark; {} when the store has none."""
+    return parse_meta_files(meta_files(path)) or {}
 
 
 def _is_swap_error(exc: BaseException) -> bool:

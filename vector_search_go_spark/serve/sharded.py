@@ -129,16 +129,12 @@ def write_shards_meta(
 def read_shards_meta(path: str) -> dict | None:
     """None when ``path`` is not a sharded layout; parse errors raise
     (absence != unreadable — the store_metric contract)."""
-    files = sorted(
-        glob.glob(os.path.join(path, "shards_meta", "*.json"))
-        + glob.glob(os.path.join(path, "shards_meta", "part-*"))
+    from vector_search_go_spark.serve.local_reader import (
+        meta_files,
+        parse_meta_files,
     )
-    for f in files:
-        with open(f) as fh:
-            for line in fh:
-                if line.strip():
-                    return json.loads(json.loads(line)["meta_json"])
-    return None
+
+    return parse_meta_files(meta_files(path, "shards_meta"))
 
 
 def _load_hot_buckets(path: str) -> dict:
@@ -211,6 +207,7 @@ class ShardedReader:
                 "global_hot_buckets", _load_hot_buckets(path)
             )
         self._procs: list | None = None
+        self._pool = None
         if processes:
             # one single-worker SPAWN process per shard, reader built in
             # the worker (never pickled; spawn avoids forking a
@@ -223,22 +220,26 @@ class ShardedReader:
 
             ctx = mp.get_context("spawn")
             self._procs = []
-            for k in range(self.n_shards):
-                pool = ProcessPoolExecutor(
-                    max_workers=1,
-                    mp_context=ctx,
-                    initializer=_shard_worker_init,
-                    initargs=(
-                        self.family,
-                        os.path.join(path, f"shard={k}"),
-                        reader_kwargs,
-                    ),
-                )
-                self._procs.append(pool)
-            # force worker startup (initializer runs on first task) so
-            # init cost lands here, not in the first query
-            for f in [p.submit(os.getpid) for p in self._procs]:
-                f.result()
+            try:
+                for k in range(self.n_shards):
+                    pool = ProcessPoolExecutor(
+                        max_workers=1,
+                        mp_context=ctx,
+                        initializer=_shard_worker_init,
+                        initargs=(
+                            self.family,
+                            os.path.join(path, f"shard={k}"),
+                            reader_kwargs,
+                        ),
+                    )
+                    self._procs.append(pool)
+                # force worker startup (initializer runs on first task)
+                # so init cost lands here, not in the first query
+                for f in [p.submit(os.getpid) for p in self._procs]:
+                    f.result()
+            except BaseException:
+                self.close()  # don't leak already-spawned shard workers
+                raise
             self.readers = []
             return
         self.readers = [
@@ -258,10 +259,13 @@ class ShardedReader:
         shard contributes zero rows there too). Uses the same
         _result_frame tie-break as every reader."""
         allf = pd.concat(frames, ignore_index=True)
+        # one groupby pass, not a full-frame boolean scan per query —
+        # the merge must stay linear in batch x shards x k
+        groups = {int(q): sub for q, sub in allf.groupby("query_id", sort=False)}
         out = []
         for qid in order:
-            sub = allf[allf["query_id"] == int(qid)]
-            if len(sub) == 0:
+            sub = groups.get(int(qid))
+            if sub is None or len(sub) == 0:
                 continue
             out.append(
                 _result_frame(
@@ -299,6 +303,11 @@ class ShardedReader:
         # emit queries in the caller's order even when a query has no
         # rows in shard 0 (first-appearance order would reorder it)
         _, qids = _batch_queries(Q, query_ids)
+        if len(set(int(q) for q in qids)) != len(qids):
+            # the merge pools shard rows BY LABEL; two different
+            # queries under one id would merge into one wrong top-k
+            # (the same contract ivfpq_point_search_batch enforces)
+            raise ValueError("duplicate query_id in batch")
         if self._procs is not None:
             qmat = [[float(x) for x in q] for q in np.asarray(Q, dtype=np.float64)]
             sent_ids = [int(q) for q in qids]
@@ -317,8 +326,12 @@ class ShardedReader:
         return self._merge(frames, k, [int(q) for q in qids])
 
     def close(self) -> None:
-        """Shut down worker processes (processes=True); idempotent."""
+        """Shut down the fan-out executors (worker processes or the
+        thread pool); idempotent."""
         if self._procs is not None:
             for p in self._procs:
                 p.shutdown(wait=False, cancel_futures=True)
             self._procs = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
