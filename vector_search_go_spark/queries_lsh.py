@@ -742,3 +742,71 @@ def ann_advisor_auto_train_verdict(spark: SparkSession, sf_dir: str) -> DataFram
         "family_valid boolean, backend_matches boolean, recall_valid boolean, "
         "frac_valid boolean, gate_ok boolean",
     )
+
+
+@register(
+    "serving_sharded_scan_knn",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS id, embedding AS vec
+  FROM embeddings WHERE vec_id % 50 <> 0
+), d AS (
+  SELECT query_id, id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_zip(vec, qvec),
+                _t -> (CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE))
+                    * (CAST(_t[1] AS DOUBLE) - CAST(_t[2] AS DOUBLE)))),
+              (_a, _b) -> _a + _b)) AS dist
+  FROM c CROSS JOIN q
+), r AS (
+  SELECT query_id, id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM d
+)
+SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10
+""",
+)
+def serving_sharded_scan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 sharded serving tier under the driver's VALUE check:
+    exact k=10 L2 KNN answered ENTIRELY by the driver-side shard router
+    — scan_save(shards=3) writes three id-hash shard stores,
+    ShardedReader fans each query across three LocalScanReaders and
+    merges per-shard top-k (serve/sharded.py) — then compared
+    bit-exactly against DuckDB's own cross-join KNN. A hash match
+    certifies the whole serving stack at once: the shard split loses no
+    rows, the per-shard two-stage scorer reproduces the sequential-IEEE
+    fold (the TWO_STAGE_MARGIN proof), and the selection-monotone merge
+    with the (dist, id) tie-break equals the global top-k. The
+    query-side collect is the serving API's own shape (tens of rows).
+    Reference anchor: NNMock full-scan Search (annbench.go:56-125) +
+    the Store pluggability this composes over (store/store.go:12-18)."""
+    import os
+
+    from vector_search_go_spark.operators import model_store
+    from vector_search_go_spark.operators.exact_knn import scan_save
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    queries, corpus = embeddings_split(spark, sf_dir)
+    path = model_store.model_path("scan_sharded3_l2", sf_dir)
+    if not os.path.exists(os.path.join(path, "shards_meta")):
+        scan_save(spark, corpus, path, metric="l2", shards=3)
+    reader = ShardedReader(path)
+    try:
+        qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
+        pdf = reader.search_many(
+            [list(r["qvec"]) for r in qrows],
+            k=10,
+            query_ids=[int(r["query_id"]) for r in qrows],
+        )
+    finally:
+        reader.close()
+    return spark.createDataFrame(
+        [
+            (int(q), int(i), float(d), int(rn))
+            for q, i, d, rn in zip(pdf["query_id"], pdf["id"], pdf["dist"], pdf["rn"])
+        ],
+        "query_id bigint, id bigint, dist double, rn int",
+    )

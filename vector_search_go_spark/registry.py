@@ -114,7 +114,10 @@ _PRIORITY: tuple[str, ...] = (
     # r4: new oracle-checked store invariant (never checked); took the
     # slot of r3-green, unchanged scalar_array_funcs
     "lsh_bucket_invariant",
-    "approx_aggregates",
+    # r6: the sharded serving tier under the driver's value check
+    # (exact KNN answered by the shard router, bit-exact vs DuckDB);
+    # took the slot of r4+r5-green, unchanged approx_aggregates
+    "serving_sharded_scan_knn",
     # ...or the implementation changed materially since its r2-green row
     # (Arrow exact-KNN kernel; shingle materialization; all-pairs bound
     # assertion) — everything else r2-green stays covered by the local
