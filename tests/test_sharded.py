@@ -232,6 +232,189 @@ def test_sharded_reader_process_mode_parity(sharded_stores):
         proc.close()
 
 
+PQ_DIMS = 64  # M_SUB x D_SUB — the IVFADC code layout
+
+
+@pytest.fixture(scope="module")
+def ivfpq_sharded_stores(spark, tmp_path_factory):
+    """Unsharded + 3-shard IVFADC stores over the SAME corpus (64-d, the
+    PQ code layout), with a duplicate block whose members span shards so
+    the global-shortlist merge is exercised across shard boundaries."""
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+
+    base = tmp_path_factory.mktemp("ivfpq_sharded")
+    rng = np.random.default_rng(97)
+    X = rng.standard_normal((N, PQ_DIMS))
+    X[1200:] = X[1200]  # duplicate block -> near-tied ADC scores
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(N)], "id bigint, vec array<double>"
+    )
+    cents = corpus.filter(F.col("id") % 150 == 0).select(
+        (F.col("id") / 150).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    cb = pq_codebook(
+        corpus.select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    )
+    ivfpq_save(spark, corpus, cents, cb, str(base / "single"), metric="l2")
+    ivfpq_save(spark, corpus, cents, cb, str(base / "sharded"), metric="l2", shards=3)
+    queries = [
+        X[42],
+        X[999],
+        X[1200],  # the duplicated point — its block spans shards
+        X[5] + 0.05 * rng.standard_normal(PQ_DIMS),
+    ]
+    return base, queries
+
+
+def test_sharded_ivfpq_reader_matches_unsharded(ivfpq_sharded_stores):
+    """The r6 VERDICT item-1 contract: the per-shard ADC top-L /
+    global-shortlist merge / exact rerank is BIT-identical to the
+    unsharded LocalIvfPqReader — stored and explicit shortlists, single
+    and batch, incl. the duplicate block spanning shards."""
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = ivfpq_sharded_stores
+    single = LocalIvfPqReader(str(base / "single"))
+    sharded = ShardedReader(str(base / "sharded"))
+    assert sharded.family == "ivfpq" and sharded.n_shards == 3
+    try:
+        for q in queries:
+            for kw in ({}, {"shortlist": 40}, {"nprobe": 2, "shortlist": 25}):
+                got = sharded.search(q, k=10, **kw)
+                want = single.search(q, k=10, **kw)
+                assert [tuple(r) for r in got.itertuples(index=False)] == [
+                    tuple(r) for r in want.itertuples(index=False)
+                ], kw
+        got = sharded.search_many(queries, k=10, query_ids=[9, 3, 7, 5])
+        want = single.search_many(queries, k=10, query_ids=[9, 3, 7, 5])
+        assert [tuple(r) for r in got.itertuples(index=False)] == [
+            tuple(r) for r in want.itertuples(index=False)
+        ]
+    finally:
+        sharded.close()
+
+
+def test_sharded_ivfpq_process_mode_parity(ivfpq_sharded_stores):
+    """processes=True (one spawn worker per shard — the fleet shape the
+    SCALE.md flat-latency rows measure) returns row-identical frames."""
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = ivfpq_sharded_stores
+    single = LocalIvfPqReader(str(base / "single"))
+    with ShardedReader(str(base / "sharded"), processes=True) as proc:
+        got = proc.search(queries[2], k=10)
+        want = single.search(queries[2], k=10)
+        assert [tuple(r) for r in got.itertuples(index=False)] == [
+            tuple(r) for r in want.itertuples(index=False)
+        ]
+        got = proc.search_many(queries, k=10, query_ids=[4, 3, 2, 1])
+        want = single.search_many(queries, k=10, query_ids=[4, 3, 2, 1])
+        assert [tuple(r) for r in got.itertuples(index=False)] == [
+            tuple(r) for r in want.itertuples(index=False)
+        ]
+
+
+def test_sharded_ivfpq_stored_shortlist_resolution(spark, ivfpq_sharded_stores, tmp_path):
+    """shortlist=None resolves from the LAYOUT-level store_meta on the
+    router exactly as the unsharded reader resolves from its own — a
+    recommended_shortlist written at both roots yields identical rows."""
+    import json
+    import shutil
+
+    from vector_search_go_spark.serve.local_reader import (
+        LocalIvfPqReader,
+        _read_store_meta,
+    )
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = ivfpq_sharded_stores
+    single_p = str(tmp_path / "single")
+    sharded_p = str(tmp_path / "sharded")
+    shutil.copytree(str(base / "single"), single_p)
+    shutil.copytree(str(base / "sharded"), sharded_p)
+    rec = 220  # above the pq_shortlist(10)=100 floor, so it is the value used
+    for p, meta in (
+        (single_p, {"family": "ivfpq", "metric": "l2", "recommended_shortlist": rec}),
+        (sharded_p, {"recommended_shortlist": rec}),
+    ):
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{p}/store_meta")
+    assert _read_store_meta(sharded_p)["recommended_shortlist"] == rec
+    single = LocalIvfPqReader(single_p)
+    assert single._rec_shortlist == rec
+    with ShardedReader(sharded_p) as sharded:
+        assert sharded._root_rec == rec
+        for q in queries[:2]:
+            got = sharded.search(q, k=10)  # shortlist=None -> 220 both sides
+            want = single.search(q, k=10)
+            assert [tuple(r) for r in got.itertuples(index=False)] == [
+                tuple(r) for r in want.itertuples(index=False)
+            ]
+
+
+def test_sharded_ivfpq_missing_vector_rows_match_unsharded(spark, ivfpq_sharded_stores, tmp_path):
+    """Out-of-sync store (codes without a vectors row): the router drops
+    NaN-dist rows AFTER the global shortlist selection — the same place
+    the unsharded isin mask drops them — so both readers still agree."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = ivfpq_sharded_stores
+    single_p = str(tmp_path / "single")
+    sharded_p = str(tmp_path / "sharded")
+    shutil.copytree(str(base / "single"), single_p)
+    shutil.copytree(str(base / "sharded"), sharded_p)
+    drop = [42, 1203]  # the query point itself + a duplicate-block member
+
+    def _strip(vec_dir: str) -> None:
+        kept = spark.read.parquet(vec_dir).filter(~SF.col("id").isin(drop))
+        kept = spark.createDataFrame(kept.collect(), kept.schema)
+        (
+            kept.repartitionByRange(4, "id").sortWithinPartitions("id")
+            .write.mode("overwrite").parquet(vec_dir)
+        )
+
+    _strip(f"{single_p}/vectors")
+    for k in range(3):
+        _strip(f"{sharded_p}/shard={k}/vectors")
+    single = LocalIvfPqReader(single_p)
+    with ShardedReader(sharded_p) as sharded:
+        for q in [queries[0], queries[2]]:
+            got = sharded.search(q, k=10)
+            want = single.search(q, k=10)
+            assert [tuple(r) for r in got.itertuples(index=False)] == [
+                tuple(r) for r in want.itertuples(index=False)
+            ]
+            assert 42 not in set(want["id"])  # the drop is on the tested path
+
+
+def test_sharded_reader_closed_raises(sharded_stores):
+    """ADVICE r6: search after close() fails with a clear RuntimeError,
+    not an opaque AttributeError; close is idempotent; the context
+    manager closes."""
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = sharded_stores
+    rd = ShardedReader(str(base / "scan_sharded"))
+    rd.close()
+    rd.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        rd.search(queries[0], k=5)
+    with pytest.raises(RuntimeError, match="closed"):
+        rd.search_many(queries[:2], k=5, query_ids=[1, 2])
+    with ShardedReader(str(base / "scan_sharded")) as rd2:
+        assert len(rd2.search(queries[0], k=3)) == 3
+    with pytest.raises(RuntimeError, match="closed"):
+        rd2.search(queries[0], k=3)
+
+
 def test_sharded_search_many_rejects_duplicate_ids(sharded_stores):
     """The merge pools shard rows BY LABEL, so two different queries
     under one query_id would collapse into one wrong top-k — refused up

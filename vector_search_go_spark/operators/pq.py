@@ -401,6 +401,7 @@ def ivfpq_save(
     codebook: DataFrame,
     path: str,
     metric: str = "l2",
+    shards: int | None = None,
 ) -> None:
     """Persist a composed IVF+PQ index (the FAISS IVFADC layout) as a
     serving store:
@@ -422,7 +423,18 @@ def ivfpq_save(
 
     Assignment and encoding are both closure-kernel map stages — the
     corpus is scanned once and never shuffled except the partitioned
-    writes themselves."""
+    writes themselves.
+
+    ``shards=N``: the sharded serving layout (serve.sharded) — each
+    {path}/shard=K is a complete ivfpq_save of the id-subset
+    pmod(xxhash64(id), N) == K against the SAME coarse centroids and
+    codebook. Identical models mean every shard probes identical cells
+    and builds identical ADC lookup tables, so per-shard ADC values are
+    comparable floats and the router's global-shortlist merge is exact
+    (the selection-monotone argument in serve/sharded.py): the union of
+    per-shard ADC top-L supersets the global ADC top-L. At 100 TB the
+    COMPRESSED store is the one that must shard — raw vectors do not
+    fit one reader's RAM, codes do per shard."""
     from vector_search_go_spark.operators.ann_ivf import assign_cells
 
     if metric != "l2":
@@ -430,6 +442,39 @@ def ivfpq_save(
             "IVFADC ranks its shortlist by squared L2; for cosine, "
             "L2-normalize the corpus and queries and use metric='l2'"
         )
+    if shards is not None:
+        from vector_search_go_spark.serve.sharded import (
+            check_shard_population,
+            shard_expr,
+            write_shards_meta,
+        )
+
+        # pin all three inputs once: the per-shard saves re-run the
+        # corpus lineage N more times, and the model producers (lazy
+        # kmeans_fit / pq_codebook_trained plans, themselves
+        # corpus-sized) would re-train per shard — the same N-fold
+        # build blow-up LshIndex.save's sharded branch caches against
+        coarse_cents = spark.createDataFrame(
+            coarse_cents.collect(), coarse_cents.schema
+        )
+        codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
+        was_cached = corpus.is_cached
+        if not was_cached:
+            corpus = corpus.cache()
+            corpus.count()
+        try:
+            check_shard_population(corpus, shards, "ivfpq corpus")
+            sh = shard_expr(shards)
+            for k in range(shards):
+                ivfpq_save(
+                    spark, corpus.filter(sh == k), coarse_cents, codebook,
+                    f"{path}/shard={k}", metric=metric,
+                )
+            write_shards_meta(spark, path, "ivfpq", shards, metric=metric)
+        finally:
+            if not was_cached:
+                corpus.unpersist()
+        return
     cells = assign_cells(corpus, coarse_cents, metric=metric).select(
         "cell", "id", pq_codes_udf(codebook)(F.col("vec")).alias("codes")
     )

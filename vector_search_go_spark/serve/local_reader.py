@@ -752,6 +752,89 @@ class LocalIvfPqReader:
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
 
+    # -- shared pieces of the ADC pipeline (search / shard_candidates) --
+
+    def _n_codes(self) -> int:
+        return max(int(self.cb_ids[s].max()) for s in self.cb_ids) + 1
+
+    def _query_lut(self, q: np.ndarray, n_codes: int) -> np.ndarray:
+        """The query's per-subspace ADC lookup table — same construction
+        as ivfpq_point_search (sequential-IEEE kernel, so the table is
+        bit-identical wherever it is built: unsharded reader, shard
+        reader, Spark path)."""
+        from vector_search_go_spark.operators.pq import D_SUB, M_SUB
+
+        lut = np.zeros((M_SUB, n_codes))
+        for sub in range(M_SUB):
+            sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+            lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
+        return lut
+
+    def _gather_codes(self, probed):
+        """(ids, codes matrix) of the probed cells — preloaded arrays or
+        a parallel parquet decode; (None, None) when nothing is hit."""
+        import pyarrow as pa
+
+        from vector_search_go_spark.operators.pq import M_SUB
+
+        if self._mem_codes is not None:
+            hits = [
+                self._mem_codes[int(c)]
+                for c in probed
+                if int(c) in self._mem_codes
+            ]
+            if not hits:
+                return None, None
+            return (
+                np.concatenate([h[0] for h in hits]),
+                np.concatenate([h[1] for h in hits]),
+            )
+        tbls = [
+            t for t in
+            self._cells.read_values_parallel(probed, ["id", "codes"]).values()
+            if t is not None and t.num_rows
+        ]
+        if not tbls:
+            return None, None
+        tbl = pa.concat_tables(tbls)
+        return (
+            tbl.column("id").to_numpy(zero_copy_only=False),
+            list_column_int_matrix(tbl, "codes", M_SUB),
+        )
+
+    @staticmethod
+    def _adc_of(lut: np.ndarray, C: np.ndarray) -> np.ndarray:
+        """sqrt of the subspace-ordered LUT fold — the exact float the
+        unsharded search computes per candidate."""
+        from vector_search_go_spark.operators.pq import M_SUB
+
+        acc = np.zeros(len(C))
+        for sub in range(M_SUB):
+            acc = acc + lut[sub][C[:, sub]]
+        return np.sqrt(acc)
+
+    @staticmethod
+    def _adc_topl(ids, adc: np.ndarray, shortlist: int):
+        """Indices of the local ADC top-``shortlist`` by (adc, id) —
+        the same tie-break as the unsharded shortlist selection."""
+        if np.issubdtype(np.asarray(ids).dtype, np.number):
+            return np.lexsort((ids, adc))[:shortlist]
+        return np.asarray(
+            sorted(range(len(ids)), key=lambda i: (adc[i], ids[i]))[:shortlist],
+            dtype=np.int64,
+        )
+
+    @staticmethod
+    def _cand_frame(query_id: int, ids, adc, dist) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(ids), query_id, dtype=np.int64),
+                "id": ids,
+                "adc": np.asarray(adc, dtype=np.float64),
+                "dist": np.asarray(dist, dtype=np.float64),
+            }
+        )
+
     @_swap_retry
     def search(
         self,
@@ -912,6 +995,129 @@ class LocalIvfPqReader:
                 continue
             dists = single_query_dists("l2", qv, V_all[mask])
             frames.append(_result_frame(rids, list(dists), k, qid))
+        return pd.concat(frames, ignore_index=True)
+
+    @_swap_retry
+    def shard_candidates(
+        self,
+        qvec,
+        shortlist: int,
+        nprobe: int = 4,
+        query_id: int = 0,
+    ) -> pd.DataFrame:
+        """The per-shard leg of the sharded IVFADC composition
+        (serve/sharded.py): this store's LOCAL ADC top-``shortlist`` by
+        (adc, id), each row carrying BOTH its ADC score and its exact
+        rerank distance -> (query_id, id, adc, dist).
+
+        The router merges these by (adc, id), keeps the GLOBAL
+        top-``shortlist``, and ranks those by (dist, id) — bit-identical
+        to the unsharded search because (a) every member of the global
+        ADC top-L is, within its own shard, in that shard's top-L
+        (selection monotone), (b) ADC floats are comparable across
+        shards (identical codebook => identical LUT => identical fold),
+        and (c) exact distances are per-row independent, so reranking a
+        SUPERSET shard-side changes no returned value. ``dist`` is NaN
+        for an id whose vectors row is missing — the router drops those
+        AFTER the global shortlist selection, exactly where the
+        unsharded search's isin mask drops them."""
+        from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+
+        q = np.asarray(list(qvec), dtype=np.float64)
+        probed = probe_cells_for(None, None, q, "l2", nprobe, model=self.coarse)
+        ids, C = self._gather_codes(probed)
+        if ids is None:
+            return self._cand_frame(query_id, np.empty(0, dtype=np.int64), [], [])
+        adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
+        short = self._adc_topl(ids, adc, shortlist)
+        sids, sadc = ids[short], adc[short]
+        short_ids = sorted(sids.tolist())
+        dmap: dict = {}
+        vtbl = self._vectors.read(short_ids, ["id", "vec"])
+        if vtbl is not None and vtbl.num_rows:
+            rid = vtbl.column("id").to_numpy(zero_copy_only=False)
+            mask = np.isin(rid, np.asarray(short_ids))
+            dd = single_query_dists(
+                "l2", q, list_column_matrix(vtbl, "vec", self.dims)[mask]
+            )
+            dmap = dict(zip(rid[mask].tolist(), dd.tolist()))
+        dist = [dmap.get(i, np.nan) for i in sids.tolist()]
+        return self._cand_frame(query_id, sids, sadc, dist)
+
+    @_swap_retry
+    def shard_candidates_many(
+        self,
+        Q,
+        shortlist: int,
+        nprobe: int = 4,
+        query_ids=None,
+    ) -> pd.DataFrame:
+        """Batch twin of ``shard_candidates``, row-identical to the
+        per-query calls concatenated — the same two amortizations as
+        search_many (shared cell decode across the batch; one id-sorted
+        union read for the rerank vectors), neither able to change a
+        per-row value."""
+        from vector_search_go_spark.operators.ann_ivf import probe_cells_for
+        from vector_search_go_spark.operators.pq import M_SUB
+
+        Q, query_ids = _batch_queries(Q, query_ids)
+        if len(Q) == 0:
+            return self._cand_frame(0, np.empty(0, dtype=np.int64), [], [])
+        probes = [
+            probe_cells_for(None, None, Q[i], "l2", nprobe, model=self.coarse)
+            for i in range(len(Q))
+        ]
+        if self._mem_codes is not None:
+            cell_map = self._mem_codes
+        else:
+            cell_map = _cell_arrays(
+                self._cells, _union_values(probes), "codes",
+                lambda t: list_column_int_matrix(t, "codes", M_SUB),
+            )
+        n_codes = self._n_codes()
+        per_query = []  # (qid, qvec, sids, sadc) scored after one union read
+        union_ids: set = set()
+        for i, qid in enumerate(query_ids):
+            hits = [
+                cell_map[int(c)] for c in probes[i] if int(c) in cell_map
+            ]
+            if not hits:
+                per_query.append((int(qid), Q[i], None, None))
+                continue
+            ids = np.concatenate([h[0] for h in hits])
+            C = np.concatenate([h[1] for h in hits])
+            adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
+            short = self._adc_topl(ids, adc, shortlist)
+            sids, sadc = ids[short], adc[short]
+            union_ids.update(sids.tolist())
+            per_query.append((int(qid), Q[i], sids, sadc))
+
+        vtbl = (
+            self._vectors.read(sorted(union_ids), ["id", "vec"])
+            if union_ids
+            else None
+        )
+        if vtbl is not None and vtbl.num_rows:
+            rid_all = vtbl.column("id").to_numpy(zero_copy_only=False)
+            V_all = list_column_matrix(vtbl, "vec", self.dims)
+        else:
+            rid_all, V_all = None, None
+
+        frames = []
+        for qid, qv, sids, sadc in per_query:
+            if sids is None:
+                frames.append(
+                    self._cand_frame(qid, np.empty(0, dtype=np.int64), [], [])
+                )
+                continue
+            dmap: dict = {}
+            if rid_all is not None:
+                mask = np.isin(rid_all, np.asarray(sorted(sids.tolist())))
+                if mask.any():
+                    dd = single_query_dists("l2", qv, V_all[mask])
+                    dmap = dict(zip(rid_all[mask].tolist(), dd.tolist()))
+            dist = [dmap.get(i, np.nan) for i in sids.tolist()]
+            frames.append(self._cand_frame(qid, sids, sadc, dist))
         return pd.concat(frames, ignore_index=True)
 
 

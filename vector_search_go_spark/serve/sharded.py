@@ -51,10 +51,12 @@ import numpy as np
 import pandas as pd
 
 from vector_search_go_spark.serve.local_reader import (
+    LocalIvfPqReader,
     LocalIvfReader,
     LocalLshReader,
     LocalScanReader,
     _batch_queries,
+    _read_store_meta,
     _result_frame,
 )
 
@@ -62,7 +64,12 @@ _READER_CLS = {
     "lsh": LocalLshReader,
     "ivf": LocalIvfReader,
     "scan": LocalScanReader,
+    "ivfpq": LocalIvfPqReader,
 }
+
+# families whose shard readers take a metric= ctor kwarg (ivfpq stores
+# are l2-only by construction — LocalIvfPqReader has no metric knob)
+_METRIC_FAMILIES = ("lsh", "ivf", "scan")
 
 # ---- process-per-shard worker plumbing (ShardedReader processes=True).
 # One single-worker spawn process per shard, each holding ITS reader as
@@ -85,6 +92,20 @@ def _shard_worker_search(args):
 def _shard_worker_search_many(args):
     Q, k, query_ids, kwargs = args
     return _WORKER_READER.search_many(Q, k=k, query_ids=query_ids, **kwargs)
+
+
+def _shard_worker_ivfpq_cand(args):
+    qvec, shortlist, nprobe, query_id = args
+    return _WORKER_READER.shard_candidates(
+        qvec, shortlist=shortlist, nprobe=nprobe, query_id=query_id
+    )
+
+
+def _shard_worker_ivfpq_cand_many(args):
+    Q, shortlist, nprobe, query_ids = args
+    return _WORKER_READER.shard_candidates_many(
+        Q, shortlist=shortlist, nprobe=nprobe, query_ids=query_ids
+    )
 
 
 def shard_expr(n_shards: int):
@@ -164,11 +185,21 @@ class ShardedReader:
     Constructor kwargs are forwarded to every shard reader (metric,
     preload flags — same names as the single-store reader of the
     store's family). ivf/scan layouts fill metric from shards_meta;
-    LSH requires metric= explicitly (search-time choice). IVFADC
-    stores are refused: a per-shard ADC
-    shortlist boundary is not the unsharded boundary, so sharded IVFADC
-    would be a DIFFERENT approximation than the single store rather
-    than a bit-identical composition — the contract this class pins."""
+    LSH requires metric= explicitly (search-time choice); ivfpq is
+    l2-only like the store itself.
+
+    IVFADC (family 'ivfpq', r6 VERDICT item 1) composes differently
+    from the top-k families: each shard returns its LOCAL ADC
+    top-shortlist WITH both the ADC score and the exact rerank
+    distance (LocalIvfPqReader.shard_candidates), the router merges by
+    (adc, id), keeps the GLOBAL top-shortlist, drops missing-vector
+    rows, and ranks by (dist, id). Bit-identical to the unsharded
+    reader because per-shard ADC top-L is selection-monotone (every
+    global top-L member is in its own shard's top-L), ADC floats are
+    comparable across shards (identical codebook => identical LUT =>
+    identical subspace-ordered fold), and exact distances are per-row
+    independent. This is the 100 TB store: raw vectors don't fit one
+    reader, the 16x-compressed codes do per shard."""
 
     def __init__(
         self,
@@ -186,15 +217,28 @@ class ShardedReader:
         self.path = path
         self.family = meta["family"]
         self.n_shards = int(meta["n_shards"])
-        if "metric" not in reader_kwargs and meta.get("metric"):
+        self._closed = False
+        if (
+            self.family in _METRIC_FAMILIES
+            and "metric" not in reader_kwargs
+            and meta.get("metric")
+        ):
             reader_kwargs["metric"] = meta["metric"]
         cls = _READER_CLS.get(self.family)
         if cls is None:
             raise ValueError(
-                f"family {self.family!r} has no sharded reader (ivfpq "
-                "shortlist boundaries are shard-local — shard the rerank "
-                "corpus behind scan/ivf readers instead)"
+                f"family {self.family!r} has no sharded reader"
             )
+        # sharded IVFADC: shortlist=None resolves from the LAYOUT-level
+        # store_meta (written by the sharded maintenance probe), exactly
+        # like the unsharded reader resolves from its own store_meta —
+        # per-shard metas are bypassed because the router always passes
+        # the resolved budget down explicitly.
+        self._root_rec = (
+            int(_read_store_meta(path).get("recommended_shortlist", 0))
+            if self.family == "ivfpq"
+            else 0
+        )
         if self.family == "lsh":
             if "metric" not in reader_kwargs:
                 raise ValueError(
@@ -276,7 +320,80 @@ class ShardedReader:
             return _result_frame([], [], k, int(order[0]) if len(order) else 0)
         return pd.concat(out, ignore_index=True)
 
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError(
+                "ShardedReader is closed — construct a new reader "
+                "(close() shut down the shard fan-out executors)"
+            )
+
+    def _resolve_shortlist(self, k: int, shortlist) -> int:
+        """The unsharded reader's shortlist=None resolution, applied at
+        the ROUTER (layout-level recommended_shortlist), so the global
+        selection depth matches what one big store would use."""
+        from vector_search_go_spark.operators.pq import pq_shortlist
+
+        if shortlist is None:
+            return max(self._root_rec, pq_shortlist(k))
+        return int(shortlist)
+
+    @staticmethod
+    def _merge_ivfpq(
+        frames: list[pd.DataFrame], k: int, shortlist: int, order
+    ) -> pd.DataFrame:
+        """Union of per-shard (query_id, id, adc, dist) candidate rows
+        -> per query: global ADC top-``shortlist`` by (adc, id), drop
+        missing-vector rows (NaN dist — the unsharded isin drop, in the
+        same place), then top-k by (dist, id). Queries emit in the
+        caller's order; a query with no candidates in any shard
+        contributes zero rows, like the unsharded reader."""
+        allf = pd.concat(frames, ignore_index=True)
+        groups = {int(q): sub for q, sub in allf.groupby("query_id", sort=False)}
+        out = []
+        for qid in order:
+            sub = groups.get(int(qid))
+            if sub is None or len(sub) == 0:
+                out.append(_result_frame([], [], k, int(qid)))
+                continue
+            ids = sub["id"].to_numpy()
+            adc = sub["adc"].to_numpy()
+            dist = sub["dist"].to_numpy()
+            sel = LocalIvfPqReader._adc_topl(ids, adc, shortlist)
+            ids, dist = ids[sel], dist[sel]
+            ok = ~np.isnan(dist)
+            out.append(_result_frame(ids[ok], dist[ok], k, int(qid)))
+        return pd.concat(out, ignore_index=True)
+
     def search(self, qvec, k: int = 10, query_id: int = 0, **kwargs) -> pd.DataFrame:
+        self._check_open()
+        if self.family == "ivfpq":
+            nprobe = int(kwargs.pop("nprobe", 4))
+            shortlist = self._resolve_shortlist(k, kwargs.pop("shortlist", None))
+            if kwargs:
+                raise TypeError(
+                    f"unexpected ivfpq search kwargs {sorted(kwargs)}"
+                )
+            if self._procs is not None:
+                qlist = [float(x) for x in qvec]
+                futs = [
+                    p.submit(
+                        _shard_worker_ivfpq_cand,
+                        (qlist, shortlist, nprobe, query_id),
+                    )
+                    for p in self._procs
+                ]
+                frames = [f.result() for f in futs]
+            else:
+                frames = list(
+                    self._pool.map(
+                        lambda r: r.shard_candidates(
+                            qvec, shortlist=shortlist, nprobe=nprobe,
+                            query_id=query_id,
+                        ),
+                        self.readers,
+                    )
+                )
+            return self._merge_ivfpq(frames, k, shortlist, [query_id])
         if self._procs is not None:
             qlist = [float(x) for x in qvec]
             futs = [
@@ -299,6 +416,7 @@ class ShardedReader:
     def search_many(
         self, Q, k: int = 10, query_ids=None, **kwargs
     ) -> pd.DataFrame:
+        self._check_open()
         # normalize exactly like the shard readers do, so the merge can
         # emit queries in the caller's order even when a query has no
         # rows in shard 0 (first-appearance order would reorder it)
@@ -308,6 +426,38 @@ class ShardedReader:
             # queries under one id would merge into one wrong top-k
             # (the same contract ivfpq_point_search_batch enforces)
             raise ValueError("duplicate query_id in batch")
+        if self.family == "ivfpq":
+            nprobe = int(kwargs.pop("nprobe", 4))
+            shortlist = self._resolve_shortlist(k, kwargs.pop("shortlist", None))
+            if kwargs:
+                raise TypeError(
+                    f"unexpected ivfpq search kwargs {sorted(kwargs)}"
+                )
+            sent_ids = [int(q) for q in qids]
+            if self._procs is not None:
+                qmat = [
+                    [float(x) for x in q]
+                    for q in np.asarray(Q, dtype=np.float64)
+                ]
+                futs = [
+                    p.submit(
+                        _shard_worker_ivfpq_cand_many,
+                        (qmat, shortlist, nprobe, sent_ids),
+                    )
+                    for p in self._procs
+                ]
+                frames = [f.result() for f in futs]
+            else:
+                frames = list(
+                    self._pool.map(
+                        lambda r: r.shard_candidates_many(
+                            Q, shortlist=shortlist, nprobe=nprobe,
+                            query_ids=query_ids,
+                        ),
+                        self.readers,
+                    )
+                )
+            return self._merge_ivfpq(frames, k, shortlist, sent_ids)
         if self._procs is not None:
             qmat = [[float(x) for x in q] for q in np.asarray(Q, dtype=np.float64)]
             sent_ids = [int(q) for q in qids]
@@ -327,7 +477,9 @@ class ShardedReader:
 
     def close(self) -> None:
         """Shut down the fan-out executors (worker processes or the
-        thread pool); idempotent."""
+        thread pool); idempotent. A closed reader raises a clear
+        RuntimeError on search, not an opaque AttributeError."""
+        self._closed = True
         if self._procs is not None:
             for p in self._procs:
                 p.shutdown(wait=False, cancel_futures=True)
@@ -335,3 +487,18 @@ class ShardedReader:
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+
+    def __enter__(self) -> "ShardedReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:
+        # best-effort: a forgotten close() in processes=True mode would
+        # otherwise leak one spawn process per shard until GC of the
+        # pools themselves; interpreter-shutdown partial state is fine
+        try:
+            self.close()
+        except Exception:
+            pass
