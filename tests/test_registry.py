@@ -59,6 +59,7 @@ def test_window_plus_prior_artifacts_cover_every_query():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         with open(f"/root/repo/{art}") as f:
             checked |= set(json.load(f))

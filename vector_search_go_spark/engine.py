@@ -432,7 +432,34 @@ class VectorSearchEngine:
         no-op); thresholds via kwargs. An IVF rebuild reuses the
         assignment metric persisted in the store (``store_meta``); pass
         ``metric=`` only for legacy IVF stores without it. Returns the
-        staleness report with the action taken."""
+        staleness report with the action taken. Sharded layouts
+        (shards_meta) route by the manifest's family — the maintainers
+        measure the whole store and rebuild ONE model into
+        save(shards=N) (streaming.maintain)."""
+        if "://" not in path:
+            from vector_search_go_spark.serve.sharded import read_shards_meta
+
+            smeta = read_shards_meta(path)
+            if smeta is not None:
+                family = smeta["family"]
+                if family == "scan":
+                    return {
+                        "action": "none",
+                        "family": "scan",
+                        "reason": "scan stores have no index model to drift",
+                    }
+                if family == "ivfpq" and "metric" in kwargs:
+                    raise ValueError(
+                        "ivfpq stores are l2-only (ADC ranks by squared "
+                        "L2); metric= does not apply"
+                    )
+                from vector_search_go_spark.streaming import maintain as _mm
+
+                return {
+                    "lsh": _mm.maintain,
+                    "ivf": _mm.maintain_ivf,
+                    "ivfpq": _mm.maintain_ivfpq,
+                }[family](spark, path, **kwargs)
         if _store_has(spark, path, "codebook"):
             if "metric" in kwargs:
                 raise ValueError(
@@ -488,21 +515,30 @@ class VectorSearchEngine:
 
     # -- Persistence (lsh/lsh.go:200-207) -----------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, shards: int | None = None) -> None:
+        """``shards=N`` writes the sharded serving layout of whatever
+        backend is trained — including one the advisor CHOSE
+        (train(auto=True) then save(path, shards=N)), so a
+        measured-decision store can be born sharded and local_reader
+        routes it to the ShardedReader automatically."""
         if self.backend == "lsh" and self._index is not None:
-            self._index.save(path)
+            self._index.save(path, shards=shards)
         elif self.backend == "ivf" and self._cells is not None:
             from vector_search_go_spark.operators.ann_ivf import ivf_save
 
             ivf_save(
-                self.spark, self._vectors, self._cents, path, metric=self.metric
+                self.spark, self._vectors, self._cents, path,
+                metric=self.metric, shards=shards,
             )
         elif self.backend == "exact" and self._vectors is not None:
             # scan store: the advisor's "don't index" verdict made
             # persistent+servable (serve.local_reader.LocalScanReader)
             from vector_search_go_spark.operators.exact_knn import scan_save
 
-            scan_save(self.spark, self._vectors, path, metric=self.metric)
+            scan_save(
+                self.spark, self._vectors, path,
+                metric=self.metric, shards=shards,
+            )
         else:
             raise RuntimeError("train() a backend before save()")
         if self.advisor_decision is not None:

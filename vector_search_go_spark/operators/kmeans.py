@@ -241,6 +241,16 @@ def kmeans_fit(
     thins every group identically)."""
     spark = corpus.sparkSession
     train_df, pinned = corpus, None
+    if sample_rows is not None and group:
+        # the thinning bound is GLOBAL (one xxhash64 filter): a small
+        # group could be thinned below k rows — or to zero — silently
+        # changing that group's centroid count (ADVICE r6). No caller
+        # combines them; refuse until a per-group bound exists.
+        raise ValueError(
+            "sample_rows= cannot be combined with group=: the id-hash "
+            "thinning bound is global, so a small group could sample "
+            "below k rows — sample per group upstream, or drop one knob"
+        )
     if sample_rows is not None:
         # Iterative deterministic thinning. Each pass sizes its modulus
         # from a BOUNDED count (limit early-terminates the scan — the

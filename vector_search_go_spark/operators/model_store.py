@@ -41,6 +41,24 @@ def model_path(name: str, sf_dir: str) -> str:
     return os.path.join(MODEL_DIR, f"{name}-{base}-{tag}")
 
 
+# Bump whenever any SAVER's on-disk layout changes shape (new component,
+# renamed column, different partitioning contract): store_path embeds it,
+# so every if-not-exists store cache rebuilds instead of serving a
+# stale-format store to the correctness harness (VERDICT r6 item 6 — the
+# `if not os.path.exists(shards_meta)` reuse at queries_lsh.py's serving
+# entry was the flagged instance).
+STORE_LAYOUT_VERSION = 2
+
+
+def store_path(name: str, sf_dir: str) -> str:
+    """``model_path`` for SERVING-STORE caches (full saver layouts that
+    queries reuse across runs via if-not-exists checks, not just model
+    tables): the layout version rides in the key, so a format change
+    can never serve a stale store — bumping STORE_LAYOUT_VERSION forces
+    a rebuild at the next run."""
+    return model_path(f"{name}-L{STORE_LAYOUT_VERSION}", sf_dir)
+
+
 def save_model(df: DataFrame, name: str, sf_dir: str) -> str:
     """Persist a trained model table (centroids / codebook) as parquet."""
     path = model_path(name, sf_dir)

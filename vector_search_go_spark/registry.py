@@ -72,6 +72,11 @@ _PRIORITY: tuple[str, ...] = (
     # IVF+PQ composed
     "ivf_pq_search",
     "ivf_pq_recall_vs_exact",
+    # r7: the sharded IVFADC serving tier under the driver's value
+    # check (per-shard ADC top-L -> global-shortlist merge -> exact
+    # rerank, hash-matched vs the full DuckDB IVFADC pipeline); took
+    # the slot of r2-r6-green, unchanged doc_embedding_join
+    "serving_sharded_ivfpq_knn",
     # Scalar quantization
     "sq8_encode_codes",
     "sq8_search_rerank",
@@ -97,7 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     # r4: real BMP/WAV decode path (never checked); took the slot of
     # r3-green, unchanged multimodal_byte_stats
     "multimodal_decode_real",
-    "doc_embedding_join",
     "sessionize_events",
     "sketch_rollup_daily",
     # Scale-shape operators (never driver-checked)

@@ -158,6 +158,78 @@ def read_shards_meta(path: str) -> dict | None:
     return parse_meta_files(meta_files(path, "shards_meta"))
 
 
+def union_shard_component(spark, path: str, n_shards: int, sub: str):
+    """Union of one store component across every shard of a sharded
+    layout — the whole-store view sharded staleness and rebuilds read
+    (each shard holds a disjoint id-subset, so the union IS the store)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    return reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(f"{path}/shard={k}/{sub}")
+            for k in range(int(n_shards))
+        ],
+    )
+
+
+def refresh_hot_buckets(spark, path: str) -> int:
+    """Recompute ``{path}/hot_buckets`` from the UNION of the shard
+    bucket tables. Required after ANY operation that changes global
+    physical bucket sizes on a sharded LSH layout — streaming appends,
+    dedup compaction — because survivor-rule parity hangs on WHOLE-store
+    keep_mods (see LocalLshReader.global_hot_buckets); a rebuild
+    (LshIndex.save(shards=N)) rewrites the table itself. Returns the
+    number of over-cap buckets recorded (0 also when the store's config
+    sets no cap — then no thinning exists to keep in parity)."""
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    meta = read_shards_meta(path)
+    if meta is None or meta.get("family") != "lsh":
+        raise ValueError(
+            f"{path!r} is not a sharded LSH layout — hot_buckets only "
+            "exist for the LSH family's survivor rule"
+        )
+    # the cap comes from the (shared) model config; shard=0 is
+    # authoritative because every shard was saved from the same index
+    import glob as _glob
+    import json as _json
+
+    cfg_files = sorted(
+        _glob.glob(os.path.join(path, "shard=0", "model_config", "*.json"))
+        + _glob.glob(os.path.join(path, "shard=0", "model_config", "part-*"))
+    )
+    cfg = None
+    for f in cfg_files:
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    cfg = _json.loads(_json.loads(line)["config_json"])
+                    break
+        if cfg is not None:
+            break
+    if cfg is None:
+        raise FileNotFoundError(f"no model_config JSON under {path}/shard=0")
+    cap = cfg.get("max_bucket_size")
+    if cap is None:
+        return 0
+    hot = (
+        union_shard_component(spark, path, meta["n_shards"], "buckets")
+        .groupBy("tree", "hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > int(cap))
+    )
+    hot.write.mode("overwrite").parquet(f"{path}/hot_buckets")
+    spark.catalog.refreshByPath(f"{path}/hot_buckets")
+    files = glob.glob(os.path.join(path, "hot_buckets", "*.parquet"))
+    return sum(papq.read_metadata(f).num_rows for f in files)
+
+
 def _load_hot_buckets(path: str) -> dict:
     """{(tree, hash): whole-store sz} from ``{path}/hot_buckets``; {}
     when the layout has none (no cap configured, or no bucket over

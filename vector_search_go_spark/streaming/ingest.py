@@ -158,6 +158,131 @@ def ingest_to_ivfpq_store(
     _run_drain(vec_stream, append, checkpoint_path, timeout, path)
 
 
+def ingest_to_sharded_store(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    timeout: int = 120,
+) -> None:
+    """Route an (id, vec) stream into a SHARDED store layout
+    (serve/sharded.py; VERDICT r6 item 4): each microbatch is split by
+    the layout's own id-hash rule (shard_expr — the SAME pmod(xxhash64)
+    the savers used, so streamed rows land exactly where a batch
+    re-save would put them) and appended to each shard's components
+    through the layout's frozen models, read once from shard=0 (every
+    shard was saved from the same index, so the models are identical
+    across shards by construction).
+
+    Per family the per-shard appends mirror the single-store drains:
+    lsh -> buckets + vectors, ivf -> cells (vectors colocated),
+    ivfpq -> coded cells + rerank vectors, scan -> vectors. All appends
+    across all shards share ONE checkpoint, so the at-least-once
+    contract stays per-batch-coherent: a replayed batch duplicates rows
+    in every component of every shard together.
+
+    The caller refreshes ``{path}/hot_buckets`` after an LSH drain
+    (serve.sharded.refresh_hot_buckets) — appends change GLOBAL bucket
+    sizes and survivor-rule parity hangs on them; ingest_cycle does
+    this automatically."""
+    from vector_search_go_spark.serve.sharded import (
+        read_shards_meta,
+        shard_expr,
+    )
+
+    meta = read_shards_meta(path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"{path!r} has no shards_meta — single stores drain through "
+            "ingest_to_lsh_store / ingest_to_ivf_store / "
+            "ingest_to_ivfpq_store"
+        )
+    family = meta["family"]
+    n = int(meta["n_shards"])
+    shard0 = f"{path}/shard=0"
+    writers = []  # (subdir, row_fn, part_col, block_size)
+    if family == "lsh":
+        from vector_search_go_spark.lsh.index import LshIndex
+
+        forest = LshIndex.load_forest(spark, shard0)
+        hash_vec = _hash_probe_udf(spark, forest, with_probes=False)
+        writers = [
+            ("buckets", lambda d: _bucket_rows(d, hash_vec), "tree", None),
+            ("vectors", lambda d: d, None, None),
+        ]
+    elif family == "ivf":
+        from vector_search_go_spark.operators.argmin import argmin_id_arrow
+
+        metric = meta.get("metric")
+        if metric is None:
+            raise ValueError(
+                f"sharded ivf layout at {path!r} has no metric in "
+                "shards_meta — re-save with ivf_save(shards=N)"
+            )
+        nearest = argmin_id_arrow(
+            spark.read.parquet(f"{shard0}/centroids"),
+            metric="l2" if metric == "l2" else "cosine",
+        )
+        writers = [
+            (
+                "cells",
+                lambda d: d.select(
+                    "id", "vec", nearest(F.col("vec")).alias("cell")
+                ),
+                "cell",
+                None,
+            )
+        ]
+    elif family == "ivfpq":
+        from vector_search_go_spark.operators.argmin import argmin_id_arrow
+        from vector_search_go_spark.operators.pq import pq_codes_udf
+
+        nearest = argmin_id_arrow(
+            spark.read.parquet(f"{shard0}/centroids"), metric="l2"
+        )
+        codes_udf = pq_codes_udf(spark.read.parquet(f"{shard0}/codebook"))
+        writers = [
+            (
+                "cells",
+                lambda d: d.select(
+                    nearest(F.col("vec")).alias("cell"),
+                    "id",
+                    codes_udf(F.col("vec")).alias("codes"),
+                ),
+                "cell",
+                None,
+            ),
+            ("vectors", lambda d: d, None, 64 << 10),
+        ]
+    elif family == "scan":
+        writers = [("vectors", lambda d: d, None, None)]
+    else:
+        raise ValueError(f"unknown sharded family {family!r}")
+    for k in range(n):
+        for sub, _fn, _pc, _bs in writers:
+            _check_no_sink_log(f"{path}/shard={k}/{sub}")
+    sh = shard_expr(n)
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = (
+            batch_df.select("id", "vec")
+            .withColumn("_shard", sh)
+            .persist()
+        )
+        for k in range(n):
+            sub_df = batch_df.filter(F.col("_shard") == k).drop("_shard")
+            for sub, row_fn, part_col, block_size in writers:
+                w = row_fn(sub_df).write.mode("append")
+                if block_size is not None:
+                    w = w.option("parquet.block.size", block_size)
+                if part_col is not None:
+                    w = w.partitionBy(part_col)
+                w.parquet(f"{path}/shard={k}/{sub}")
+        batch_df.unpersist()
+
+    _run_drain(vec_stream, append, checkpoint_path, timeout, path)
+
+
 def parquet_file_count(root: str) -> int:
     """Parquet fragment count under a store component — the
     fragmentation signal ingest_cycle's compaction trigger reads."""

@@ -34,6 +34,45 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _shards_meta(path: str) -> dict | None:
+    """shards_meta of a sharded layout, None for single stores (and for
+    remote paths — the sharded maintenance path is local-layout-only,
+    like the compaction triggers)."""
+    if "://" in path:
+        return None
+    from vector_search_go_spark.serve.sharded import read_shards_meta
+
+    return read_shards_meta(path)
+
+
+def _sharded_staleness(
+    spark: SparkSession, path: str, n_shards: int, comp: str, keys: list[str]
+) -> dict:
+    """Whole-store staleness of a sharded layout: the shards partition
+    the corpus by id-hash, so the global mass distribution is the UNION
+    of per-shard masses — per-shard baselines sum by key into the global
+    build baseline, and the current masses aggregate over the union of
+    shard component tables. One aggregation either way; no vector data
+    moves (the same scale shape as the single-store measurement)."""
+    from vector_search_go_spark.serve.sharded import union_shard_component
+
+    for k in range(n_shards):
+        _read_build_stats(
+            spark, f"{path}/shard={k}", "the family's sharded saver"
+        )
+    build = (
+        union_shard_component(spark, path, n_shards, "build_stats")
+        .groupBy(*keys)
+        .agg(F.sum("sz").alias("sz_build"))
+    )
+    now = (
+        union_shard_component(spark, path, n_shards, comp)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("sz_now"))
+    )
+    return _mass_staleness(now, build, keys, path)
+
+
 def _read_build_stats(spark: SparkSession, path: str, resave_hint: str):
     """Load ``{path}/build_stats`` with a clear error when the store
     predates baseline persistence. Works for remote stores too:
@@ -136,6 +175,14 @@ def ingest_cycle(
         parquet_file_count,
     )
 
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        return _ingest_cycle_sharded(
+            spark, vec_stream, path, checkpoint_path, smeta,
+            timeout=timeout, compact_over=compact_over,
+            compact_dedup=compact_dedup, **maintain_kwargs,
+        )
+
     def _has(sub: str) -> bool:
         if "://" not in path:
             return os.path.isdir(os.path.join(path, sub))
@@ -225,6 +272,110 @@ def ingest_cycle(
     return report
 
 
+def _ingest_cycle_sharded(
+    spark: SparkSession,
+    vec_stream,
+    path: str,
+    checkpoint_path: str,
+    smeta: dict,
+    timeout: int = 120,
+    compact_over: int | None = 256,
+    compact_dedup: bool = False,
+    **maintain_kwargs,
+) -> dict:
+    """ingest_cycle for SHARDED layouts (VERDICT r6 item 2/4): the
+    drain routes each microbatch to its id-hash shard through the
+    shared frozen models (ingest_to_sharded_store); staleness/rebuild
+    run on the whole store (maintain/maintain_ivf/maintain_ivfpq route
+    sharded internally — one retrained model, save(shards=N)); the
+    quiet path compacts each shard's fragmented components. After ANY
+    LSH drain or dedup compaction the global ``hot_buckets`` table is
+    refreshed — streaming appends change WHOLE-store bucket sizes, and
+    survivor-rule parity (serve/sharded.py) hangs on them."""
+    from vector_search_go_spark.serve.sharded import refresh_hot_buckets
+    from vector_search_go_spark.streaming.ingest import (
+        compact_bucket_store,
+        compact_cells_store,
+        compact_codes_store,
+        compact_vectors_store,
+        ingest_to_sharded_store,
+        parquet_file_count,
+    )
+
+    family = smeta["family"]
+    n = int(smeta["n_shards"])
+    if family == "ivfpq" and "metric" in maintain_kwargs:
+        raise ValueError(
+            "ivfpq stores are l2-only (ADC ranks by squared L2); "
+            "metric= does not apply"
+        )
+    per_shard_components = {
+        "lsh": [
+            ("buckets", compact_bucket_store),
+            ("vectors", compact_vectors_store),
+        ],
+        "ivf": [("cells", compact_cells_store)],
+        "ivfpq": [
+            ("cells", compact_codes_store),
+            (
+                "vectors",
+                lambda s, p, dedup: compact_vectors_store(
+                    s, p, dedup=dedup, block_size=64 << 10
+                ),
+            ),
+        ],
+    }
+    if family not in per_shard_components:
+        raise ValueError(
+            f"sharded family {family!r} has no maintenance loop (scan "
+            "stores have no frozen model — append with "
+            "ingest_to_sharded_store and compact vectors directly)"
+        )
+    # validate every post-drain precondition BEFORE consuming the
+    # stream (the single-store rule): a drain checkpoint-commits its
+    # batches, so an error raised after it strands rows
+    resave_hint = {
+        "lsh": "LshIndex.save(shards=N)",
+        "ivf": "ivf_save(shards=N)",
+        "ivfpq": "ivfpq_save(shards=N)",
+    }[family]
+    for k in range(n):
+        _read_build_stats(spark, f"{path}/shard={k}", resave_hint)
+    ingest_to_sharded_store(
+        spark, vec_stream, path, checkpoint_path, timeout=timeout
+    )
+    for k in range(n):
+        for sub, _fn in per_shard_components[family]:
+            spark.catalog.refreshByPath(f"{path}/shard={k}/{sub}")
+    if family == "lsh":
+        # appends changed global bucket sizes; re-pin survivor parity
+        refresh_hot_buckets(spark, path)
+    report = {
+        "lsh": maintain,
+        "ivf": maintain_ivf,
+        "ivfpq": maintain_ivfpq,
+    }[family](spark, path, **maintain_kwargs)
+    if report["action"] == "none" and compact_over is not None:
+        compacted = {}
+        for k in range(n):
+            for sub, compact_fn in per_shard_components[family]:
+                data_dir = f"{path}/shard={k}/{sub}"
+                if parquet_file_count(data_dir) > compact_over:
+                    compacted[data_dir] = compact_fn(
+                        spark, data_dir, dedup=compact_dedup
+                    )
+        if compacted:
+            report = {**report, "action": "compacted", "compact": compacted}
+            for data_dir in compacted:
+                spark.catalog.refreshByPath(data_dir)
+            if family == "lsh" and compact_dedup:
+                # dedup compaction collapses replayed rows, changing
+                # global bucket sizes — plain compaction only rewrites
+                # files, so sizes (and parity) are untouched there
+                refresh_hot_buckets(spark, path)
+    return report
+
+
 def maintain_ivfpq(
     spark: SparkSession,
     path: str,
@@ -276,39 +427,85 @@ def maintain_ivfpq(
     )
     if not tripped:
         return {"action": "none", **st}
-    k = spark.read.parquet(f"{path}/centroids").count()
-    vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
-    if dedup_ids:
-        vectors = vectors.dropDuplicates(["id"])
-    dim = len(vectors.select("vec").first()["vec"])
-    # cut lineage before overwriting the directories the plans read from
-    vectors = vectors.localCheckpoint(eager=True)
-    cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
-    if retrain_codebook:
-        codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        # sharded IVFADC (VERDICT r6 item 2): ONE coarse model + ONE
+        # codebook retrain on the union of shard rerank tables, then
+        # ivfpq_save(shards=N) — identical models across shards are
+        # what make per-shard ADC scores comparable floats, the premise
+        # of the router's bit-identical global-shortlist merge
+        from vector_search_go_spark.serve.sharded import union_shard_component
+
+        n = int(smeta["n_shards"])
+        k = spark.read.parquet(f"{path}/shard=0/centroids").count()
+        vectors = union_shard_component(spark, path, n, "vectors").select(
+            "id", "vec"
+        )
+        if dedup_ids:
+            vectors = vectors.dropDuplicates(["id"])
+        dim = len(vectors.select("vec").first()["vec"])
+        vectors = vectors.localCheckpoint(eager=True)
+        cents = kmeans_fit(
+            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
+        )
+        if retrain_codebook:
+            codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+        else:
+            codebook = spark.read.parquet(f"{path}/shard=0/codebook")
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
+        ivfpq_save(spark, vectors, cents, codebook, path, metric="l2", shards=n)
+        for j in range(n):
+            for sub in (
+                "cells", "vectors", "centroids", "codebook",
+                "build_stats", "store_meta",
+            ):
+                spark.catalog.refreshByPath(f"{path}/shard={j}/{sub}")
     else:
-        codebook = spark.read.parquet(f"{path}/codebook")
-    # materialize both models (KB-sized) before ivfpq_save: its encode
-    # projections collect them eagerly AND its model writes re-execute
-    # the plans — without the cut, every rebuild pays the final k-means
-    # scan twice per model (and the reuse branch would re-read a store
-    # dir the save is about to overwrite)
-    cents = spark.createDataFrame(cents.collect(), cents.schema)
-    codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
-    ivfpq_save(spark, vectors, cents, codebook, path, metric="l2")
-    for sub in (
-        "cells", "vectors", "centroids", "codebook", "build_stats", "store_meta"
-    ):
-        spark.catalog.refreshByPath(f"{path}/{sub}")
+        k = spark.read.parquet(f"{path}/centroids").count()
+        vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+        if dedup_ids:
+            vectors = vectors.dropDuplicates(["id"])
+        dim = len(vectors.select("vec").first()["vec"])
+        # cut lineage before overwriting the directories the plans read
+        # from
+        vectors = vectors.localCheckpoint(eager=True)
+        cents = kmeans_fit(
+            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
+        )
+        if retrain_codebook:
+            codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+        else:
+            codebook = spark.read.parquet(f"{path}/codebook")
+        # materialize both models (KB-sized) before ivfpq_save: its
+        # encode projections collect them eagerly AND its model writes
+        # re-execute the plans — without the cut, every rebuild pays the
+        # final k-means scan twice per model (and the reuse branch would
+        # re-read a store dir the save is about to overwrite)
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
+        ivfpq_save(spark, vectors, cents, codebook, path, metric="l2")
+        for sub in (
+            "cells", "vectors", "centroids", "codebook",
+            "build_stats", "store_meta",
+        ):
+            spark.catalog.refreshByPath(f"{path}/{sub}")
     report = {"action": "rebuilt", **st}
     if retune_shortlist:
         probe = adc_shortlist_probe(spark, path)
-        meta = {
-            "family": "ivfpq",
-            "metric": "l2",
-            "recommended_shortlist": probe["recommended_shortlist"],
-            "shortlist_frac": probe["shortlist_frac"],
-        }
+        # merge into the existing meta instead of rewriting it from
+        # hardcoded keys (ADVICE r6): a save-time meta that grows fields
+        # must survive a retune. The sharded ROOT has no save-time meta
+        # (shards_meta is the manifest), so the merge starts from the
+        # family/metric pair there too — the router's shortlist=None
+        # resolution reads this layout-level file.
+        from vector_search_go_spark.serve.local_reader import _read_store_meta
+
+        meta = {"family": "ivfpq", "metric": "l2"}
+        if "://" not in path:
+            meta.update(_read_store_meta(path))
+        meta["recommended_shortlist"] = probe["recommended_shortlist"]
+        meta["shortlist_frac"] = probe["shortlist_frac"]
         spark.createDataFrame(
             [(_json.dumps(meta),)], "meta_json string"
         ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
@@ -336,7 +533,19 @@ def bucket_staleness(spark: SparkSession, path: str) -> dict:
                       buckets, so this climbs with tv_drift under real
                       drift but stays near growth/(1+growth) under
                       in-distribution growth spread over all buckets).
-    """
+
+    A sharded layout (shards_meta present) measures the WHOLE store:
+    per-shard masses union into the global distribution."""
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        if smeta["family"] != "lsh":
+            raise ValueError(
+                f"sharded layout at {path!r} holds family "
+                f"{smeta['family']!r}, not lsh"
+            )
+        return _sharded_staleness(
+            spark, path, smeta["n_shards"], "buckets", ["tree", "hash"]
+        )
     build = _read_build_stats(spark, path, "LshIndex.save").withColumnRenamed(
         "sz", "sz_build"
     )
@@ -400,7 +609,14 @@ def maintain(
 
     ``dedup_ids`` drops replayed duplicate vector rows before
     retraining (streaming vector appends are at-least-once, matching
-    the bucket-side contract in streaming/ingest.py)."""
+    the bucket-side contract in streaming/ingest.py).
+
+    A SHARDED layout (shards_meta, VERDICT r6 item 2) rebuilds the
+    whole store as one model: staleness is measured on the union,
+    ONE forest retrains on the union of shard vector tables (per-shard
+    forests would break the global-keep_mod survivor parity the router
+    depends on), and save(shards=N) rewrites every shard plus the
+    global hot_buckets table."""
     from vector_search_go_spark.lsh.index import LshIndex
 
     st = bucket_staleness(spark, path)
@@ -411,6 +627,26 @@ def maintain(
     )
     if not tripped:
         return {"action": "none", **st}
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        from vector_search_go_spark.serve.sharded import union_shard_component
+
+        n = int(smeta["n_shards"])
+        config = LshIndex.load_forest(spark, f"{path}/shard=0").config
+        vectors = union_shard_component(spark, path, n, "vectors")
+        if dedup_ids:
+            vectors = vectors.dropDuplicates(["id"])
+        vectors = vectors.localCheckpoint(eager=True)
+        idx = LshIndex.train(spark, vectors, config)
+        idx.save(path, shards=n)
+        for k in range(n):
+            for sub in (
+                "buckets", "vectors", "build_stats",
+                "model_config", "model_nodes",
+            ):
+                spark.catalog.refreshByPath(f"{path}/shard={k}/{sub}")
+        spark.catalog.refreshByPath(f"{path}/hot_buckets")
+        return {"action": "rebuilt", **st}
     config = LshIndex.load_forest(spark, path).config
     vectors = spark.read.parquet(f"{path}/vectors")
     if dedup_ids:
@@ -438,7 +674,18 @@ def cell_staleness(spark: SparkSession, path: str) -> dict:
     in the few cells whose frozen centroids happen to be nearest, so
     nprobe-bounded search starts missing true neighbors while cell
     scans get slower — the same silent decay as the LSH forest, with
-    the same remedy (retrain on current data)."""
+    the same remedy (retrain on current data). A sharded layout
+    measures the whole store (per-shard masses union)."""
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        if smeta["family"] not in ("ivf", "ivfpq"):
+            raise ValueError(
+                f"sharded layout at {path!r} holds family "
+                f"{smeta['family']!r}, not ivf/ivfpq"
+            )
+        return _sharded_staleness(
+            spark, path, smeta["n_shards"], "cells", ["cell"]
+        )
     build = _read_build_stats(spark, path, "ivf_save / ivfpq_save").withColumnRenamed(
         "sz", "sz_build"
     )
@@ -487,6 +734,46 @@ def maintain_ivf(
     )
     if not tripped:
         return {"action": "none", **st}
+    smeta = _shards_meta(path)
+    if smeta is not None:
+        # sharded layout (VERDICT r6 item 2): metric is authoritative in
+        # shards_meta (written by ivf_save(shards=N)); retrain ONE
+        # coarse model on the union of shard cell tables and re-save
+        # sharded — per-shard models would make shards probe different
+        # cells and break the router's exact-merge argument
+        from vector_search_go_spark.serve.sharded import union_shard_component
+
+        saved = smeta.get("metric")
+        if metric is None:
+            if saved is None:
+                raise ValueError(
+                    f"sharded layout at {path!r} has no metric in "
+                    "shards_meta: pass metric= explicitly"
+                )
+            metric = saved
+        elif saved is not None and saved != metric:
+            raise ValueError(
+                f"sharded layout at {path!r} was saved with "
+                f"metric={saved!r}; rebuilding under metric={metric!r} "
+                "would reassign every cell — re-save to change metrics"
+            )
+        n = int(smeta["n_shards"])
+        k = spark.read.parquet(f"{path}/shard=0/centroids").count()
+        vectors = union_shard_component(spark, path, n, "cells").select(
+            "id", "vec"
+        )
+        if dedup_ids:
+            vectors = vectors.dropDuplicates(["id"])
+        dim = len(vectors.select("vec").first()["vec"])
+        vectors = vectors.localCheckpoint(eager=True)
+        cents = kmeans_fit(
+            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
+        )
+        ivf_save(spark, vectors, cents, path, metric=metric, shards=n)
+        for j in range(n):
+            for sub in ("cells", "centroids", "build_stats", "store_meta"):
+                spark.catalog.refreshByPath(f"{path}/shard={j}/{sub}")
+        return {"action": "rebuilt", **st}
     saved = store_metric(spark, path)
     if metric is None:
         if saved is None:
