@@ -395,6 +395,86 @@ def test_sharded_ivfpq_missing_vector_rows_match_unsharded(spark, ivfpq_sharded_
             assert 42 not in set(want["id"])  # the drop is on the tested path
 
 
+def test_sharded_ivfpq_duplicate_rows_match_unsharded(spark, ivfpq_sharded_stores, tmp_path):
+    """At-least-once replays (and one-component dedup compactions) make
+    CODES-row and VECTORS-row multiplicities diverge; the unsharded
+    reader's output multiplicity is the vectors one (its isin mask
+    selects vectors rows). The router must reproduce that exactly via
+    the slot/vmult split — under coherent replays (both components
+    duplicated), codes-only dups, and vectors-only dups."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries = ivfpq_sharded_stores
+    dup_ids = [42, 1203]  # a query's top-1 + a duplicate-block member
+
+    shard_of = {
+        r["id"]: r["s"]
+        for r in spark.createDataFrame([(i,) for i in dup_ids], "id bigint")
+        .select("id", SF.pmod(SF.xxhash64("id"), SF.lit(3)).alias("s"))
+        .collect()
+    }
+    cell_pinned = spark.createDataFrame(
+        spark.read.parquet(f"{base}/single/cells")
+        .filter(SF.col("id").isin(dup_ids))
+        .select("cell", "id", "codes")
+        .collect(),
+        "cell int, id bigint, codes array<int>",
+    )
+    vec_pinned = spark.createDataFrame(
+        spark.read.parquet(f"{base}/single/vectors")
+        .filter(SF.col("id").isin(dup_ids))
+        .select("id", "vec")
+        .collect(),
+        "id bigint, vec array<double>",
+    )
+
+    def _dup(single_p, sharded_p, dup_cells, dup_vectors):
+        if dup_cells:
+            cell_pinned.write.mode("append").partitionBy("cell").parquet(
+                f"{single_p}/cells"
+            )
+            for i in dup_ids:
+                cell_pinned.filter(SF.col("id") == i).write.mode(
+                    "append"
+                ).partitionBy("cell").parquet(
+                    f"{sharded_p}/shard={shard_of[i]}/cells"
+                )
+        if dup_vectors:
+            vec_pinned.write.mode("append").parquet(f"{single_p}/vectors")
+            for i in dup_ids:
+                vec_pinned.filter(SF.col("id") == i).write.mode(
+                    "append"
+                ).parquet(f"{sharded_p}/shard={shard_of[i]}/vectors")
+
+    for tag, dup_cells, dup_vectors in (
+        ("replay", True, True),
+        ("codes_only", True, False),
+        ("vectors_only", False, True),
+    ):
+        single_p = str(tmp_path / f"single_{tag}")
+        sharded_p = str(tmp_path / f"sharded_{tag}")
+        shutil.copytree(str(base / "single"), single_p)
+        shutil.copytree(str(base / "sharded"), sharded_p)
+        _dup(single_p, sharded_p, dup_cells, dup_vectors)
+        single = LocalIvfPqReader(single_p)
+        with ShardedReader(sharded_p) as sharded:
+            for q in (queries[0], queries[2]):
+                got = sharded.search(q, k=10)
+                want = single.search(q, k=10)
+                assert [tuple(r) for r in got.itertuples(index=False)] == [
+                    tuple(r) for r in want.itertuples(index=False)
+                ], tag
+        if dup_vectors:
+            # non-vacuity: the dup actually produced a repeated row
+            want42 = single.search(queries[0], k=10)
+            assert list(want42["id"]).count(42) == 2, tag
+
+
 def test_sharded_reader_closed_raises(sharded_stores):
     """ADVICE r6: search after close() fails with a clear RuntimeError,
     not an opaque AttributeError; close is idempotent; the context

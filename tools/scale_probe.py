@@ -1088,6 +1088,303 @@ def sharded_lsh_probe(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _measure_point(reader, picks, Q, search_kwargs=None):
+    """Warm on the first 20 picks, time the rest -> (median, p90) ms/q.
+    Shared by the sharded family probes (same protocol as
+    sharded_lsh_probe.measure)."""
+    kw = search_kwargs or {}
+    for qi in picks[:20]:
+        reader.search(Q[int(qi)], k=10, **kw)
+    lat = []
+    for qi in picks[20:]:
+        t0 = time.time()
+        reader.search(Q[int(qi)], k=10, **kw)
+        lat.append((time.time() - t0) * 1000)
+    lat.sort()
+    return lat[len(lat) // 2], lat[int(0.9 * len(lat))]
+
+
+def sharded_ivf_probe(
+    n_small: int = 1_000_000, factor: int = 10, dims: int = 64,
+    k_cells: int = 1024, nprobe: int = 8,
+) -> None:
+    """Sharded-IVF flat-latency row (VERDICT r6 item 5): per-query work
+    is probed-CELL mass. With the SAME centroid model on both stores, a
+    10x corpus makes every cell 10x heavier — but split into 10 shards,
+    each shard's probed mass equals the single-store 1M mass, so
+    process-per-shard must serve at ~the 1M ms/q (threads measure the
+    GIL ceiling for contrast). Centroids derive from the small corpus
+    (id-strided — model QUALITY is irrelevant to latency physics, the
+    local_serve_probe convention) and are shared, which also matches
+    the sharded contract: identical models across shards."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import ivf_save
+    from vector_search_go_spark.serve.local_reader import LocalIvfReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "sharded-ivf-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    base = tempfile.mkdtemp(prefix="sharded_ivf_probe_")
+
+    def make(n):
+        X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(
+            size=(n, dims)
+        )
+        picks = rng.choice(n, size=120, replace=False)
+        Q = {int(i): X[i].copy() for i in picks}
+        corpus = land_corpus(spark, X)
+        del X
+        return corpus, picks, Q
+
+    try:
+        corpus_s, picks_s, Qs = make(n_small)
+        step = max(1, n_small // k_cells)
+        cents = (
+            corpus_s.filter(F.col("id") % step == 0)
+            .select(
+                (F.col("id") / step).cast("int").alias("cid"),
+                F.col("vec").alias("cvec"),
+            )
+        )
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        t0 = time.time()
+        ivf_save(spark, corpus_s, cents, f"{base}/small", metric="l2")
+        t_small = time.time() - t0
+        corpus_s.unpersist()
+        t0 = time.time()
+        r_small = LocalIvfReader(f"{base}/small", metric="l2", preload_cells=True)
+        init_s = time.time() - t0
+        med_s, p90_s = _measure_point(r_small, picks_s, Qs, {"nprobe": nprobe})
+        print(
+            f"| ivf single-shard | {n_small:,} x {dims}, {k_cells} cells, "
+            f"nprobe {nprobe} | build {t_small:.1f} s | init {init_s:.1f} s | "
+            f"{med_s:.1f} ms/q median | {p90_s:.1f} ms/q p90 |",
+            flush=True,
+        )
+        n_big = n_small * factor
+        corpus_b, picks_b, Qb = make(n_big)
+        t0 = time.time()
+        ivf_save(
+            spark, corpus_b, cents, f"{base}/big", metric="l2", shards=factor
+        )
+        t_big = time.time() - t0
+        corpus_b.unpersist()
+        t0 = time.time()
+        r_proc = ShardedReader(
+            f"{base}/big", preload_cells=True, processes=True
+        )
+        init_p = time.time() - t0
+        med_p, p90_p = _measure_point(r_proc, picks_b, Qb, {"nprobe": nprobe})
+        r_proc.close()
+        print(
+            f"| ivf sharded x{factor} (processes) | {n_big:,} x {dims}, "
+            f"{k_cells} cells, nprobe {nprobe} | build {t_big:.1f} s | "
+            f"init {init_p:.1f} s | {med_p:.1f} ms/q median | "
+            f"{p90_p:.1f} ms/q p90 |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sharded_ivfpq_probe(
+    n_small: int = 1_000_000, factor: int = 10, dims: int = 64,
+    k_cells: int = 1024, nprobe: int = 8,
+) -> None:
+    """Sharded-IVFADC flat-latency row (VERDICT r6 item 1's receipt):
+    the COMPRESSED store is the one that must shard at 100 TB (raw
+    float64 vectors don't fit one reader; 16x-compressed codes do per
+    shard). Per-query work = ADC over probed-cell codes + the global
+    top-shortlist exact rerank; with shared models, a 10-shard 10x
+    store's per-shard work equals the 1M single store's, so
+    process-per-shard must hold ~the single-store ms/q while the merge
+    stays bit-identical (tests/test_sharded.py pins parity; this probe
+    measures the latency physics)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "sharded-ivfpq-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    base = tempfile.mkdtemp(prefix="sharded_ivfpq_probe_")
+
+    def make(n):
+        X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(
+            size=(n, dims)
+        )
+        picks = rng.choice(n, size=120, replace=False)
+        Q = {int(i): X[i].copy() for i in picks}
+        corpus = land_corpus(spark, X)
+        del X
+        return corpus, picks, Q
+
+    try:
+        corpus_s, picks_s, Qs = make(n_small)
+        step = max(1, n_small // k_cells)
+        cents = (
+            corpus_s.filter(F.col("id") % step == 0)
+            .select(
+                (F.col("id") / step).cast("int").alias("cid"),
+                F.col("vec").alias("cvec"),
+            )
+        )
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        cb = pq_codebook(
+            corpus_s.select(
+                F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+            )
+        )
+        cb = spark.createDataFrame(cb.collect(), cb.schema)
+        t0 = time.time()
+        ivfpq_save(spark, corpus_s, cents, cb, f"{base}/small", metric="l2")
+        t_small = time.time() - t0
+        corpus_s.unpersist()
+        t0 = time.time()
+        r_small = LocalIvfPqReader(f"{base}/small", preload_codes=True)
+        init_s = time.time() - t0
+        med_s, p90_s = _measure_point(r_small, picks_s, Qs, {"nprobe": nprobe})
+        print(
+            f"| ivfpq single-shard | {n_small:,} x {dims}, {k_cells} cells, "
+            f"nprobe {nprobe} | build {t_small:.1f} s | init {init_s:.1f} s | "
+            f"{med_s:.1f} ms/q median | {p90_s:.1f} ms/q p90 |",
+            flush=True,
+        )
+        n_big = n_small * factor
+        corpus_b, picks_b, Qb = make(n_big)
+        t0 = time.time()
+        ivfpq_save(
+            spark, corpus_b, cents, cb, f"{base}/big", metric="l2",
+            shards=factor,
+        )
+        t_big = time.time() - t0
+        corpus_b.unpersist()
+        t0 = time.time()
+        r_proc = ShardedReader(
+            f"{base}/big", preload_codes=True, processes=True
+        )
+        init_p = time.time() - t0
+        med_p, p90_p = _measure_point(r_proc, picks_b, Qb, {"nprobe": nprobe})
+        r_proc.close()
+        print(
+            f"| ivfpq sharded x{factor} (processes) | {n_big:,} x {dims}, "
+            f"{k_cells} cells, nprobe {nprobe} | build {t_big:.1f} s | "
+            f"init {init_p:.1f} s | {med_p:.1f} ms/q median | "
+            f"{p90_p:.1f} ms/q p90 |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sharded_compact_probe(
+    n: int = 300_000, shards: int = 3, dims: int = 64
+) -> None:
+    """Compaction under SHARDED serving (VERDICT r6 item 2's probe row):
+    queries keep flowing through a lazy-mode ShardedReader while each
+    shard's bucket store is compacted in turn. Per-shard readers hold
+    file indexes the swap deletes; the _swap_retry reload must absorb
+    every race — report served/failed and the post-compaction parity
+    spot-check vs a fresh reader."""
+    import shutil
+    import tempfile
+    import threading
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.streaming.ingest import compact_bucket_store
+
+    spark = get_spark(
+        "sharded-compact-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = LshConfig(
+        dims=dims, n_trees=10, k_min_vecs=100, seed=7,
+        sample_size=20_000, max_bucket_size=800,
+    )
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
+    picks = rng.choice(n, size=40, replace=False)
+    base = tempfile.mkdtemp(prefix="sharded_compact_probe_")
+    try:
+        corpus = land_corpus(spark, X)
+        idx = LshIndex.train(spark, corpus, cfg)
+        idx.save(f"{base}/store", shards=shards)
+        corpus.unpersist()
+        # lazy vectors: the reader READS FROM DISK per query, so the
+        # compaction swap is genuinely on the lookup path
+        reader = ShardedReader(
+            f"{base}/store", metric="l2", preload_vectors=False
+        )
+        served, failed = 0, 0
+        stop = threading.Event()
+
+        def serve_loop():
+            nonlocal served, failed
+            i = 0
+            while not stop.is_set():
+                try:
+                    reader.search(X[int(picks[i % len(picks)])], k=10)
+                    served += 1
+                except Exception:
+                    failed += 1
+                i += 1
+
+        t = threading.Thread(target=serve_loop)
+        t.start()
+        try:
+            for k in range(shards):
+                compact_bucket_store(
+                    spark, f"{base}/store/shard={k}/buckets", keep_backup=False
+                )
+        finally:
+            stop.set()
+            t.join()
+        # post-swap parity vs a fresh reader over the compacted store
+        fresh = ShardedReader(
+            f"{base}/store", metric="l2", preload_vectors=False
+        )
+        ok = 0
+        for qi in picks[:5]:
+            a = reader.search(X[int(qi)], k=10)
+            b = fresh.search(X[int(qi)], k=10)
+            ok += int(
+                [tuple(r) for r in a.itertuples(index=False)]
+                == [tuple(r) for r in b.itertuples(index=False)]
+            )
+        reader.close()
+        fresh.close()
+        print(
+            f"| lsh sharded x{shards} compact-under-serve | {n:,} x {dims} | "
+            f"served {served}, failed {failed} during {shards} per-shard "
+            f"compactions | post-swap parity {ok}/5 |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def local_serve_probe(n: int = 1_000_000, dims: int = 64, k_cells: int = 1024) -> None:
     """Single-query latency of the DRIVER-SIDE serving readers
     (serve.local_reader) at corpus scale — the VERDICT r4 item-1 row.
@@ -1455,6 +1752,15 @@ if __name__ == "__main__":
         sys.exit(0)
     if sys.argv[1:2] == ["--sharded-serve"]:
         sharded_serve_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--sharded-ivf"]:
+        sharded_ivf_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--sharded-ivfpq"]:
+        sharded_ivfpq_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--sharded-compact"]:
+        sharded_compact_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--compact-serve"]:
         compact_serve_probe(*[int(s) for s in sys.argv[2:]])

@@ -665,17 +665,27 @@ def adc_shortlist_probe(
         cells_df = spark.read.parquet(f"{path}/cells")
         codebook_df = spark.read.parquet(f"{path}/codebook")
     n_store = vectors.count()
+    # thin down to AT MOST 4x the target with id-hash passes (each pass
+    # divides by >= 2), then collect and trim to EXACTLY sample_rows by
+    # keeping the smallest driver-side id hashes — still a pure function
+    # of the ids (layout-independent), without the up-to-2x
+    # undersampling a thin-to-below-target loop would suffer
     sample, m_est, salt = vectors, n_store, int(seed)
     for _ in range(12):  # each pass halves at least; 12 covers 4000x
-        if m_est <= sample_rows:
+        if m_est <= 4 * sample_rows:
             break
-        mod = max(2, m_est // sample_rows)
+        mod = max(2, m_est // (2 * sample_rows))
         sample = sample.filter(
             F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(mod)) == 0
         )
         salt += 1
         m_est = sample.count()
     rows = sample.collect()
+    if len(rows) > sample_rows:
+        from vector_search_go_spark.serve.xxh64 import SEED, hash_long
+
+        rows.sort(key=lambda r: (hash_long(int(r["id"]), SEED), r["id"]))
+        rows = rows[:sample_rows]
     rows.sort(key=lambda r: r["id"])
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     X = np.array([r["vec"] for r in rows], dtype=np.float64)

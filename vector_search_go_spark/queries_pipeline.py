@@ -911,7 +911,12 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
         )
     )
-    path = store_path(f"ivfpq_sharded3_k{_IVFPQ_K}", sf_dir)
+    # every model-shaping parameter rides in the key (the
+    # queries_lsh.py:263 convention): a constant change can never serve
+    # a store trained under the old parameters to the hash check
+    path = store_path(
+        f"ivfpq_sharded3_k{_IVFPQ_K}_i{_IVFPQ_ITERS}_{_trained_cb_key()}", sf_dir
+    )
     if not os.path.exists(os.path.join(path, "shards_meta")):
         centroids = cached_df(
             spark,

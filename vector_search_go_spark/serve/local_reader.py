@@ -825,13 +825,21 @@ class LocalIvfPqReader:
         )
 
     @staticmethod
-    def _cand_frame(query_id: int, ids, adc, dist) -> pd.DataFrame:
+    def _cand_frame(query_id: int, ids, adc, dist, vmult) -> pd.DataFrame:
+        """One row per local-shortlist SLOT. ``vmult`` = this id's row
+        count in the shard's vectors table: the unsharded search's
+        output multiplicity is the VECTORS multiplicity (its isin mask
+        selects vectors rows), while shortlist slots are CODES-row
+        multiplicity — at-least-once streaming replays or a
+        one-component dedup compaction can make these differ, so the
+        router needs both to reproduce the unsharded rows exactly."""
         return pd.DataFrame(
             {
                 "query_id": np.full(len(ids), query_id, dtype=np.int64),
                 "id": ids,
                 "adc": np.asarray(adc, dtype=np.float64),
                 "dist": np.asarray(dist, dtype=np.float64),
+                "vmult": np.asarray(vmult, dtype=np.int64),
             }
         )
 
@@ -844,54 +852,21 @@ class LocalIvfPqReader:
         shortlist: int | None = None,
         query_id: int = 0,
     ) -> pd.DataFrame:
-        import pyarrow as pa
-
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
-        from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
+        from vector_search_go_spark.operators.pq import pq_shortlist
 
         if shortlist is None:
             shortlist = max(self._rec_shortlist, pq_shortlist(k))
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, "l2", nprobe, model=self.coarse)
-
-        # ADC lookup table — same construction as ivfpq_point_search
-        n_codes = max(int(self.cb_ids[s].max()) for s in self.cb_ids) + 1
-        lut = np.zeros((M_SUB, n_codes))
-        for sub in range(M_SUB):
-            sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
-            lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
-
-        if self._mem_codes is not None:
-            hits = [
-                self._mem_codes[int(c)]
-                for c in probed
-                if int(c) in self._mem_codes
-            ]
-            if not hits:
-                return _result_frame([], [], k, query_id)
-            ids = np.concatenate([h[0] for h in hits])
-            C = np.concatenate([h[1] for h in hits])
-        else:
-            tbls = [
-                t for t in
-                self._cells.read_values_parallel(probed, ["id", "codes"]).values()
-                if t is not None and t.num_rows
-            ]
-            if not tbls:
-                return _result_frame([], [], k, query_id)
-            tbl = pa.concat_tables(tbls)
-            ids = tbl.column("id").to_numpy(zero_copy_only=False)
-            C = list_column_int_matrix(tbl, "codes", M_SUB)
-        acc = np.zeros(len(C))
-        for sub in range(M_SUB):
-            acc = acc + lut[sub][C[:, sub]]
-        adc = np.sqrt(acc)
-        if np.issubdtype(ids.dtype, np.number):
-            short = np.lexsort((ids, adc))[:shortlist]
-        else:
-            short = sorted(
-                range(len(ids)), key=lambda i: (adc[i], ids[i])
-            )[:shortlist]
+        # the bit-parity-critical ADC pipeline lives ONCE in the shared
+        # helpers — search, search_many, and the shard_candidates legs
+        # all call the same gather/LUT/fold/tie-break code
+        ids, C = self._gather_codes(probed)
+        if ids is None:
+            return _result_frame([], [], k, query_id)
+        adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
+        short = self._adc_topl(ids, adc, shortlist)
         short_ids = sorted(ids[i] for i in short)
 
         vtbl = self._vectors.read(short_ids, ["id", "vec"])
@@ -923,7 +898,7 @@ class LocalIvfPqReader:
         pass — per query the isin mask selects exactly the rows its
         own read would have, in the same store order."""
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
-        from vector_search_go_spark.operators.pq import D_SUB, M_SUB, pq_shortlist
+        from vector_search_go_spark.operators.pq import M_SUB, pq_shortlist
 
         if shortlist is None:
             shortlist = max(self._rec_shortlist, pq_shortlist(k))
@@ -942,7 +917,7 @@ class LocalIvfPqReader:
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
 
-        n_codes = max(int(self.cb_ids[s].max()) for s in self.cb_ids) + 1
+        n_codes = self._n_codes()
         per_query = []  # (qid, qvec, short_ids) -- scored after one union read
         union_ids: set = set()
         for i, qid in enumerate(query_ids):
@@ -954,20 +929,8 @@ class LocalIvfPqReader:
                 continue
             ids = np.concatenate([h[0] for h in hits])
             C = np.concatenate([h[1] for h in hits])
-            lut = np.zeros((M_SUB, n_codes))
-            for sub in range(M_SUB):
-                sl = Q[i, sub * D_SUB : (sub + 1) * D_SUB][None, :]
-                lut[sub, self.cb_ids[sub]] = _seq_sq_l2(sl, self.cb_mats[sub])[0]
-            acc = np.zeros(len(C))
-            for sub in range(M_SUB):
-                acc = acc + lut[sub][C[:, sub]]
-            adc = np.sqrt(acc)
-            if np.issubdtype(ids.dtype, np.number):
-                short = np.lexsort((ids, adc))[:shortlist]
-            else:
-                short = sorted(
-                    range(len(ids)), key=lambda i2: (adc[i2], ids[i2])
-                )[:shortlist]
+            adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
+            short = self._adc_topl(ids, adc, shortlist)
             short_ids = sorted(ids[j] for j in short)
             union_ids.update(short_ids)
             per_query.append((int(qid), Q[i], short_ids))
@@ -1020,29 +983,47 @@ class LocalIvfPqReader:
         SUPERSET shard-side changes no returned value. ``dist`` is NaN
         for an id whose vectors row is missing — the router drops those
         AFTER the global shortlist selection, exactly where the
-        unsharded search's isin mask drops them."""
+        unsharded search's isin mask drops them. ``vmult`` carries the
+        id's VECTORS-table row count (see _cand_frame): replay
+        duplicates make slot and output multiplicities differ, and the
+        unsharded output multiplicity is the vectors one."""
         from vector_search_go_spark.operators.ann_ivf import probe_cells_for
 
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, "l2", nprobe, model=self.coarse)
         ids, C = self._gather_codes(probed)
         if ids is None:
-            return self._cand_frame(query_id, np.empty(0, dtype=np.int64), [], [])
+            return self._cand_frame(
+                query_id, np.empty(0, dtype=np.int64), [], [], []
+            )
         adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
         short = self._adc_topl(ids, adc, shortlist)
         sids, sadc = ids[short], adc[short]
         short_ids = sorted(sids.tolist())
+        dmap, vcount = self._rerank_maps(
+            q, short_ids, self._vectors.read(short_ids, ["id", "vec"])
+        )
+        dist = [dmap.get(i, np.nan) for i in sids.tolist()]
+        vmult = [vcount.get(i, 0) for i in sids.tolist()]
+        return self._cand_frame(query_id, sids, sadc, dist, vmult)
+
+    def _rerank_maps(self, q: np.ndarray, short_ids, vtbl):
+        """{id: exact dist} + {id: vectors-row count} for a shortlist's
+        vector fetch. Replay-duplicate vectors rows carry identical
+        vecs, so one dist per id suffices; the COUNT is what the router
+        needs to reproduce the unsharded output multiplicity."""
         dmap: dict = {}
-        vtbl = self._vectors.read(short_ids, ["id", "vec"])
+        vcount: dict = {}
         if vtbl is not None and vtbl.num_rows:
             rid = vtbl.column("id").to_numpy(zero_copy_only=False)
             mask = np.isin(rid, np.asarray(short_ids))
             dd = single_query_dists(
                 "l2", q, list_column_matrix(vtbl, "vec", self.dims)[mask]
             )
-            dmap = dict(zip(rid[mask].tolist(), dd.tolist()))
-        dist = [dmap.get(i, np.nan) for i in sids.tolist()]
-        return self._cand_frame(query_id, sids, sadc, dist)
+            for i, d in zip(rid[mask].tolist(), dd.tolist()):
+                vcount[i] = vcount.get(i, 0) + 1
+                dmap.setdefault(i, d)
+        return dmap, vcount
 
     @_swap_retry
     def shard_candidates_many(
@@ -1062,7 +1043,7 @@ class LocalIvfPqReader:
 
         Q, query_ids = _batch_queries(Q, query_ids)
         if len(Q) == 0:
-            return self._cand_frame(0, np.empty(0, dtype=np.int64), [], [])
+            return self._cand_frame(0, np.empty(0, dtype=np.int64), [], [], [])
         probes = [
             probe_cells_for(None, None, Q[i], "l2", nprobe, model=self.coarse)
             for i in range(len(Q))
@@ -1107,17 +1088,21 @@ class LocalIvfPqReader:
         for qid, qv, sids, sadc in per_query:
             if sids is None:
                 frames.append(
-                    self._cand_frame(qid, np.empty(0, dtype=np.int64), [], [])
+                    self._cand_frame(qid, np.empty(0, dtype=np.int64), [], [], [])
                 )
                 continue
             dmap: dict = {}
+            vcount: dict = {}
             if rid_all is not None:
                 mask = np.isin(rid_all, np.asarray(sorted(sids.tolist())))
                 if mask.any():
                     dd = single_query_dists("l2", qv, V_all[mask])
-                    dmap = dict(zip(rid_all[mask].tolist(), dd.tolist()))
+                    for i, d in zip(rid_all[mask].tolist(), dd.tolist()):
+                        vcount[i] = vcount.get(i, 0) + 1
+                        dmap.setdefault(i, d)
             dist = [dmap.get(i, np.nan) for i in sids.tolist()]
-            frames.append(self._cand_frame(qid, sids, sadc, dist))
+            vmult = [vcount.get(i, 0) for i in sids.tolist()]
+            frames.append(self._cand_frame(qid, sids, sadc, dist, vmult))
         return pd.concat(frames, ignore_index=True)
 
 

@@ -413,12 +413,20 @@ class ShardedReader:
     def _merge_ivfpq(
         frames: list[pd.DataFrame], k: int, shortlist: int, order
     ) -> pd.DataFrame:
-        """Union of per-shard (query_id, id, adc, dist) candidate rows
-        -> per query: global ADC top-``shortlist`` by (adc, id), drop
-        missing-vector rows (NaN dist — the unsharded isin drop, in the
-        same place), then top-k by (dist, id). Queries emit in the
-        caller's order; a query with no candidates in any shard
-        contributes zero rows, like the unsharded reader."""
+        """Union of per-shard (query_id, id, adc, dist, vmult) SLOT rows
+        -> per query: global ADC top-``shortlist`` slots by (adc, id),
+        then emit each selected UNIQUE id with its vectors-table
+        multiplicity, then top-k by (dist, id).
+
+        This reproduces the unsharded reader's exact row set under
+        every duplicate configuration: slots (codes rows) consume
+        shortlist depth there too, but its OUTPUT rows are the isin
+        mask over the vectors table — one row per vectors row whose id
+        is shortlisted. vmult == 0 (no vectors row) drops the id in the
+        same place the unsharded mask drops it. An id lives in exactly
+        one shard (disjoint pmod split), so its slot rows and vmult are
+        mutually consistent. Queries emit in the caller's order; a
+        query with no candidates anywhere contributes zero rows."""
         allf = pd.concat(frames, ignore_index=True)
         groups = {int(q): sub for q, sub in allf.groupby("query_id", sort=False)}
         out = []
@@ -430,10 +438,22 @@ class ShardedReader:
             ids = sub["id"].to_numpy()
             adc = sub["adc"].to_numpy()
             dist = sub["dist"].to_numpy()
+            vmult = sub["vmult"].to_numpy()
             sel = LocalIvfPqReader._adc_topl(ids, adc, shortlist)
-            ids, dist = ids[sel], dist[sel]
-            ok = ~np.isnan(dist)
-            out.append(_result_frame(ids[ok], dist[ok], k, int(qid)))
+            out_ids: list = []
+            out_dist: list = []
+            seen: set = set()
+            for j in sel:
+                i = ids[j]
+                if i in seen:
+                    continue  # a second SLOT of an already-emitted id
+                seen.add(i)
+                m = int(vmult[j])
+                if m <= 0:
+                    continue  # no vectors row — the unsharded isin drop
+                out_ids.extend([i] * m)
+                out_dist.extend([float(dist[j])] * m)
+            out.append(_result_frame(out_ids, out_dist, k, int(qid)))
         return pd.concat(out, ignore_index=True)
 
     def search(self, qvec, k: int = 10, query_id: int = 0, **kwargs) -> pd.DataFrame:

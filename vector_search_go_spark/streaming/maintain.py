@@ -347,9 +347,6 @@ def _ingest_cycle_sharded(
     for k in range(n):
         for sub, _fn in per_shard_components[family]:
             spark.catalog.refreshByPath(f"{path}/shard={k}/{sub}")
-    if family == "lsh":
-        # appends changed global bucket sizes; re-pin survivor parity
-        refresh_hot_buckets(spark, path)
     report = {
         "lsh": maintain,
         "ivf": maintain_ivf,
@@ -368,11 +365,13 @@ def _ingest_cycle_sharded(
             report = {**report, "action": "compacted", "compact": compacted}
             for data_dir in compacted:
                 spark.catalog.refreshByPath(data_dir)
-            if family == "lsh" and compact_dedup:
-                # dedup compaction collapses replayed rows, changing
-                # global bucket sizes — plain compaction only rewrites
-                # files, so sizes (and parity) are untouched there
-                refresh_hot_buckets(spark, path)
+    if family == "lsh" and report["action"] != "rebuilt":
+        # the drain changed GLOBAL bucket sizes (and dedup compaction
+        # can too) — re-pin survivor parity ONCE, at the end. A rebuild
+        # skips this: save(shards=N) rewrote hot_buckets itself, and
+        # refreshing before maintain would be a whole-store aggregation
+        # the rebuild immediately clobbers.
+        refresh_hot_buckets(spark, path)
     return report
 
 
