@@ -196,15 +196,12 @@ def refresh_hot_buckets(spark, path: str) -> int:
         )
     # the cap comes from the (shared) model config; shard=0 is
     # authoritative because every shard was saved from the same index
-    import glob as _glob
     import json as _json
 
-    cfg_files = sorted(
-        _glob.glob(os.path.join(path, "shard=0", "model_config", "*.json"))
-        + _glob.glob(os.path.join(path, "shard=0", "model_config", "part-*"))
-    )
+    from vector_search_go_spark.serve.local_reader import meta_files
+
     cfg = None
-    for f in cfg_files:
+    for f in meta_files(os.path.join(path, "shard=0"), "model_config"):
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
@@ -454,6 +451,10 @@ class ShardedReader:
                 out_ids.extend([i] * m)
                 out_dist.extend([float(dist[j])] * m)
             out.append(_result_frame(out_ids, out_dist, k, int(qid)))
+        if not out:
+            # empty batch: same empty frame the unsharded reader (and
+            # _merge) return instead of a pd.concat([]) crash
+            return _result_frame([], [], k, int(order[0]) if len(order) else 0)
         return pd.concat(out, ignore_index=True)
 
     def search(self, qvec, k: int = 10, query_id: int = 0, **kwargs) -> pd.DataFrame:

@@ -426,69 +426,50 @@ def maintain_ivfpq(
     )
     if not tripped:
         return {"action": "none", **st}
+    # Branch-dependent pieces only: corpus source, model-source prefix,
+    # save fan-out, and the catalog paths to refresh. The rebuild
+    # pipeline itself (dedup -> lineage cut -> retrain -> pin models ->
+    # save -> refresh) is ONE sequence — its ordering rationale (cut
+    # before overwrite; materialize KB models so the save's eager
+    # collects don't re-run k-means, and the codebook-reuse branch
+    # doesn't re-read a dir the save overwrites) applies identically
+    # sharded and not. A sharded layout (VERDICT r6 item 2) retrains
+    # ONE coarse model + ONE codebook on the union of shard rerank
+    # tables: identical models across shards are the premise of the
+    # router's bit-identical global-shortlist merge.
     smeta = _shards_meta(path)
+    subs = ("cells", "vectors", "centroids", "codebook",
+            "build_stats", "store_meta")
     if smeta is not None:
-        # sharded IVFADC (VERDICT r6 item 2): ONE coarse model + ONE
-        # codebook retrain on the union of shard rerank tables, then
-        # ivfpq_save(shards=N) — identical models across shards are
-        # what make per-shard ADC scores comparable floats, the premise
-        # of the router's bit-identical global-shortlist merge
         from vector_search_go_spark.serve.sharded import union_shard_component
 
         n = int(smeta["n_shards"])
-        k = spark.read.parquet(f"{path}/shard=0/centroids").count()
+        model_src = f"{path}/shard=0"
         vectors = union_shard_component(spark, path, n, "vectors").select(
             "id", "vec"
         )
-        if dedup_ids:
-            vectors = vectors.dropDuplicates(["id"])
-        dim = len(vectors.select("vec").first()["vec"])
-        vectors = vectors.localCheckpoint(eager=True)
-        cents = kmeans_fit(
-            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
-        )
-        if retrain_codebook:
-            codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
-        else:
-            codebook = spark.read.parquet(f"{path}/shard=0/codebook")
-        cents = spark.createDataFrame(cents.collect(), cents.schema)
-        codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
-        ivfpq_save(spark, vectors, cents, codebook, path, metric="l2", shards=n)
-        for j in range(n):
-            for sub in (
-                "cells", "vectors", "centroids", "codebook",
-                "build_stats", "store_meta",
-            ):
-                spark.catalog.refreshByPath(f"{path}/shard={j}/{sub}")
+        save_kwargs = {"shards": n}
+        refresh = [f"{path}/shard={j}/{sub}" for j in range(n) for sub in subs]
     else:
-        k = spark.read.parquet(f"{path}/centroids").count()
+        model_src = path
         vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
-        if dedup_ids:
-            vectors = vectors.dropDuplicates(["id"])
-        dim = len(vectors.select("vec").first()["vec"])
-        # cut lineage before overwriting the directories the plans read
-        # from
-        vectors = vectors.localCheckpoint(eager=True)
-        cents = kmeans_fit(
-            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
-        )
-        if retrain_codebook:
-            codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
-        else:
-            codebook = spark.read.parquet(f"{path}/codebook")
-        # materialize both models (KB-sized) before ivfpq_save: its
-        # encode projections collect them eagerly AND its model writes
-        # re-execute the plans — without the cut, every rebuild pays the
-        # final k-means scan twice per model (and the reuse branch would
-        # re-read a store dir the save is about to overwrite)
-        cents = spark.createDataFrame(cents.collect(), cents.schema)
-        codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
-        ivfpq_save(spark, vectors, cents, codebook, path, metric="l2")
-        for sub in (
-            "cells", "vectors", "centroids", "codebook",
-            "build_stats", "store_meta",
-        ):
-            spark.catalog.refreshByPath(f"{path}/{sub}")
+        save_kwargs = {}
+        refresh = [f"{path}/{sub}" for sub in subs]
+    k = spark.read.parquet(f"{model_src}/centroids").count()
+    if dedup_ids:
+        vectors = vectors.dropDuplicates(["id"])
+    dim = len(vectors.select("vec").first()["vec"])
+    vectors = vectors.localCheckpoint(eager=True)
+    cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
+    if retrain_codebook:
+        codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+    else:
+        codebook = spark.read.parquet(f"{model_src}/codebook")
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
+    ivfpq_save(spark, vectors, cents, codebook, path, metric="l2", **save_kwargs)
+    for p in refresh:
+        spark.catalog.refreshByPath(p)
     report = {"action": "rebuilt", **st}
     if retune_shortlist:
         probe = adc_shortlist_probe(spark, path)
@@ -627,27 +608,22 @@ def maintain(
     if not tripped:
         return {"action": "none", **st}
     smeta = _shards_meta(path)
+    subs = ("buckets", "vectors", "build_stats", "model_config", "model_nodes")
     if smeta is not None:
         from vector_search_go_spark.serve.sharded import union_shard_component
 
         n = int(smeta["n_shards"])
         config = LshIndex.load_forest(spark, f"{path}/shard=0").config
         vectors = union_shard_component(spark, path, n, "vectors")
-        if dedup_ids:
-            vectors = vectors.dropDuplicates(["id"])
-        vectors = vectors.localCheckpoint(eager=True)
-        idx = LshIndex.train(spark, vectors, config)
-        idx.save(path, shards=n)
-        for k in range(n):
-            for sub in (
-                "buckets", "vectors", "build_stats",
-                "model_config", "model_nodes",
-            ):
-                spark.catalog.refreshByPath(f"{path}/shard={k}/{sub}")
-        spark.catalog.refreshByPath(f"{path}/hot_buckets")
-        return {"action": "rebuilt", **st}
-    config = LshIndex.load_forest(spark, path).config
-    vectors = spark.read.parquet(f"{path}/vectors")
+        save_kwargs = {"shards": n}
+        refresh = [
+            f"{path}/shard={k}/{sub}" for k in range(n) for sub in subs
+        ] + [f"{path}/hot_buckets"]
+    else:
+        config = LshIndex.load_forest(spark, path).config
+        vectors = spark.read.parquet(f"{path}/vectors")
+        save_kwargs = {}
+        refresh = [f"{path}/{sub}" for sub in subs]
     if dedup_ids:
         vectors = vectors.dropDuplicates(["id"])
     # cut lineage before overwriting the directory the plan reads from
@@ -656,11 +632,9 @@ def maintain(
     # larger — so the checkpoint is bounded)
     vectors = vectors.localCheckpoint(eager=True)
     idx = LshIndex.train(spark, vectors, config)
-    idx.save(path)
-    for sub in (
-        "buckets", "vectors", "build_stats", "model_config", "model_nodes"
-    ):
-        spark.catalog.refreshByPath(f"{path}/{sub}")
+    idx.save(path, **save_kwargs)
+    for p in refresh:
+        spark.catalog.refreshByPath(p)
     return {"action": "rebuilt", **st}
 
 
@@ -733,65 +707,49 @@ def maintain_ivf(
     )
     if not tripped:
         return {"action": "none", **st}
+    # Branch-dependent pieces only (the maintain_ivfpq pattern): metric
+    # authority, corpus source, save fan-out, refresh paths. A sharded
+    # layout retrains ONE coarse model on the union of shard cell
+    # tables — per-shard models would make shards probe different cells
+    # and break the router's exact-merge argument.
     smeta = _shards_meta(path)
+    subs = ("cells", "centroids", "build_stats", "store_meta")
     if smeta is not None:
-        # sharded layout (VERDICT r6 item 2): metric is authoritative in
-        # shards_meta (written by ivf_save(shards=N)); retrain ONE
-        # coarse model on the union of shard cell tables and re-save
-        # sharded — per-shard models would make shards probe different
-        # cells and break the router's exact-merge argument
         from vector_search_go_spark.serve.sharded import union_shard_component
 
         saved = smeta.get("metric")
-        if metric is None:
-            if saved is None:
-                raise ValueError(
-                    f"sharded layout at {path!r} has no metric in "
-                    "shards_meta: pass metric= explicitly"
-                )
-            metric = saved
-        elif saved is not None and saved != metric:
-            raise ValueError(
-                f"sharded layout at {path!r} was saved with "
-                f"metric={saved!r}; rebuilding under metric={metric!r} "
-                "would reassign every cell — re-save to change metrics"
-            )
         n = int(smeta["n_shards"])
-        k = spark.read.parquet(f"{path}/shard=0/centroids").count()
+        model_src = f"{path}/shard=0"
         vectors = union_shard_component(spark, path, n, "cells").select(
             "id", "vec"
         )
-        if dedup_ids:
-            vectors = vectors.dropDuplicates(["id"])
-        dim = len(vectors.select("vec").first()["vec"])
-        vectors = vectors.localCheckpoint(eager=True)
-        cents = kmeans_fit(
-            vectors, k, iters=kmeans_iters, dim=dim, spread_init=True
-        )
-        ivf_save(spark, vectors, cents, path, metric=metric, shards=n)
-        for j in range(n):
-            for sub in ("cells", "centroids", "build_stats", "store_meta"):
-                spark.catalog.refreshByPath(f"{path}/shard={j}/{sub}")
-        return {"action": "rebuilt", **st}
-    saved = store_metric(spark, path)
+        save_kwargs = {"shards": n}
+        refresh = [f"{path}/shard={j}/{sub}" for j in range(n) for sub in subs]
+        where = f"sharded layout at {path!r} (shards_meta)"
+    else:
+        saved = store_metric(spark, path)
+        model_src = path
+        vectors = spark.read.parquet(f"{path}/cells").select("id", "vec")
+        save_kwargs = {}
+        refresh = [f"{path}/{sub}" for sub in subs]
+        where = f"store at {path!r}"
     if metric is None:
         if saved is None:
             raise ValueError(
-                f"store at {path!r} predates metric persistence "
-                "(no store_meta): pass metric= explicitly — it must match "
-                "the metric searches run with, or the rebuilt cell "
-                "assignment silently degrades recall"
+                f"{where} predates metric persistence: pass metric= "
+                "explicitly — it must match the metric searches run "
+                "with, or the rebuilt cell assignment silently degrades "
+                "recall"
             )
         metric = saved
     elif saved is not None and saved != metric:
         raise ValueError(
-            f"store at {path!r} was saved with metric={saved!r}; "
-            f"rebuilding under metric={metric!r} would reassign every "
-            "cell and silently degrade recall for searches still using "
-            f"{saved!r} — re-save the store (ivf_save) to change metrics"
+            f"{where} was saved with metric={saved!r}; rebuilding under "
+            f"metric={metric!r} would reassign every cell and silently "
+            f"degrade recall for searches still using {saved!r} — "
+            "re-save the store (ivf_save) to change metrics"
         )
-    k = spark.read.parquet(f"{path}/centroids").count()
-    vectors = spark.read.parquet(f"{path}/cells").select("id", "vec")
+    k = spark.read.parquet(f"{model_src}/centroids").count()
     if dedup_ids:
         vectors = vectors.dropDuplicates(["id"])
     dim = len(vectors.select("vec").first()["vec"])
@@ -801,7 +759,7 @@ def maintain_ivf(
     # so first-k-by-id seeds would all land in the stale region and the
     # retrain could not rebalance (operators.kmeans.kmeans_init)
     cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
-    ivf_save(spark, vectors, cents, path, metric=metric)
-    for sub in ("cells", "centroids", "build_stats", "store_meta"):
-        spark.catalog.refreshByPath(f"{path}/{sub}")
+    ivf_save(spark, vectors, cents, path, metric=metric, **save_kwargs)
+    for p in refresh:
+        spark.catalog.refreshByPath(p)
     return {"action": "rebuilt", **st}
