@@ -431,3 +431,143 @@ def test_engine_save_shards_after_auto_train(spark, tmp_path):
             assert _rows(rd.search(q, k=10)) == _rows(single.search(q, k=10))
     finally:
         rd.close()
+
+
+def test_engine_load_sharded_lsh_matches_unsharded(spark, tmp_path):
+    """engine.load on a sharded LSH layout returns a batch-search engine
+    over the UNION view (shared model + union components) — identical
+    search rows to loading the unsharded twin; sharded IVFADC layouts
+    are refused with the same guidance as unsharded ones."""
+    import pytest as _pytest
+
+    from vector_search_go_spark.engine import VectorSearchEngine
+
+    rng = np.random.default_rng(73)
+    A = rng.standard_normal((500, DIMS))
+    path = str(tmp_path / "lsh_sh")
+    idx = LshIndex.train(spark, _df(spark, A), CFG)
+    idx.save(path, shards=3)
+    twin = str(tmp_path / "lsh_twin")
+    _lsh_unsharded_twin(spark, path, twin)
+
+    eng_sh = VectorSearchEngine.load(spark, path, metric="l2")
+    eng_un = VectorSearchEngine.load(spark, twin, metric="l2")
+    assert eng_sh.backend == "lsh"
+    q = spark.createDataFrame(
+        [(0, A[7].tolist()), (1, A[321].tolist())],
+        "query_id bigint, qvec array<double>",
+    )
+    got = sorted(
+        (r["query_id"], r["id"], r["dist"], r["rn"])
+        for r in eng_sh.search(q, k=10).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["id"], r["dist"], r["rn"])
+        for r in eng_un.search(q, k=10).collect()
+    )
+    assert got == want and len(got) == 20
+    # metric-family guard still applies through the sharded route
+    with _pytest.raises(ValueError, match="is_angular"):
+        VectorSearchEngine.load(spark, path, metric="cosine")
+
+
+def test_engine_load_sharded_ivfpq_refused(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from vector_search_go_spark.engine import VectorSearchEngine
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+
+    rng = np.random.default_rng(79)
+    X = rng.standard_normal((200, 64))
+    corpus = _df(spark, X)
+    cents = kmeans_fit(corpus, 4, iters=1, dim=64)
+    cb = pq_codebook(
+        corpus.select(SF.col("id").alias("vec_id"), SF.col("vec").alias("embedding"))
+    )
+    path = str(tmp_path / "pq_sh")
+    ivfpq_save(spark, corpus, cents, cb, path, metric="l2", shards=2)
+    with pytest.raises(ValueError, match="ShardedReader"):
+        VectorSearchEngine.load(spark, path)
+
+
+def test_engine_compact_sharded_lsh(spark, tmp_path):
+    """engine.compact on a sharded layout compacts every shard's bucket
+    store; dedup mode refreshes the global hot_buckets table."""
+    from vector_search_go_spark.engine import VectorSearchEngine
+    from vector_search_go_spark.serve.sharded import _load_hot_buckets
+    from vector_search_go_spark.streaming.ingest import parquet_file_count
+    from vector_search_go_spark.streaming.maintain import ingest_cycle
+
+    rng = np.random.default_rng(83)
+    A = rng.standard_normal((600, DIMS))
+    B = rng.standard_normal((80, DIMS))
+    B[20:] = B[20]  # replayed-looking duplicates feed the dedup branch
+    path = str(tmp_path / "lsh_c")
+    LshIndex.train(spark, _df(spark, A), CFG).save(path, shards=3)
+    # two drains, second replays the first's rows (same landing data)
+    for tag in ("c1", "c2"):
+        ingest_cycle(
+            spark,
+            _stream(spark, tmp_path, B, 600, "c_land"),
+            path,
+            str(tmp_path / f"ckpt_{tag}"),
+            compact_over=None,
+            tv_threshold=10.0,
+            growth_threshold=10.0,
+        )
+    hot_dup = _load_hot_buckets(path)
+    before = parquet_file_count(f"{path}/shard=0/buckets")
+    res = VectorSearchEngine.compact(spark, path, dedup=True, keep_backup=False)
+    assert set(res["shards"]) == {0, 1, 2}
+    assert parquet_file_count(f"{path}/shard=0/buckets") <= before
+    hot_deduped = _load_hot_buckets(path)
+    # dedup halved the duplicated block's bucket mass; the refreshed
+    # global sizes must reflect it (strictly smaller than the replayed
+    # sizes for the duplicated bucket)
+    assert any(
+        hot_deduped.get(key, 0) < sz for key, sz in hot_dup.items()
+    ) or hot_dup == {}
+    total = sum(
+        spark.read.parquet(f"{path}/shard={k}/buckets").count()
+        for k in range(3)
+    )
+    assert total == (600 + 80) * CFG.n_trees  # replays collapsed
+
+
+def test_sharded_scan_stream_append_then_parity(spark, tmp_path):
+    """Scan-family sharded drain: vectors-only appends routed by
+    shard_expr; the post-drain ShardedReader matches a fresh unsharded
+    scan store over the union corpus (scan stores have no model, so the
+    twin is just scan_save of the union)."""
+    from vector_search_go_spark.operators.exact_knn import scan_save
+    from vector_search_go_spark.serve.local_reader import LocalScanReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.streaming.ingest import ingest_to_sharded_store
+
+    rng = np.random.default_rng(89)
+    A = rng.standard_normal((400, DIMS))
+    B = rng.standard_normal((50, DIMS))
+    path = str(tmp_path / "scan_sh")
+    scan_save(spark, _df(spark, A), path, metric="l2", shards=3)
+    ingest_to_sharded_store(
+        spark,
+        _stream(spark, tmp_path, B, 400, "scan_b"),
+        path,
+        str(tmp_path / "ckpt_scan_b"),
+    )
+    sizes = [
+        spark.read.parquet(f"{path}/shard={k}/vectors").count()
+        for k in range(3)
+    ]
+    assert sum(sizes) == 450
+    twin = str(tmp_path / "scan_twin")
+    scan_save(
+        spark, _df(spark, np.vstack([A, B])), twin, metric="l2"
+    )
+    single = LocalScanReader(twin)
+    with ShardedReader(path) as sharded:
+        for q in (A[7], B[11]):
+            assert _rows(sharded.search(q, k=10)) == _rows(
+                single.search(q, k=10)
+            )

@@ -412,9 +412,38 @@ class VectorSearchEngine:
 
         ``keep_backup=False`` deletes the pre-compaction ``.compact-old``
         copy right after the swap instead of holding it for
-        ``gc_compacted_store`` — no extra disk, no rollback."""
+        ``gc_compacted_store`` — no extra disk, no rollback. A sharded
+        LSH layout compacts each shard's bucket store and, when
+        ``dedup`` collapsed replayed rows (global bucket sizes moved),
+        refreshes the whole-store ``hot_buckets`` table that
+        survivor-rule parity hangs on."""
         from vector_search_go_spark.streaming.ingest import compact_bucket_store
 
+        if "://" not in path:
+            from vector_search_go_spark.serve.sharded import (
+                read_shards_meta,
+                refresh_hot_buckets,
+            )
+
+            smeta = read_shards_meta(path)
+            if smeta is not None:
+                if smeta["family"] != "lsh":
+                    raise ValueError(
+                        f"sharded layout at {path!r} holds family "
+                        f"{smeta['family']!r}; engine.compact targets LSH "
+                        "bucket stores — use ingest_cycle's per-component "
+                        "compaction for the other families"
+                    )
+                stats = {
+                    k: compact_bucket_store(
+                        spark, f"{path}/shard={k}/buckets",
+                        dedup=dedup, keep_backup=keep_backup,
+                    )
+                    for k in range(int(smeta["n_shards"]))
+                }
+                if dedup:
+                    refresh_hot_buckets(spark, path)
+                return {"shards": stats}
         return compact_bucket_store(
             spark, f"{path}/buckets", dedup=dedup, keep_backup=keep_backup
         )
@@ -452,6 +481,12 @@ class VectorSearchEngine:
                     raise ValueError(
                         "ivfpq stores are l2-only (ADC ranks by squared "
                         "L2); metric= does not apply"
+                    )
+                if family == "lsh" and "metric" in kwargs:
+                    raise ValueError(
+                        "metric applies to IVF stores (cell reassignment); "
+                        "this layout is LSH, whose rebuild reuses the "
+                        "persisted forest config"
                     )
                 from vector_search_go_spark.streaming import maintain as _mm
 
@@ -557,6 +592,12 @@ class VectorSearchEngine:
         def _exists(sub: str) -> bool:
             return _store_has(spark, path, sub)
 
+        if "://" not in path:
+            from vector_search_go_spark.serve.sharded import read_shards_meta
+
+            smeta = read_shards_meta(path)
+            if smeta is not None:
+                return cls._load_sharded(spark, path, smeta, metric)
         if _exists("codebook"):
             # ivfpq_save layout (centroids + codebook + coded cells) —
             # its cells hold PQ codes, not vectors, so neither engine
@@ -634,4 +675,67 @@ class VectorSearchEngine:
                 )
             except Exception:
                 pass
+        return eng
+
+    @classmethod
+    def _load_sharded(
+        cls, spark: SparkSession, path: str, smeta: dict, metric: str
+    ) -> "VectorSearchEngine":
+        """Load a SHARDED layout for batch search: sharding is a SERVING
+        layout (per-reader RAM bounds), while the engine's batch search
+        is a distributed Spark job — the right view there is the UNION
+        of shard components against the shared shard=0 model, which is
+        exactly the store one big save would have written (the shards
+        partition the corpus; the models are identical by construction).
+        Serving still goes through local_reader -> ShardedReader."""
+        from vector_search_go_spark.serve.sharded import union_shard_component
+
+        family = smeta["family"]
+        n = int(smeta["n_shards"])
+        if family == "ivfpq":
+            raise ValueError(
+                f"store at {path!r} is a sharded IVF+PQ layout: the "
+                "engine facade has no ivfpq backend — serve it with "
+                "serve.sharded.ShardedReader, or batch-search with "
+                "operators.pq.ivfpq_point_search per shard"
+            )
+        saved_metric = smeta.get("metric")
+        if family == "lsh":
+            forest = LshIndex.load_forest(spark, f"{path}/shard=0")
+            if forest.config.is_angular != is_angular(metric):
+                raise ValueError(
+                    f"index at {path!r} was trained with "
+                    f"is_angular={forest.config.is_angular}, incompatible "
+                    f"with metric={metric!r}"
+                )
+            eng = cls(spark, forest.config, metric=metric, backend="lsh")
+            eng._index = LshIndex(
+                forest.config,
+                forest,
+                union_shard_component(spark, path, n, "vectors"),
+                union_shard_component(spark, path, n, "buckets"),
+            )
+            eng._vectors = eng._index.vectors
+            return eng
+        if saved_metric is not None and saved_metric != metric:
+            raise ValueError(
+                f"store at {path!r} was saved with "
+                f"metric={saved_metric!r}, incompatible with "
+                f"metric={metric!r}"
+            )
+        if family == "ivf":
+            cents = spark.read.parquet(f"{path}/shard=0/centroids")
+            cells = union_shard_component(spark, path, n, "cells")
+            eng = cls(
+                spark, metric=metric, backend="ivf", ivf_cells=cents.count()
+            )
+            eng._cents = cents
+            eng._cells = cells.select("cell", "id", "vec")
+            eng._vectors = cells.select("id", "vec")
+            return eng
+        # scan
+        eng = cls(spark, metric=metric, backend="exact")
+        eng._vectors = union_shard_component(spark, path, n, "vectors").select(
+            "id", "vec"
+        )
         return eng
