@@ -505,3 +505,44 @@ def test_sharded_search_many_rejects_duplicate_ids(sharded_stores):
     sharded = ShardedReader(str(base / "scan_sharded"))
     with pytest.raises(ValueError, match="duplicate query_id"):
         sharded.search_many(queries[:2], k=5, query_ids=[7, 7])
+
+
+def test_sharded_ivfpq_survives_shard_compaction_swap(spark, ivfpq_sharded_stores, tmp_path):
+    """A live ShardedReader whose shard workers hold pre-compaction file
+    indexes must keep answering after a shard's cells AND vectors
+    directories are swapped (compact_codes_store/compact_vectors_store):
+    the per-shard _swap_retry on shard_candidates reloads against the
+    post-swap store. Deterministic version of the compact-under-serve
+    probe, through the IVFADC router."""
+    import shutil
+
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.streaming.ingest import (
+        compact_codes_store,
+        compact_vectors_store,
+    )
+
+    base, queries = ivfpq_sharded_stores
+    sharded_p = str(tmp_path / "sharded")
+    shutil.copytree(str(base / "sharded"), sharded_p)
+    single = LocalIvfPqReader(str(base / "single"))
+    with ShardedReader(sharded_p) as reader:
+        before = reader.search(queries[0], k=10)
+        for k in range(3):
+            compact_codes_store(
+                spark, f"{sharded_p}/shard={k}/cells", keep_backup=False
+            )
+            compact_vectors_store(
+                spark, f"{sharded_p}/shard={k}/vectors", keep_backup=False,
+                block_size=64 << 10,
+            )
+        for q in (queries[0], queries[2]):
+            got = reader.search(q, k=10)  # stale indexes -> retry path
+            want = single.search(q, k=10)
+            assert [tuple(r) for r in got.itertuples(index=False)] == [
+                tuple(r) for r in want.itertuples(index=False)
+            ]
+        assert [tuple(r) for r in reader.search(queries[0], k=10).itertuples(index=False)] == [
+            tuple(r) for r in before.itertuples(index=False)
+        ]
