@@ -1196,6 +1196,30 @@ def sharded_ivf_probe(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _measure_batch(reader, picks, Q, batch: int, search_kwargs=None):
+    """search_many over ``batch``-sized query groups -> per-query
+    (median, p90) ms across batches. The router pays its IPC round-trip
+    and each worker its LUT/gather floor once per BATCH, so per-query
+    cost at batch B bounds the amortizable share of the single-query
+    number."""
+    kw = search_kwargs or {}
+    ids = [int(i) for i in picks]
+    # warm once
+    reader.search_many([Q[i] for i in ids[:batch]], k=10,
+                       query_ids=list(range(batch)), **kw)
+    per_q = []
+    groups = [ids[i : i + batch] for i in range(0, len(ids), batch)]
+    for g in groups:
+        if len(g) < batch:
+            continue
+        t0 = time.time()
+        reader.search_many([Q[i] for i in g], k=10,
+                           query_ids=list(range(len(g))), **kw)
+        per_q.append((time.time() - t0) * 1000 / len(g))
+    per_q.sort()
+    return per_q[len(per_q) // 2], per_q[int(0.9 * (len(per_q) - 1))]
+
+
 def sharded_ivfpq_probe(
     n_small: int = 1_000_000, factor: int = 10, dims: int = 64,
     k_cells: int = 1024, nprobe: int = 8,
@@ -1283,12 +1307,24 @@ def sharded_ivfpq_probe(
         )
         init_p = time.time() - t0
         med_p, p90_p = _measure_point(r_proc, picks_b, Qb, {"nprobe": nprobe})
-        r_proc.close()
         print(
             f"| ivfpq sharded x{factor} (processes) | {n_big:,} x {dims}, "
             f"{k_cells} cells, nprobe {nprobe} | build {t_big:.1f} s | "
             f"init {init_p:.1f} s | {med_p:.1f} ms/q median | "
             f"{p90_p:.1f} ms/q p90 |",
+            flush=True,
+        )
+        # batch serving through the same router: IPC + per-worker LUT/
+        # gather floors amortize across the batch, per-query ms drops
+        med_b32, p90_b32 = _measure_batch(
+            r_proc, picks_b, Qb, 20, {"nprobe": nprobe}
+        )
+        r_proc.close()
+        print(
+            f"| ivfpq sharded x{factor} (processes), batch 20 | "
+            f"{n_big:,} x {dims}, {k_cells} cells, nprobe {nprobe} | "
+            f"— (same store) | — | {med_b32:.1f} ms/q median | "
+            f"{p90_b32:.1f} ms/q p90 |",
             flush=True,
         )
     finally:
