@@ -1,0 +1,269 @@
+"""100M-row compressed-store receipt (VERDICT r7 item 4).
+
+The 100 TB claim for the IVFADC family rests on the compressed store
+sharding: codes are 16x fewer aggregate bytes than vectors, so shards
+fit readers. 10M x 10 shards is measured (SCALE.md r7); this probe
+builds ONE 100M x 64 store — codes ~0.8 GB, vectors ~51 GB on disk —
+with sample-trained models, a sharded save, serving, and maintenance,
+each phase a separate CLI run so serving can be measured on an idle box
+after the multi-hour build.
+
+Disk discipline: the corpus is NEVER landed. ``gen_corpus`` generates
+vectors lazily inside Spark — mapInPandas over spark.range(n_blocks),
+each 65,536-row block drawn from default_rng((seed, block)), so every
+scan of the plan regenerates identical rows (the build's multiple
+passes re-derive the corpus instead of caching 51 GB), and any id's
+vector can be re-derived on the driver for queries. Models train on a
+~1M strided sample (kmeans_fit sample_rows / an id-stride filter): the
+100 TB posture — model quality saturates far below corpus size, and
+driver build cost must be O(sample), never O(corpus).
+
+Phases:
+  --build  [n dims shards k_cells]   train models, save shard=0..N-1
+  --serve  [path n dims shards]      ms/q single + batch via the router
+  --maintain [path]                  staleness verdict + shortlist probe
+
+Run: python tools/probe_100m.py --build 100000000 64 10 1024
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BLOCK = 65536
+SEED = 7
+DEFAULT_PATH = "/tmp/ivfpq100m/store"
+
+
+def _centers(dims: int) -> np.ndarray:
+    rng = np.random.default_rng(SEED)
+    return rng.normal(size=(64, dims)) * 2.0
+
+
+def block_rows(block: int, n: int, dims: int) -> np.ndarray:
+    """Rows [block*BLOCK, min(n, (block+1)*BLOCK)) of the corpus —
+    deterministic per (SEED, block), so workers and the driver derive
+    identical vectors without any materialized table."""
+    lo = block * BLOCK
+    hi = min(n, lo + BLOCK)
+    rng = np.random.default_rng((SEED, block))
+    centers = _centers(dims)
+    assign = rng.integers(0, len(centers), size=hi - lo)
+    return centers[assign] + rng.normal(size=(hi - lo, dims))
+
+
+def vec_of(i: int, n: int, dims: int) -> np.ndarray:
+    b = i // BLOCK
+    return block_rows(b, n, dims)[i - b * BLOCK]
+
+
+def gen_corpus(spark, n: int, dims: int):
+    """Lazy (id, vec) DataFrame of the whole corpus. Every action
+    regenerates — generation is a few seconds of numpy per full pass,
+    which is the trade that keeps 51 GB of corpus off the disk the
+    store itself needs."""
+    import pandas as pd
+
+    n_blocks = (n + BLOCK - 1) // BLOCK
+
+    def emit(batches):
+        for pdf in batches:
+            for b in pdf["id"].tolist():
+                X = block_rows(int(b), n, dims)
+                lo = int(b) * BLOCK
+                yield pd.DataFrame(
+                    {
+                        "id": np.arange(lo, lo + len(X), dtype=np.int64),
+                        "vec": list(X),
+                    }
+                )
+
+    return spark.range(0, n_blocks, 1, 64).mapInPandas(
+        emit, "id long, vec array<double>"
+    )
+
+
+def build(
+    n: int = 100_000_000,
+    dims: int = 64,
+    shards: int = 10,
+    k_cells: int = 1024,
+    path: str = DEFAULT_PATH,
+) -> None:
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        pq_codebook_trained,
+    )
+    from vector_search_go_spark.serve.sharded import (
+        shard_expr,
+        write_shards_meta,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "probe-100m-build", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = gen_corpus(spark, n, dims)
+
+    t0 = time.time()
+    # ~1M-row strided sample for both models (the sampled-Lloyd posture
+    # the angular_ivf probe measured: quality saturates below corpus
+    # size and driver cost must not scale with it)
+    stride = max(1, n // 1_000_000)
+    sample = corpus.filter(F.col("id") % stride == 0)
+    cents = kmeans_fit(sample, k_cells, iters=3, dim=dims)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    t_kmeans = time.time() - t0
+    print(f"# kmeans {k_cells} cells on ~1M sample: {t_kmeans:.0f} s", flush=True)
+
+    t0 = time.time()
+    cb = pq_codebook_trained(sample)
+    cb = spark.createDataFrame(cb.collect(), cb.schema)
+    t_cb = time.time() - t0
+    print(f"# pq codebook trained: {t_cb:.0f} s", flush=True)
+
+    # per-shard saves over the lazily-regenerated corpus: the library's
+    # shards=N branch caches the corpus (right at 1-10M, impossible at
+    # 51 GB) — here each save's two passes regenerate instead, and
+    # shard population is non-empty by construction (contiguous ids x
+    # pmod(xxhash64) split at n >> shards)
+    sh = shard_expr(shards)
+    t_shards = []
+    for k in range(shards):
+        t0 = time.time()
+        ivfpq_save(
+            spark, corpus.filter(sh == k), cents, cb,
+            f"{path}/shard={k}", metric="l2",
+        )
+        t_shards.append(time.time() - t0)
+        print(f"# shard {k}: {t_shards[-1]:.0f} s", flush=True)
+    write_shards_meta(spark, path, "ivfpq", shards, metric="l2")
+    total = t_kmeans + t_cb + sum(t_shards)
+    import subprocess
+
+    du = subprocess.run(
+        ["du", "-sh", path], capture_output=True, text=True
+    ).stdout.split()[0]
+    print(
+        f"| ivfpq 100M build | {n:,} x {dims}, {k_cells} cells, "
+        f"x{shards} shards | kmeans {t_kmeans:.0f} s + codebook "
+        f"{t_cb:.0f} s + saves {sum(t_shards):.0f} s = {total / 60:.0f} min "
+        f"| {du} on disk |",
+        flush=True,
+    )
+
+
+def serve(
+    path: str = DEFAULT_PATH,
+    n: int = 100_000_000,
+    dims: int = 64,
+    nprobe: int = 8,
+    batch: int = 20,
+) -> None:
+    """ms/q through the process-per-shard router: single-query and
+    batch, same protocol as scale_probe.sharded_ivfpq_probe (held-out
+    warmup, member queries, median/p90)."""
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    rng = np.random.default_rng(SEED + 1)
+    picks = rng.choice(n, size=120, replace=False)
+    Q = {int(i): vec_of(int(i), n, dims) for i in picks}
+
+    t0 = time.time()
+    reader = ShardedReader(path, preload_codes=True, processes=True)
+    t_init = time.time() - t0
+    try:
+        # parity spot-check: a member query's top-1 is itself at dist 0
+        for qi in picks[:3]:
+            top = reader.search(Q[int(qi)], k=1, nprobe=nprobe)
+            assert int(top["id"][0]) == int(qi), (qi, top)
+            assert float(top["dist"][0]) == 0.0
+        for qi in picks[:20]:
+            reader.search(Q[int(qi)], k=10, nprobe=nprobe)
+        lat = []
+        for qi in picks[20:]:
+            t0 = time.time()
+            reader.search(Q[int(qi)], k=10, nprobe=nprobe)
+            lat.append((time.time() - t0) * 1000)
+        lat.sort()
+        med, p90 = lat[len(lat) // 2], lat[int(0.9 * len(lat))]
+        print(
+            f"| ivfpq sharded (processes) | {n:,} x {dims} | init "
+            f"{t_init:.1f} s | {med:.1f} ms/q median | {p90:.1f} ms/q p90 |",
+            flush=True,
+        )
+        ids = [int(i) for i in picks]
+        reader.search_many(
+            [Q[i] for i in ids[:batch]], k=10,
+            query_ids=list(range(batch)), nprobe=nprobe,
+        )
+        per_q = []
+        for g0 in range(0, len(ids) - batch + 1, batch):
+            g = ids[g0 : g0 + batch]
+            t0 = time.time()
+            reader.search_many(
+                [Q[i] for i in g], k=10,
+                query_ids=list(range(len(g))), nprobe=nprobe,
+            )
+            per_q.append((time.time() - t0) * 1000 / len(g))
+        per_q.sort()
+        print(
+            f"| ivfpq sharded (processes), batch {batch} | {n:,} x {dims} "
+            f"| — (same store) | {per_q[len(per_q) // 2]:.1f} ms/q median "
+            f"| {per_q[int(0.9 * (len(per_q) - 1))]:.1f} ms/q p90 |",
+            flush=True,
+        )
+    finally:
+        reader.close()
+
+
+def maintain(path: str = DEFAULT_PATH) -> None:
+    """Whole-store staleness on the sharded layout (union of per-shard
+    masses — must say FRESH right after the build) + the bounded
+    adc_shortlist_probe writing the layout-level recommended_shortlist
+    the router serves with."""
+    from vector_search_go_spark.operators.pq import adc_shortlist_probe
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.streaming.maintain import maintain_ivfpq
+
+    spark = get_spark(
+        "probe-100m-maintain", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    rep = maintain_ivfpq(spark, path)
+    t_stale = time.time() - t0
+    t0 = time.time()
+    probe = adc_shortlist_probe(spark, path)
+    t_probe = time.time() - t0
+    print(
+        f"| ivfpq 100M maintain | action={rep.get('action')} "
+        f"tv_drift={rep.get('tv_drift')} growth={rep.get('growth')} "
+        f"in {t_stale:.0f} s | shortlist probe {probe} in {t_probe:.0f} s |",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    if sys.argv[1:2] == ["--build"]:
+        a = [s if not s.lstrip("-").isdigit() else int(s) for s in sys.argv[2:]]
+        build(*a)
+    elif sys.argv[1:2] == ["--serve"]:
+        p = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
+        a = [int(s) for s in sys.argv[3:]]
+        serve(p, *a)
+    elif sys.argv[1:2] == ["--maintain"]:
+        maintain(*sys.argv[2:3])
+    else:
+        print(__doc__)
+        sys.exit(2)
