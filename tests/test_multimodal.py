@@ -267,3 +267,118 @@ def test_png_dispatch_and_refusals():
     )
     with _pytest.raises(NotImplementedError, match="color=3"):
         decode_media(pal, "image/png")
+
+
+def test_dhash60_bits_and_truncation():
+    """dhash60 fixture: bit b = i*8+j set iff gray[i,j] < gray[i,j+1],
+    row-major, bits 60-63 dropped (BIGINT-safe fingerprint)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import dhash60
+
+    # strictly increasing rows -> every comparison true -> all 60 bits
+    g = np.tile(np.arange(9), (8, 1))
+    assert dhash60(g) == (1 << 60) - 1
+    # strictly decreasing -> no bits
+    assert dhash60(g[:, ::-1].copy()) == 0
+    # exactly one rise at row 2, col 3 -> bit 2*8+3
+    g = np.zeros((8, 9), dtype=np.int64)
+    g[2, 4] = 5  # gray[2,3] < gray[2,4] sets bit 19; gray[2,4] > gray[2,5] none
+    assert dhash60(g) == 1 << 19
+    # a rise in the dropped half-row (row 7, col 4 -> bit 60) is ignored
+    g = np.zeros((8, 9), dtype=np.int64)
+    g[7, 5] = 5  # bit 7*8+4 = 60 -> truncated
+    assert dhash60(g) == 0
+
+
+def test_gray_luma_integer_exact():
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import gray_luma
+
+    px = np.array([[[255, 255, 255], [1, 2, 3]]], dtype=np.uint8)
+    g = gray_luma(px)
+    assert g.dtype == np.int64
+    assert g[0, 0] == 299 * 255 + 587 * 255 + 114 * 255
+    assert g[0, 1] == 299 * 1 + 587 * 2 + 114 * 3
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    """Real BMP payloads through image_dhash + the banded Hamming join:
+    an exact duplicate pair, a within-tau near pair, and a far image.
+    The <n_bands-bit pigeonhole guarantee is exercised by the 3-bit
+    variant (4 bands x 15 bits -> must be caught)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        dhash60,
+        encode_bmp,
+        gray_luma,
+        hamming_near_dup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    # flip the gradient sign at three known cells -> hamming <= 3 vs base
+    near = base.copy()
+    g = gray_luma(base)
+    flips = 0
+    for i in range(8):
+        for j in range(8):
+            if flips == 3:
+                break
+            # force comparison (i, j) to invert by swapping the pair
+            near[i, j], near[i, j + 1] = near[i, j + 1].copy(), near[i, j].copy()
+            flips += 1
+        break
+    far = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    rows = [
+        (0, encode_bmp(base), {"mime": "image/bmp"}),
+        (1, encode_bmp(base), {"mime": "image/bmp"}),  # exact dup of 0
+        (2, encode_bmp(near), {"mime": "image/bmp"}),
+        (3, encode_bmp(far), {"mime": "image/bmp"}),
+    ]
+    media = spark.createDataFrame(
+        rows, "id bigint, media binary, meta struct<mime:string>"
+    )
+    hashes = image_dhash(media)
+    hm = {r["id"]: r["phash"] for r in hashes.collect()}
+    # kernel parity: the Spark-side hash equals the local recompute
+    assert hm[0] == dhash60(gray_luma(base)) and hm[0] == hm[1]
+    ham_near = bin(hm[0] ^ hm[2]).count("1")
+    assert 1 <= ham_near <= 3  # the three forced flips, possibly collapsed
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(hashes, tau=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # pigeonhole: < 4 differing bits across 4 bands MUST share a band
+    assert pairs[(0, 2)] == ham_near and pairs[(1, 2)] == ham_near
+    assert not any(3 in p for p in pairs)
+
+
+def test_image_dhash_refuses_small_and_nonimage(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_go_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        image_dhash,
+    )
+
+    small = spark.createDataFrame(
+        [(0, encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)),
+          {"mime": "image/bmp"})],
+        "id bigint, media binary, meta struct<mime:string>",
+    )
+    with _pytest.raises(Exception, match="below the 8x9 dHash grid"):
+        image_dhash(small).collect()
+    wav = spark.createDataFrame(
+        [(0, encode_wav(np.zeros(16, dtype=np.int16)),
+          {"mime": "audio/x-wav"})],
+        "id bigint, media binary, meta struct<mime:string>",
+    )
+    with _pytest.raises(Exception, match="non-image payload"):
+        image_dhash(wav).collect()

@@ -60,6 +60,7 @@ def test_window_plus_prior_artifacts_cover_every_query():
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     ):
         with open(f"/root/repo/{art}") as f:
             checked |= set(json.load(f))

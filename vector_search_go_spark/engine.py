@@ -664,18 +664,28 @@ class VectorSearchEngine:
             eng = cls(spark, idx.config, metric=metric, backend="lsh")
             eng._index = idx
             eng._vectors = idx.vectors
+        cls._restore_advisor(spark, path, eng)
+        return eng
+
+    @staticmethod
+    def _restore_advisor(spark, path: str, eng: "VectorSearchEngine") -> None:
+        """Tolerant ``{path}/advisor`` restore shared by the sharded and
+        unsharded load paths (ADVICE r7: _load_sharded returned before
+        this tail, so an advisor-chosen engine saved with shards=N lost
+        its measured decision on reload). A store without a saved
+        decision (or a remote path where existence can't be pre-checked)
+        just leaves advisor_decision = None."""
+        import json as _json
+        import os as _os
+
         adv = _os.path.join(path, "advisor")
         if _os.path.exists(adv) or "://" in path:
-            # tolerant read: a store without a saved decision (or a
-            # remote path where existence can't be pre-checked) just
-            # leaves advisor_decision = None
             try:
                 eng.advisor_decision = _json.loads(
                     spark.read.json(adv).collect()[0]["advisor_json"]
                 )
             except Exception:
                 pass
-        return eng
 
     @classmethod
     def _load_sharded(
@@ -708,14 +718,23 @@ class VectorSearchEngine:
                     f"is_angular={forest.config.is_angular}, incompatible "
                     f"with metric={metric!r}"
                 )
+            from pyspark.sql import functions as F
+
             eng = cls(spark, forest.config, metric=metric, backend="lsh")
             eng._index = LshIndex(
                 forest.config,
                 forest,
                 union_shard_component(spark, path, n, "vectors"),
-                union_shard_component(spark, path, n, "buckets"),
+                # same normalization as LshIndex.load: the tree column
+                # is a hive partition whose inferred type can differ
+                # when partition-type inference is configured off
+                # (ADVICE r7) — pin it to int like the unsharded path
+                union_shard_component(spark, path, n, "buckets").select(
+                    F.col("tree").cast("int").alias("tree"), "hash", "id"
+                ),
             )
             eng._vectors = eng._index.vectors
+            cls._restore_advisor(spark, path, eng)
             return eng
         if saved_metric is not None and saved_metric != metric:
             raise ValueError(
@@ -732,10 +751,12 @@ class VectorSearchEngine:
             eng._cents = cents
             eng._cells = cells.select("cell", "id", "vec")
             eng._vectors = cells.select("id", "vec")
+            cls._restore_advisor(spark, path, eng)
             return eng
         # scan
         eng = cls(spark, metric=metric, backend="exact")
         eng._vectors = union_shard_component(spark, path, n, "vectors").select(
             "id", "vec"
         )
+        cls._restore_advisor(spark, path, eng)
         return eng

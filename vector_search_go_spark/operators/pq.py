@@ -666,10 +666,13 @@ def adc_shortlist_probe(
         codebook_df = spark.read.parquet(f"{path}/codebook")
     n_store = vectors.count()
     # thin down to AT MOST 4x the target with id-hash passes (each pass
-    # divides by >= 2), then collect and trim to EXACTLY sample_rows by
-    # keeping the smallest driver-side id hashes — still a pure function
-    # of the ids (layout-independent), without the up-to-2x
-    # undersampling a thin-to-below-target loop would suffer
+    # divides by >= 2), then collect and trim to sample_rows by keeping
+    # the smallest driver-side id hashes — still a pure function of the
+    # ids (layout-independent). The result is AT MOST sample_rows: the
+    # thinning passes target ~2x the budget but carry hash variance, so
+    # a pass can land under it and the trim then keeps what survived
+    # (never an issue for the quantile — the rank fraction normalizes
+    # by the realized m, and m stays within ~2x of the budget)
     sample, m_est, salt = vectors, n_store, int(seed)
     for _ in range(12):  # each pass halves at least; 12 covers 4000x
         if m_est <= 4 * sample_rows:
@@ -684,7 +687,12 @@ def adc_shortlist_probe(
     if len(rows) > sample_rows:
         from vector_search_go_spark.serve.xxh64 import SEED, hash_long
 
-        rows.sort(key=lambda r: (hash_long(int(r["id"]), SEED), r["id"]))
+        # the trim hash folds the caller's seed (ADVICE r7: with the
+        # fixed module SEED alone, seed= had no effect at all whenever
+        # n_store <= 4*sample_rows skipped the thinning passes)
+        rows.sort(
+            key=lambda r: (hash_long(int(r["id"]), SEED ^ int(seed)), r["id"])
+        )
         rows = rows[:sample_rows]
     rows.sort(key=lambda r: r["id"])
     ids = np.array([r["id"] for r in rows], dtype=np.int64)

@@ -84,39 +84,43 @@ _PRIORITY: tuple[str, ...] = (
     # Temporal
     "asof_click_before_purchase",
     "range_join_click_purchase",
-    "rollup_multiresolution",
+    # r8: image near-dup dedup under the driver's value check (real BMP
+    # decode -> 60-bit dHash -> banded Hamming self-join, hash-matched
+    # vs DuckDB's byte-level reconstruction); took the slot of
+    # r2-r7-green, unchanged rollup_multiresolution
+    "dedup_image_phash",
     # Curation pipeline
     "curate_training_corpus",
     "split_train_val_test",
     "dedup_cluster_groups",
-    # Never-driver-checked dedup / text entries
+    # Dedup / text entries (driver-green since r6; re-green r7)
     "dedup_semantic_clusters",
     "dedup_embedding_lsh_verdict",
     "text_tfidf_top_terms",
     "text_langid_accuracy",
-    # LLM-pipeline extras (never driver-checked)
+    # LLM-pipeline extras (driver-green since r6; re-green r7)
     "decontaminate_train_split",
     "pack_training_sequences",
     "sample_rebalance_langs",
     "multimodal_features",
-    # r4: real BMP/WAV decode path (never checked); took the slot of
-    # r3-green, unchanged multimodal_byte_stats
+    # r4: real BMP/WAV decode path (driver-green since r4's window);
+    # took the slot of r3-green, unchanged multimodal_byte_stats
     "multimodal_decode_real",
     "sessionize_events",
     "sketch_rollup_daily",
-    # Scale-shape operators (never driver-checked)
+    # Scale-shape operators (driver-green since r6; re-green r7)
     "join_skew_salted",
     "join_bucketed_colocated",
     "join_bloom_pruned",
-    # Custom-UDF surfaces + custom source (never driver-checked)
+    # Custom-UDF surfaces + custom source (driver-green since r6)
     "udaf_median_order_value",
     "grouped_map_label_centroids",
     "source_fvecs_roundtrip",
-    # r4 session 2: new measured scan-vs-index recommendation (never
-    # checked); took the slot of r3-green, unchanged vector_scale_standard
+    # r4 session 2: measured scan-vs-index recommendation (driver-green
+    # since r5); took the slot of r4-green, unchanged vector_scale_standard
     "ann_index_advisor_verdict",
-    # r4: new oracle-checked store invariant (never checked); took the
-    # slot of r3-green, unchanged scalar_array_funcs
+    # r4: oracle-checked store invariant (driver-green since r5); took
+    # the slot of r3-green, unchanged scalar_array_funcs
     "lsh_bucket_invariant",
     # r6: the sharded serving tier under the driver's value check
     # (exact KNN answered by the shard router, bit-exact vs DuckDB);
@@ -129,8 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_l2",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    # r5: the advisor wired into the facade (never checked); took the
-    # slot of r4-green, unchanged embed_random_projection
+    # r5: the advisor wired into the facade (driver-green since r6);
+    # took the slot of r4-green, unchanged embed_random_projection
     "ann_advisor_auto_train_verdict",
 )
 

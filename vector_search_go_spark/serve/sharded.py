@@ -221,9 +221,25 @@ def refresh_hot_buckets(spark, path: str) -> int:
         .agg(F.count(F.lit(1)).alias("sz"))
         .filter(F.col("sz") > int(cap))
     )
-    hot.write.mode("overwrite").parquet(f"{path}/hot_buckets")
-    spark.catalog.refreshByPath(f"{path}/hot_buckets")
-    files = glob.glob(os.path.join(path, "hot_buckets", "*.parquet"))
+    # two-rename swap, same pattern as compact_bucket_store (ADVICE r7:
+    # a mode('overwrite') delete-then-write let a reader constructed
+    # mid-refresh observe an empty/partial hot_buckets dir and silently
+    # lose survivor-rule parity for its lifetime — _load_hot_buckets
+    # has no _swap_retry to heal a wrong-but-readable listing)
+    import shutil
+
+    target = os.path.join(path, "hot_buckets")
+    tmp = target + ".refresh-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    hot.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = target + ".refresh-old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target):
+        os.replace(target, old)
+    os.replace(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(target)
+    files = glob.glob(os.path.join(target, "*.parquet"))
     return sum(papq.read_metadata(f).num_rows for f in files)
 
 
