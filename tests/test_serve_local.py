@@ -577,3 +577,37 @@ def test_swap_retry_lookup_races_directory_swap(spark, tmp_path):
         ignore_index=True,
     )
     assert _frame_rows(got) == _frame_rows(want2)
+
+
+def test_local_ivfpq_reader_preload_vectors(spark, stores):
+    """The pinned-vectors rerank regime (r8: the batch rerank I/O fix's
+    RAM path) must be bit-identical to the disk rerank and the Spark
+    point path — search, search_many, and the shard-candidate legs."""
+    from vector_search_go_spark.operators.pq import ivfpq_point_search
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries = stores
+    path = str(base / "ivfpq")
+    mem = LocalIvfPqReader(path, preload_codes=True, preload_vectors=True)
+    lazy = LocalIvfPqReader(path)
+    for q in queries:
+        a = _frame_rows(mem.search(q, k=10, nprobe=3))
+        assert a == _frame_rows(lazy.search(q, k=10, nprobe=3))
+        want = _rows(
+            ivfpq_point_search(spark, path, q.tolist(), metric="l2", k=10, nprobe=3)
+        )
+        assert a == want
+    Q = np.asarray(queries)
+    pd.testing.assert_frame_equal(
+        mem.search_many(Q, k=10, nprobe=3),
+        lazy.search_many(Q, k=10, nprobe=3),
+    )
+    for q in queries:
+        pd.testing.assert_frame_equal(
+            mem.shard_candidates(q, shortlist=17, nprobe=3, query_id=3),
+            lazy.shard_candidates(q, shortlist=17, nprobe=3, query_id=3),
+        )
+    pd.testing.assert_frame_equal(
+        mem.shard_candidates_many(Q, shortlist=17, nprobe=3),
+        lazy.shard_candidates_many(Q, shortlist=17, nprobe=3),
+    )

@@ -462,6 +462,11 @@ def test_sharded_ivfpq_duplicate_rows_match_unsharded(spark, ivfpq_sharded_store
         shutil.copytree(str(base / "sharded"), sharded_p)
         _dup(single_p, sharded_p, dup_cells, dup_vectors)
         single = LocalIvfPqReader(single_p)
+        # r8: the pinned-vectors rerank must reproduce the SAME
+        # multiplicity semantics as the disk rerank under every
+        # duplicate configuration (its searchsorted slices keep
+        # adjacent duplicate rows)
+        single_mem = LocalIvfPqReader(single_p, preload_vectors=True)
         with ShardedReader(sharded_p) as sharded:
             for q in (queries[0], queries[2]):
                 got = sharded.search(q, k=10)
@@ -469,6 +474,10 @@ def test_sharded_ivfpq_duplicate_rows_match_unsharded(spark, ivfpq_sharded_store
                 assert [tuple(r) for r in got.itertuples(index=False)] == [
                     tuple(r) for r in want.itertuples(index=False)
                 ], tag
+                got_mem = single_mem.search(q, k=10)
+                assert [tuple(r) for r in got_mem.itertuples(index=False)] == [
+                    tuple(r) for r in want.itertuples(index=False)
+                ], (tag, "preload_vectors")
         if dup_vectors:
             # non-vacuity: the dup actually produced a repeated row
             want42 = single.search(queries[0], k=10)

@@ -702,12 +702,31 @@ class LocalIvfPqReader:
     read only for the shortlist rerank). A probe then skips the
     per-query parquet decode entirely; results are identical because
     shortlist selection keys on (adc_dist, id) and ids are unique
-    across cells, so cell concat order cannot matter."""
+    across cells, so cell concat order cannot matter.
 
-    def __init__(self, path: str, preload_codes: bool = False):
+    ``preload_vectors=True`` additionally pins the full-precision
+    vectors table (id-sorted numpy arrays, n x dims x 8 B — ~512 MB at
+    1M x 64): the shortlist rerank becomes two searchsorted slices
+    instead of a scattered row-group read. This is the IVF-Flat-in-RAM
+    rerank regime, NOT the default codes-only contract — reach for it
+    when batch rerank I/O is the measured bottleneck (the r7 SCALE.md
+    sharded-batch inversion) and shard RAM allows; results are
+    bit-identical because rerank rows are per-id independent and every
+    downstream consumer ranks by (dist, id)."""
+
+    def __init__(
+        self,
+        path: str,
+        preload_codes: bool = False,
+        preload_vectors: bool = False,
+    ):
         import pyarrow.parquet as pq
 
-        self._ctor = dict(path=path, preload_codes=preload_codes)
+        self._ctor = dict(
+            path=path,
+            preload_codes=preload_codes,
+            preload_vectors=preload_vectors,
+        )
         self.path = path
         ctbl = pq.read_table(os.path.join(path, "centroids"))
         crows = sorted(
@@ -750,6 +769,21 @@ class LocalIvfPqReader:
             self._mem_codes = _cell_arrays(
                 self._cells, self._cells.values(), "codes",
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
+            )
+        self._mem_vectors = None
+        if preload_vectors:
+            tbl = pq.read_table(
+                sorted(glob.glob(os.path.join(path, "vectors", "*.parquet"))),
+                columns=["id", "vec"],
+            )
+            rid = tbl.column("id").to_numpy(zero_copy_only=False)
+            V = list_column_matrix(tbl, "vec", self.dims)
+            # appended (uncompacted) stores are not globally id-sorted —
+            # sort here; duplicates stay adjacent with their multiplicity
+            order = np.argsort(rid, kind="stable")
+            self._mem_vectors = (
+                np.ascontiguousarray(rid[order]),
+                np.ascontiguousarray(V[order]),
             )
 
     # -- shared pieces of the ADC pipeline (search / shard_candidates) --
@@ -801,6 +835,39 @@ class LocalIvfPqReader:
             tbl.column("id").to_numpy(zero_copy_only=False),
             list_column_int_matrix(tbl, "codes", M_SUB),
         )
+
+    def _rerank_rows(self, short_ids):
+        """(ids, V) of every vectors row whose id is in ``short_ids``,
+        WITH multiplicity — the rerank fetch all four search paths
+        share. Preloaded regime: searchsorted slices over the pinned
+        id-sorted arrays; disk regime: stats-pruned row-group read +
+        exact isin filter. Row ORDER differs between the regimes
+        (id-sorted vs store order) and between serial/parallel disk
+        reads is identical; every consumer is order-independent —
+        _result_frame ranks by (dist, id) and the dmap/vcount builders
+        aggregate per id (replay-duplicate rows carry identical vecs).
+        Returns (None, None) when nothing matches."""
+        # unique: a replayed id can occupy several shortlist SLOTS; the
+        # fetch is keyed per id (the isin mask is set-semantic, and a
+        # duplicated searchsorted span would emit its rows twice)
+        ks = np.unique(np.fromiter(short_ids, dtype=np.int64))
+        if self._mem_vectors is not None:
+            rid_s, V_s = self._mem_vectors
+            lo = np.searchsorted(rid_s, ks, side="left")
+            hi = np.searchsorted(rid_s, ks, side="right")
+            spans = [(a, b) for a, b in zip(lo, hi) if b > a]
+            if not spans:
+                return None, None
+            sel = np.concatenate([np.arange(a, b) for a, b in spans])
+            return rid_s[sel], V_s[sel]
+        vtbl = self._vectors.read(ks.tolist(), ["id", "vec"])
+        if vtbl is None or vtbl.num_rows == 0:
+            return None, None
+        rid = vtbl.column("id").to_numpy(zero_copy_only=False)
+        mask = np.isin(rid, ks)
+        if not mask.any():
+            return None, None
+        return rid[mask], list_column_matrix(vtbl, "vec", self.dims)[mask]
 
     @staticmethod
     def _adc_of(lut: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -867,17 +934,11 @@ class LocalIvfPqReader:
             return _result_frame([], [], k, query_id)
         adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
         short = self._adc_topl(ids, adc, shortlist)
-        short_ids = sorted(ids[i] for i in short)
-
-        vtbl = self._vectors.read(short_ids, ["id", "vec"])
-        if vtbl is None or vtbl.num_rows == 0:
+        rids, V = self._rerank_rows(ids[i] for i in short)
+        if rids is None:
             return _result_frame([], [], k, query_id)
-        rid_arr = vtbl.column("id").to_numpy(zero_copy_only=False)
-        mask = np.isin(rid_arr, np.asarray(short_ids))
-        rids = rid_arr[mask].tolist()
-        V = list_column_matrix(vtbl, "vec", self.dims)[mask]
         dists = single_query_dists("l2", q, V)
-        return _result_frame(rids, list(dists), k, query_id)
+        return _result_frame(rids.tolist(), list(dists), k, query_id)
 
     @_swap_retry
     def search_many(
@@ -935,16 +996,9 @@ class LocalIvfPqReader:
             union_ids.update(short_ids)
             per_query.append((int(qid), Q[i], short_ids))
 
-        vtbl = (
-            self._vectors.read(sorted(union_ids), ["id", "vec"])
-            if union_ids
-            else None
+        rid_all, V_all = (
+            self._rerank_rows(union_ids) if union_ids else (None, None)
         )
-        if vtbl is not None and vtbl.num_rows:
-            rid_all = vtbl.column("id").to_numpy(zero_copy_only=False)
-            V_all = list_column_matrix(vtbl, "vec", self.dims)
-        else:
-            rid_all, V_all = None, None
 
         frames = []
         for qid, qv, short_ids in per_query:
@@ -999,28 +1053,23 @@ class LocalIvfPqReader:
         adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
         short = self._adc_topl(ids, adc, shortlist)
         sids, sadc = ids[short], adc[short]
-        short_ids = sorted(sids.tolist())
-        dmap, vcount = self._rerank_maps(
-            q, short_ids, self._vectors.read(short_ids, ["id", "vec"])
-        )
+        dmap, vcount = self._rerank_maps(q, sorted(sids.tolist()))
         dist = [dmap.get(i, np.nan) for i in sids.tolist()]
         vmult = [vcount.get(i, 0) for i in sids.tolist()]
         return self._cand_frame(query_id, sids, sadc, dist, vmult)
 
-    def _rerank_maps(self, q: np.ndarray, short_ids, vtbl):
+    def _rerank_maps(self, q: np.ndarray, short_ids):
         """{id: exact dist} + {id: vectors-row count} for a shortlist's
-        vector fetch. Replay-duplicate vectors rows carry identical
-        vecs, so one dist per id suffices; the COUNT is what the router
-        needs to reproduce the unsharded output multiplicity."""
+        vector fetch (_rerank_rows). Replay-duplicate vectors rows carry
+        identical vecs, so one dist per id suffices; the COUNT is what
+        the router needs to reproduce the unsharded output
+        multiplicity."""
         dmap: dict = {}
         vcount: dict = {}
-        if vtbl is not None and vtbl.num_rows:
-            rid = vtbl.column("id").to_numpy(zero_copy_only=False)
-            mask = np.isin(rid, np.asarray(short_ids))
-            dd = single_query_dists(
-                "l2", q, list_column_matrix(vtbl, "vec", self.dims)[mask]
-            )
-            for i, d in zip(rid[mask].tolist(), dd.tolist()):
+        rid, V = self._rerank_rows(short_ids)
+        if rid is not None:
+            dd = single_query_dists("l2", q, V)
+            for i, d in zip(rid.tolist(), dd.tolist()):
                 vcount[i] = vcount.get(i, 0) + 1
                 dmap.setdefault(i, d)
         return dmap, vcount
@@ -1073,16 +1122,9 @@ class LocalIvfPqReader:
             union_ids.update(sids.tolist())
             per_query.append((int(qid), Q[i], sids, sadc))
 
-        vtbl = (
-            self._vectors.read(sorted(union_ids), ["id", "vec"])
-            if union_ids
-            else None
+        rid_all, V_all = (
+            self._rerank_rows(union_ids) if union_ids else (None, None)
         )
-        if vtbl is not None and vtbl.num_rows:
-            rid_all = vtbl.column("id").to_numpy(zero_copy_only=False)
-            V_all = list_column_matrix(vtbl, "vec", self.dims)
-        else:
-            rid_all, V_all = None, None
 
         frames = []
         for qid, qv, sids, sadc in per_query:

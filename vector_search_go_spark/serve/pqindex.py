@@ -66,7 +66,10 @@ class RowGroupIndex:
         self.key_col = key_col
         self._files = []
         self._groups = []  # (file_idx, rg_idx, min, max)
-        for fi, p in enumerate(sorted(paths)):
+        self._paths = sorted(paths)
+        self._pool: ThreadPoolExecutor | None = None
+        self._tls = None  # per-thread ParquetFile handles (lazy)
+        for fi, p in enumerate(self._paths):
             pf = pq.ParquetFile(p)
             self._files.append(pf)
             ki = pf.schema_arrow.get_field_index(key_col)
@@ -114,16 +117,69 @@ class RowGroupIndex:
                 out.setdefault(fi, []).append(rg)
         return out
 
+    # Above this many matched row groups, the read fans out on a thread
+    # pool (parquet decode releases the GIL): a BATCHED rerank's union
+    # shortlist matches thousands of scattered groups, and decoding them
+    # serially was 70% of the batch path's wall time (measured 670 ->
+    # 126 ms for a 3.6k-group read at 16 threads on the 2M profiling
+    # store). Small point reads stay serial — pool dispatch would only
+    # add overhead to a handful of groups.
+    _PARALLEL_MIN_GROUPS = 64
+    _READ_WORKERS = 16
+
+    def _read_serial(self, mg: dict[int, list[int]], columns: list[str]):
+        return [
+            self._files[fi].read_row_groups(rgs, columns=columns)
+            for fi, rgs in mg.items()
+        ]
+
+    def _read_parallel(self, mg: dict[int, list[int]], columns: list[str]):
+        """Chunked fan-out with PER-THREAD ParquetFile handles — Arrow's
+        reader is not documented thread-safe on one handle, and a fresh
+        footer parse per handle is ~7 ms paid once per (thread, file).
+        Task order is deterministic (file order, group order within),
+        so the concatenated table is row-identical to the serial read."""
+        import threading
+
+        import pyarrow.parquet as pq
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self._READ_WORKERS)
+            self._tls = threading.local()
+
+        tls = self._tls
+
+        def task(kv):
+            fi, rgs = kv
+            cache = getattr(tls, "pf", None)
+            if cache is None:
+                cache = tls.pf = {}
+            pf = cache.get(fi)
+            if pf is None:
+                pf = cache[fi] = pq.ParquetFile(self._paths[fi])
+            return pf.read_row_groups(rgs, columns=columns, use_threads=False)
+
+        tasks = []
+        for fi in sorted(mg):
+            rgs = mg[fi]
+            step = max(1, len(rgs) // self._READ_WORKERS + 1)
+            for i in range(0, len(rgs), step):
+                tasks.append((fi, rgs[i : i + step]))
+        return list(self._pool.map(task, tasks))
+
     def read(self, keys, columns: list[str]):
         """Concatenated pyarrow table of all rows in row groups whose
         stats admit any of ``keys`` (caller filters exactly); None when
-        no group can match."""
+        no group can match. Row order is deterministic (file order,
+        group order) on both the serial and parallel paths."""
         import pyarrow as pa
 
-        parts = [
-            self._files[fi].read_row_groups(rgs, columns=columns)
-            for fi, rgs in self.matching_groups(keys).items()
-        ]
+        mg = self.matching_groups(keys)
+        n_rg = sum(len(v) for v in mg.values())
+        if n_rg >= self._PARALLEL_MIN_GROUPS:
+            parts = self._read_parallel(mg, columns)
+        else:
+            parts = self._read_serial(mg, columns)
         return pa.concat_tables(parts) if parts else None
 
 
