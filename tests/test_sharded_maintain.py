@@ -571,3 +571,107 @@ def test_sharded_scan_stream_append_then_parity(spark, tmp_path):
             assert _rows(sharded.search(q, k=10)) == _rows(
                 single.search(q, k=10)
             )
+
+
+def test_vecs_arrival_to_sharded_ivfpq_cycle(spark, tmp_path):
+    """Arrival -> append -> serve -> maintain, end to end on a SHARDED
+    IVFADC store (VERDICT r7 item 7): an .fvecs shard lands in a
+    directory, streams through the layout's frozen models into every
+    shard's coded cells + rerank vectors, the router serves the new
+    rows immediately, and the maintenance retune's measured shortlist
+    is honored by readers constructed after it — no parquet conversion
+    hop anywhere."""
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        pq_codebook,
+        pq_shortlist,
+    )
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import (
+        ShardedReader,
+        union_shard_component,
+    )
+    from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+    from vector_search_go_spark.streaming.ingest import ingest_to_sharded_store
+    from vector_search_go_spark.streaming.maintain import maintain_ivfpq
+
+    register_vecs_source(spark)
+    dims = 64  # M_SUB x D_SUB — the ivfpq width
+    rng = np.random.default_rng(97)
+    A = rng.standard_normal((600, dims))
+    corpus = spark.createDataFrame(
+        [(int(i), A[i].tolist()) for i in range(len(A))],
+        "id bigint, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(int(i), A[i * 40].tolist()) for i in range(12)],
+        "cid int, cvec array<double>",
+    )
+    cb = spark.createDataFrame(
+        pq_codebook(
+            corpus.select(
+                F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+            )
+        ).collect(),
+        "sub int, code int, cvec array<double>",
+    )
+    path = str(tmp_path / "ivfpq_sh")
+    ivfpq_save(spark, corpus, cents, cb, path, metric="l2", shards=3)
+
+    # arrival: one fvecs shard lands; ids are (base=0)<<32 + i
+    land = tmp_path / "arrivals"
+    land.mkdir()
+    B = rng.standard_normal((90, dims)).astype("float32")
+    write_fvecs(str(land / "arrival-0.fvecs"), B)
+    # the vecs source numbers ids (base << 32) + i with bases from 0 —
+    # offset into the store's free id range (the operator owns id
+    # namespace disjointness, as with any external ingest)
+    stream = (
+        spark.readStream.format("vecs")
+        .option("kind", "fvecs")
+        .load(str(land))
+        .selectExpr(
+            "cast(id + 1000 as bigint) as id",
+            "cast(vec as array<double>) as vec",
+        )
+    )
+    ingest_to_sharded_store(spark, stream, path, str(tmp_path / "vs_ckpt"))
+
+    # servable now: parity vs an unsharded twin REBUILT from the
+    # layout's own artifacts (shard=0 models + union vectors) — frozen
+    # models make the streamed codes identical to a batch re-save's
+    twin = str(tmp_path / "ivfpq_twin")
+    union_vecs = union_shard_component(spark, path, 3, "vectors")
+    ivfpq_save(
+        spark,
+        union_vecs,
+        spark.read.parquet(f"{path}/shard=0/centroids"),
+        spark.read.parquet(f"{path}/shard=0/codebook"),
+        twin,
+        metric="l2",
+    )
+    single = LocalIvfPqReader(twin)
+    qs = [A[7], B[11].astype(np.float64)]
+    with ShardedReader(path) as sharded:
+        for q in qs:
+            assert _rows(sharded.search(q, k=10)) == _rows(
+                single.search(q, k=10)
+            )
+        # the arrival's own top-1 is itself at dist 0
+        top = sharded.search(qs[1], k=1)
+        assert int(top["id"][0]) == 1000 + 11
+        assert float(top["dist"][0]) == 0.0
+
+    # maintain mid-stream: the rebuild retunes the measured shortlist
+    # into the LAYOUT-level store_meta; readers constructed after it
+    # resolve shortlist=None to the stored budget
+    rep = maintain_ivfpq(spark, path, force=True)
+    assert rep["action"] == "rebuilt"
+    stored = rep.get("recommended_shortlist")
+    assert stored is not None and stored >= pq_shortlist(10)
+    with ShardedReader(path) as post:
+        assert post._resolve_shortlist(10, None) == max(
+            stored, pq_shortlist(10)
+        )
+        top = post.search(A[7], k=1)
+        assert float(top["dist"][0]) == 0.0

@@ -179,52 +179,59 @@ def serve(
     picks = rng.choice(n, size=120, replace=False)
     Q = {int(i): vec_of(int(i), n, dims) for i in picks}
 
-    t0 = time.time()
-    reader = ShardedReader(path, preload_codes=True, processes=True)
-    t_init = time.time() - t0
-    try:
-        # parity spot-check: a member query's top-1 is itself at dist 0
-        for qi in picks[:3]:
-            top = reader.search(Q[int(qi)], k=1, nprobe=nprobe)
-            assert int(top["id"][0]) == int(qi), (qi, top)
-            assert float(top["dist"][0]) == 0.0
-        for qi in picks[:20]:
-            reader.search(Q[int(qi)], k=10, nprobe=nprobe)
-        lat = []
-        for qi in picks[20:]:
-            t0 = time.time()
-            reader.search(Q[int(qi)], k=10, nprobe=nprobe)
-            lat.append((time.time() - t0) * 1000)
-        lat.sort()
-        med, p90 = lat[len(lat) // 2], lat[int(0.9 * len(lat))]
-        print(
-            f"| ivfpq sharded (processes) | {n:,} x {dims} | init "
-            f"{t_init:.1f} s | {med:.1f} ms/q median | {p90:.1f} ms/q p90 |",
-            flush=True,
-        )
-        ids = [int(i) for i in picks]
-        reader.search_many(
-            [Q[i] for i in ids[:batch]], k=10,
-            query_ids=list(range(batch)), nprobe=nprobe,
-        )
-        per_q = []
-        for g0 in range(0, len(ids) - batch + 1, batch):
-            g = ids[g0 : g0 + batch]
-            t0 = time.time()
-            reader.search_many(
-                [Q[i] for i in g], k=10,
-                query_ids=list(range(len(g))), nprobe=nprobe,
+    regimes = (
+        ("", dict(preload_codes=True)),
+        (", preload_vectors", dict(preload_codes=True, preload_vectors=True)),
+    )
+    for tag, kwargs in regimes:
+        t0 = time.time()
+        reader = ShardedReader(path, processes=True, **kwargs)
+        t_init = time.time() - t0
+        try:
+            # parity spot-check: a member query's top-1 is itself at 0
+            for qi in picks[:3]:
+                top = reader.search(Q[int(qi)], k=1, nprobe=nprobe)
+                assert int(top["id"][0]) == int(qi), (qi, top)
+                assert float(top["dist"][0]) == 0.0
+            for qi in picks[:20]:
+                reader.search(Q[int(qi)], k=10, nprobe=nprobe)
+            lat = []
+            for qi in picks[20:]:
+                t0 = time.time()
+                reader.search(Q[int(qi)], k=10, nprobe=nprobe)
+                lat.append((time.time() - t0) * 1000)
+            lat.sort()
+            med, p90 = lat[len(lat) // 2], lat[int(0.9 * len(lat))]
+            print(
+                f"| ivfpq sharded (processes{tag}) | {n:,} x {dims} | init "
+                f"{t_init:.1f} s | {med:.1f} ms/q median | {p90:.1f} ms/q "
+                f"p90 |",
+                flush=True,
             )
-            per_q.append((time.time() - t0) * 1000 / len(g))
-        per_q.sort()
-        print(
-            f"| ivfpq sharded (processes), batch {batch} | {n:,} x {dims} "
-            f"| — (same store) | {per_q[len(per_q) // 2]:.1f} ms/q median "
-            f"| {per_q[int(0.9 * (len(per_q) - 1))]:.1f} ms/q p90 |",
-            flush=True,
-        )
-    finally:
-        reader.close()
+            ids = [int(i) for i in picks]
+            reader.search_many(
+                [Q[i] for i in ids[:batch]], k=10,
+                query_ids=list(range(batch)), nprobe=nprobe,
+            )
+            per_q = []
+            for g0 in range(0, len(ids) - batch + 1, batch):
+                g = ids[g0 : g0 + batch]
+                t0 = time.time()
+                reader.search_many(
+                    [Q[i] for i in g], k=10,
+                    query_ids=list(range(len(g))), nprobe=nprobe,
+                )
+                per_q.append((time.time() - t0) * 1000 / len(g))
+            per_q.sort()
+            print(
+                f"| ivfpq sharded (processes{tag}), batch {batch} | "
+                f"{n:,} x {dims} | — (same store) | "
+                f"{per_q[len(per_q) // 2]:.1f} ms/q median | "
+                f"{per_q[int(0.9 * (len(per_q) - 1))]:.1f} ms/q p90 |",
+                flush=True,
+            )
+        finally:
+            reader.close()
 
 
 def maintain(path: str = DEFAULT_PATH) -> None:

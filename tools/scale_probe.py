@@ -1327,6 +1327,125 @@ def sharded_ivfpq_probe(
             f"{p90_b32:.1f} ms/q p90 |",
             flush=True,
         )
+        # pinned-vectors rerank regime (r8): +n/shards x dims x 8 B per
+        # worker buys a searchsorted rerank instead of the scattered
+        # row-group read — the r7 batch-inversion fix's RAM path
+        t0 = time.time()
+        r_mem = ShardedReader(
+            f"{base}/big", preload_codes=True, preload_vectors=True,
+            processes=True,
+        )
+        init_m = time.time() - t0
+        med_m, p90_m = _measure_point(r_mem, picks_b, Qb, {"nprobe": nprobe})
+        med_mb, p90_mb = _measure_batch(
+            r_mem, picks_b, Qb, 20, {"nprobe": nprobe}
+        )
+        r_mem.close()
+        print(
+            f"| ivfpq sharded x{factor} (processes, preload_vectors) | "
+            f"{n_big:,} x {dims}, {k_cells} cells, nprobe {nprobe} | "
+            f"— (same store) | init {init_m:.1f} s | {med_m:.1f} ms/q median "
+            f"| {p90_m:.1f} ms/q p90 |",
+            flush=True,
+        )
+        print(
+            f"| ivfpq sharded x{factor} (processes, preload_vectors), "
+            f"batch 20 | {n_big:,} x {dims}, {k_cells} cells, nprobe "
+            f"{nprobe} | — (same store) | — | {med_mb:.1f} ms/q median | "
+            f"{p90_mb:.1f} ms/q p90 |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def vecs_arrival_probe(
+    n: int = 300_000, dims: int = 64, shards: int = 3, n_new: int = 30_000
+) -> None:
+    """Arrival-to-servable latency of the vecs -> sharded-IVFADC cycle
+    (VERDICT r7 item 7): an .fvecs shard lands in a directory, streams
+    through the layout's frozen models into every shard (coded cells +
+    rerank vectors, one checkpoint), and a fresh router serves the new
+    rows. Reports drain + reader-init + first-lookup wall time — the
+    end-to-end freshness number a streaming corpus cares about."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.sources import register_vecs_source, write_fvecs
+    from vector_search_go_spark.streaming.ingest import ingest_to_sharded_store
+
+    spark = get_spark(
+        "vecs-arrival-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register_vecs_source(spark)
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, dims)) * 2.0
+    X = centers[rng.integers(0, len(centers), size=n)] + rng.normal(size=(n, dims))
+    corpus = land_corpus(spark, X)
+    step = max(1, n // 1024)
+    cents = spark.createDataFrame(
+        corpus.filter(F.col("id") % step == 0)
+        .select((F.col("id") / step).cast("int").alias("cid"),
+                F.col("vec").alias("cvec"))
+        .collect(),
+        "cid int, cvec array<double>",
+    )
+    cb = spark.createDataFrame(
+        pq_codebook(
+            corpus.select(F.col("id").alias("vec_id"),
+                          F.col("vec").alias("embedding"))
+        ).collect(),
+        "sub int, code int, cvec array<double>",
+    )
+    base = tempfile.mkdtemp(prefix="vecs_arrival_probe_")
+    try:
+        t0 = time.time()
+        ivfpq_save(spark, corpus, cents, cb, f"{base}/store",
+                   metric="l2", shards=shards)
+        t_build = time.time() - t0
+        corpus.unpersist()
+        land = f"{base}/arrivals"
+        os.makedirs(land)
+        B = (
+            centers[rng.integers(0, len(centers), size=n_new)]
+            + rng.normal(size=(n_new, dims))
+        ).astype("float32")
+        write_fvecs(f"{land}/arrival-0.fvecs", B)
+        t0 = time.time()
+        stream = (
+            spark.readStream.format("vecs")
+            .option("kind", "fvecs")
+            .load(land)
+            .selectExpr(
+                f"cast(id + {n} as bigint) as id",
+                "cast(vec as array<double>) as vec",
+            )
+        )
+        ingest_to_sharded_store(
+            spark, stream, f"{base}/store", f"{base}/ckpt", timeout=600
+        )
+        t_drain = time.time() - t0
+        t0 = time.time()
+        reader = ShardedReader(f"{base}/store", preload_codes=True)
+        t_init = time.time() - t0
+        t0 = time.time()
+        top = reader.search(B[11].astype(np.float64), k=1)
+        t_q = time.time() - t0
+        assert int(top["id"][0]) == n + 11 and float(top["dist"][0]) == 0.0
+        print(
+            f"| vecs arrival -> sharded ivfpq x{shards} | {n:,} + {n_new:,} "
+            f"x {dims} | build {t_build:.0f} s | drain {t_drain:.1f} s | "
+            f"reader init {t_init:.1f} s | first lookup {t_q * 1000:.0f} ms "
+            f"| arrival-to-servable {t_drain + t_init:.1f} s |",
+            flush=True,
+        )
+        reader.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1794,6 +1913,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if sys.argv[1:2] == ["--sharded-ivfpq"]:
         sharded_ivfpq_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
+    if sys.argv[1:2] == ["--vecs-arrival"]:
+        vecs_arrival_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)
     if sys.argv[1:2] == ["--sharded-compact"]:
         sharded_compact_probe(*[int(s) for s in sys.argv[2:]])

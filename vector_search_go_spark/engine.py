@@ -623,8 +623,12 @@ class VectorSearchEngine:
                     f"metric={saved_metric!r}, incompatible with "
                     f"metric={metric!r}"
                 )
+            from vector_search_go_spark.streaming.delete import mask_tombstones
+
             cents = spark.read.parquet(f"{path}/centroids")
-            cells = spark.read.parquet(f"{path}/cells")
+            cells = mask_tombstones(
+                spark, path, spark.read.parquet(f"{path}/cells")
+            )
             eng = cls(spark, metric=metric, backend="ivf", ivf_cells=cents.count())
             eng._cents = cents
             eng._cells = cells.select("cell", "id", "vec")
@@ -646,10 +650,12 @@ class VectorSearchEngine:
                     f"metric={saved_metric!r}, incompatible with "
                     f"metric={metric!r}"
                 )
+            from vector_search_go_spark.streaming.delete import mask_tombstones
+
             eng = cls(spark, metric=metric, backend="exact")
-            eng._vectors = spark.read.parquet(f"{path}/vectors").select(
-                "id", "vec"
-            )
+            eng._vectors = mask_tombstones(
+                spark, path, spark.read.parquet(f"{path}/vectors")
+            ).select("id", "vec")
         else:
             idx = LshIndex.load(spark, path)
             if idx.config.is_angular != is_angular(metric):

@@ -286,9 +286,15 @@ class LshIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LshIndex":
+        from vector_search_go_spark.streaming.delete import mask_tombstones
+
         forest = cls.load_forest(spark, path)
-        buckets = spark.read.parquet(f"{path}/buckets").select(
-            F.col("tree").cast("int"), "hash", "id"
+        buckets = mask_tombstones(
+            spark,
+            path,
+            spark.read.parquet(f"{path}/buckets").select(
+                F.col("tree").cast("int"), "hash", "id"
+            ),
         )
-        vectors = spark.read.parquet(f"{path}/vectors")
+        vectors = mask_tombstones(spark, path, spark.read.parquet(f"{path}/vectors"))
         return cls(forest.config, forest, vectors, buckets)

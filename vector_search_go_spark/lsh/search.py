@@ -294,8 +294,13 @@ def lsh_point_search_batch(
                 "tree", "hash", "id"
             )
         )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
+    # tombstone mask runs BEFORE the thinning: live bucket sizes drive
+    # the survivor rule, matching a store re-saved without the ids
     scan = _bound_scanned_buckets(
-        reduce(lambda a, b: a.union(b), parts), forest.config.max_bucket_size
+        mask_tombstones(spark, index_path, reduce(lambda a, b: a.union(b), parts)),
+        forest.config.max_bucket_size,
     )
     # Fan-in list per candidate id; eager-materialized because it feeds
     # a broadcast (an unmaterialized plan would re-run all tree scans).
@@ -342,8 +347,11 @@ def point_bucket_candidates(
                 "tree", "hash", "id"
             )
         )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
     scan = _bound_scanned_buckets(
-        reduce(lambda a, b: a.union(b), parts), max_bucket_size
+        mask_tombstones(spark, index_path, reduce(lambda a, b: a.union(b), parts)),
+        max_bucket_size,
     )
     return scan.select("id").distinct()
 

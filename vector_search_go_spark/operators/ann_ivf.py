@@ -289,7 +289,9 @@ def ivf_point_search_batch(
         [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(qids)],
         "query_id bigint, qvec array<double>",
     )
-    cells = spark.read.parquet(f"{path}/cells").filter(
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
+    cells = mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells")).filter(
         F.col("cell").isin(sorted(cell_qids))
     )
     id_t = cells.schema["id"].dataType.simpleString()
@@ -329,7 +331,9 @@ def ivf_point_search(
         spark, f"{path}/centroids", qvec, metric, nprobe, model=model
     )
 
-    cells = spark.read.parquet(f"{path}/cells").filter(
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
+    cells = mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells")).filter(
         F.col("cell").isin(probe_cells)
     )
     dist = single_query_dist_udf(metric, qvec)

@@ -661,8 +661,12 @@ def adc_shortlist_probe(
         cells_df = union_shard_component(spark, path, n_sh, "cells")
         codebook_df = spark.read.parquet(f"{path}/shard=0/codebook")
     else:
-        vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
-        cells_df = spark.read.parquet(f"{path}/cells")
+        from vector_search_go_spark.streaming.delete import mask_tombstones
+
+        vectors = mask_tombstones(
+            spark, path, spark.read.parquet(f"{path}/vectors")
+        ).select("id", "vec")
+        cells_df = mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells"))
         codebook_df = spark.read.parquet(f"{path}/codebook")
     n_store = vectors.count()
     # thin down to AT MOST 4x the target with id-hash passes (each pass
@@ -840,8 +844,10 @@ def ivfpq_point_search(
             acc = acc + lut[sub][C[:, sub]]
         return pd.Series(np.sqrt(acc))
 
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
     cand = (
-        spark.read.parquet(f"{path}/cells")
+        mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells"))
         .filter(F.col("cell").isin(probe_cells))
         .select(
             F.lit(0).cast("bigint").alias("query_id"),
@@ -942,9 +948,11 @@ def ivfpq_point_search_batch(
             cell_qpos.setdefault(int(c), []).append(pos)
     qid_arr = np.asarray(qids, dtype=np.int64)
 
-    scan = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin(sorted(cell_qpos))
-    )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
+    scan = mask_tombstones(
+        spark, path, spark.read.parquet(f"{path}/cells")
+    ).filter(F.col("cell").isin(sorted(cell_qpos)))
     id_t = scan.schema["id"].dataType.simpleString()
 
     def adc_score(batches):

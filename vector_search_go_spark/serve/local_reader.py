@@ -61,6 +61,11 @@ from vector_search_go_spark.operators.argmin import (
     _seq_sq_l2,
     single_query_dists,
 )
+from vector_search_go_spark.streaming.delete import (
+    drop_tombstoned,
+    load_tombstone_array,
+)
+
 from vector_search_go_spark.serve.pqindex import (
     HivePartIndex,
     RowGroupIndex,
@@ -318,6 +323,10 @@ class LocalLshReader:
         self._hot_global = global_hot_buckets
         self.path = path
         self.metric = metric
+        # tombstoned ids (streaming.delete) masked from every candidate
+        # BEFORE the survivor rule — live bucket sizes drive thinning,
+        # matching a store re-saved without the ids
+        self._tomb = load_tombstone_array(path)
         self.forest = self._load_forest(path)
         self.config = self.forest.config
         self._buckets = TreeBucketIndex(
@@ -400,6 +409,13 @@ class LocalLshReader:
             for t in range(hashes.shape[1])
         }
         hit = self._buckets.probe_many(probe_map)
+        if self._tomb is not None:
+            hit = {
+                t: (hv, i)
+                for t, (hv0, i0) in hit.items()
+                for i, hv in [drop_tombstoned(self._tomb, i0, hv0)]
+                if len(i)
+            }
         cap = self.config.max_bucket_size
         kept: list = []
         over: list = []  # (prefix, members, keep_mod) of hot buckets
@@ -574,6 +590,7 @@ class LocalIvfReader:
         import pyarrow.parquet as pq
 
         self._ctor = dict(path=path, metric=metric, preload_cells=preload_cells)
+        self._tomb = load_tombstone_array(path)
         self.path = path
         self.metric = metric
         tbl = pq.read_table(os.path.join(path, "centroids"))
@@ -629,9 +646,12 @@ class LocalIvfReader:
             ]
             if not tbls:
                 return _result_frame([], [], k, query_id)
-            tbl = pa.concat_tables(tbls)
+            tbl = pa.concat_tables(tbls, promote_options="permissive")
             ids = tbl.column("id").to_numpy(zero_copy_only=False)
             V = list_column_matrix(tbl, "vec", self.dims)
+        ids, V = drop_tombstoned(self._tomb, ids, V)
+        if len(ids) == 0:
+            return _result_frame([], [], k, query_id)
         dists = single_query_dists(self.metric, q, V)
         if threshold is not None:
             m = dists <= float(threshold)
@@ -682,6 +702,10 @@ class LocalIvfReader:
                 continue
             ids = np.concatenate([h[0] for h in hits])
             V = np.concatenate([h[1] for h in hits])
+            ids, V = drop_tombstoned(self._tomb, ids, V)
+            if len(ids) == 0:
+                frames.append(_result_frame([], [], k, int(qid)))
+                continue
             dists = single_query_dists(self.metric, Q[i], V)
             if threshold is not None:
                 m = dists <= float(threshold)
@@ -728,6 +752,7 @@ class LocalIvfPqReader:
             preload_vectors=preload_vectors,
         )
         self.path = path
+        self._tomb = load_tombstone_array(path)
         ctbl = pq.read_table(os.path.join(path, "centroids"))
         crows = sorted(
             zip(ctbl.column("cid").to_pylist(), ctbl.column("cvec").to_pylist())
@@ -819,10 +844,12 @@ class LocalIvfPqReader:
             ]
             if not hits:
                 return None, None
-            return (
+            ids, C = drop_tombstoned(
+                self._tomb,
                 np.concatenate([h[0] for h in hits]),
                 np.concatenate([h[1] for h in hits]),
             )
+            return (ids, C) if len(ids) else (None, None)
         tbls = [
             t for t in
             self._cells.read_values_parallel(probed, ["id", "codes"]).values()
@@ -830,11 +857,13 @@ class LocalIvfPqReader:
         ]
         if not tbls:
             return None, None
-        tbl = pa.concat_tables(tbls)
-        return (
+        tbl = pa.concat_tables(tbls, promote_options="permissive")
+        ids, C = drop_tombstoned(
+            self._tomb,
             tbl.column("id").to_numpy(zero_copy_only=False),
             list_column_int_matrix(tbl, "codes", M_SUB),
         )
+        return (ids, C) if len(ids) else (None, None)
 
     def _rerank_rows(self, short_ids):
         """(ids, V) of every vectors row whose id is in ``short_ids``,
@@ -990,6 +1019,10 @@ class LocalIvfPqReader:
                 continue
             ids = np.concatenate([h[0] for h in hits])
             C = np.concatenate([h[1] for h in hits])
+            ids, C = drop_tombstoned(self._tomb, ids, C)
+            if len(ids) == 0:
+                per_query.append((int(qid), Q[i], None))
+                continue
             adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
             short = self._adc_topl(ids, adc, shortlist)
             short_ids = sorted(ids[j] for j in short)
@@ -1116,6 +1149,10 @@ class LocalIvfPqReader:
                 continue
             ids = np.concatenate([h[0] for h in hits])
             C = np.concatenate([h[1] for h in hits])
+            ids, C = drop_tombstoned(self._tomb, ids, C)
+            if len(ids) == 0:
+                per_query.append((int(qid), Q[i], None, None))
+                continue
             adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
             short = self._adc_topl(ids, adc, shortlist)
             sids, sadc = ids[short], adc[short]
@@ -1205,6 +1242,11 @@ class LocalScanReader:
         self.dims = int(dims)
         mat = list_column_matrix(tbl, "vec", self.dims)
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        ids, mat = drop_tombstoned(load_tombstone_array(path), ids, mat)
+        if len(ids) == 0:
+            raise ValueError(
+                f"scan store at {path!r} has every row tombstoned"
+            )
         if np.issubdtype(ids.dtype, np.number):
             # id-sorted matrix: ties in dist resolve by id, and a
             # sorted id axis keeps _result_frame's lexsort stable

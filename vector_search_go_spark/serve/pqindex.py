@@ -180,7 +180,14 @@ class RowGroupIndex:
             parts = self._read_parallel(mg, columns)
         else:
             parts = self._read_serial(mg, columns)
-        return pa.concat_tables(parts) if parts else None
+        # promote_options: a saved file's columns are non-nullable while
+        # streamed-append fragments are nullable — same values, different
+        # arrow nullability flags; strict concat refuses the mix
+        return (
+            pa.concat_tables(parts, promote_options="permissive")
+            if parts
+            else None
+        )
 
 
 class HivePartIndex:
@@ -221,7 +228,10 @@ class HivePartIndex:
         files = self._parts.get(int(value))
         if not files:
             return None
-        return pa.concat_tables(self._pf(p).read(columns=columns) for p in files)
+        return pa.concat_tables(
+            (self._pf(p).read(columns=columns) for p in files),
+            promote_options="permissive",
+        )
 
     def read_values_parallel(
         self, values, columns: list[str], max_workers: int = 8

@@ -161,18 +161,24 @@ def read_shards_meta(path: str) -> dict | None:
 def union_shard_component(spark, path: str, n_shards: int, sub: str):
     """Union of one store component across every shard of a sharded
     layout — the whole-store view sharded staleness and rebuilds read
-    (each shard holds a disjoint id-subset, so the union IS the store)."""
+    (each shard holds a disjoint id-subset, so the union IS the store).
+    Id-carrying components mask each shard's tombstones (streaming.
+    delete): every union consumer — staleness masses, rebuild corpora,
+    hot_buckets refresh, the batch engine's loaded view — must see the
+    LIVE store, exactly what a re-save without the ids would hold."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
 
-    return reduce(
-        DataFrame.unionByName,
-        [
-            spark.read.parquet(f"{path}/shard={k}/{sub}")
-            for k in range(int(n_shards))
-        ],
-    )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
+    parts = []
+    for k in range(int(n_shards)):
+        df = spark.read.parquet(f"{path}/shard={k}/{sub}")
+        if "id" in df.columns:
+            df = mask_tombstones(spark, f"{path}/shard={k}", df)
+        parts.append(df)
+    return reduce(DataFrame.unionByName, parts)
 
 
 def refresh_hot_buckets(spark, path: str) -> int:

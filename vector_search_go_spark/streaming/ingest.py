@@ -301,6 +301,7 @@ def compact_bucket_store(
     bucket_path: str,
     dedup: bool = False,
     keep_backup: bool = True,
+    drop_ids: DataFrame | None = None,
 ) -> dict:
     """Rewrite an append-fragmented bucket store back into the trained
     layout: one hash-sorted file per tree directory.
@@ -338,6 +339,7 @@ def compact_bucket_store(
         select=[F.col("tree").cast("int"), F.col("hash"), F.col("id")],
         dedup_cols=["tree", "hash", "id"] if dedup else None,
         keep_backup=keep_backup,
+        drop_ids=drop_ids,
     )
 
 
@@ -426,6 +428,7 @@ def compact_cells_store(
     cells_path: str,
     dedup: bool = False,
     keep_backup: bool = True,
+    drop_ids: DataFrame | None = None,
 ) -> dict:
     """IVF twin of compact_bucket_store: restore the ivf_save layout
     (a few cells per task, rows sorted by (cell, id)) after streaming
@@ -438,6 +441,7 @@ def compact_cells_store(
         select=[F.col("cell").cast("int"), F.col("id"), F.col("vec")],
         dedup_cols=["cell", "id"] if dedup else None,
         keep_backup=keep_backup,
+        drop_ids=drop_ids,
     )
 
 
@@ -447,6 +451,7 @@ def compact_vectors_store(
     dedup: bool = False,
     keep_backup: bool = True,
     block_size: int = 512 << 10,
+    drop_ids: DataFrame | None = None,
 ) -> dict:
     """Compact a FLAT vectors table back to its saved layout
     (id-sorted): ingest_to_lsh_store / ingest_to_ivfpq_store append one
@@ -466,6 +471,7 @@ def compact_vectors_store(
         dedup_cols=["id"] if dedup else None,
         keep_backup=keep_backup,
         block_size=block_size,
+        drop_ids=drop_ids,
     )
 
 
@@ -474,6 +480,7 @@ def compact_codes_store(
     cells_path: str,
     dedup: bool = False,
     keep_backup: bool = True,
+    drop_ids: DataFrame | None = None,
 ) -> dict:
     """IVFADC twin of compact_cells_store for the CODES cells table
     (cell, id, codes — written by pq.ivfpq_save): restore a few cells
@@ -487,6 +494,7 @@ def compact_codes_store(
         select=[F.col("cell").cast("int"), F.col("id"), F.col("codes")],
         dedup_cols=["cell", "id"] if dedup else None,
         keep_backup=keep_backup,
+        drop_ids=drop_ids,
     )
 
 
@@ -499,6 +507,7 @@ def _compact_store(
     dedup_cols: list | None,
     keep_backup: bool = True,
     block_size: int | None = None,
+    drop_ids: DataFrame | None = None,
 ) -> dict:
     import os
     import shutil
@@ -510,6 +519,10 @@ def _compact_store(
         # collapse at-least-once replay duplicates from the foreachBatch
         # sink; an exact-duplicate row can only come from a retried batch
         df = df.dropDuplicates(dedup_cols)
+    if drop_ids is not None:
+        # physical tombstone purge (streaming.delete.purge_tombstones):
+        # the takedown-sized id set broadcasts into the rewrite scan
+        df = df.join(F.broadcast(drop_ids.select("id")), on="id", how="left_anti")
     tmp = path.rstrip("/") + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     # part_col=None: flat (unpartitioned) component like the vectors

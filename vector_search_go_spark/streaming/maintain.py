@@ -452,7 +452,11 @@ def maintain_ivfpq(
         refresh = [f"{path}/shard={j}/{sub}" for j in range(n) for sub in subs]
     else:
         model_src = path
-        vectors = spark.read.parquet(f"{path}/vectors").select("id", "vec")
+        from vector_search_go_spark.streaming.delete import mask_tombstones
+
+        vectors = mask_tombstones(
+            spark, path, spark.read.parquet(f"{path}/vectors")
+        ).select("id", "vec")
         save_kwargs = {}
         refresh = [f"{path}/{sub}" for sub in subs]
     k = spark.read.parquet(f"{model_src}/centroids").count()
@@ -529,8 +533,10 @@ def bucket_staleness(spark: SparkSession, path: str) -> dict:
     build = _read_build_stats(spark, path, "LshIndex.save").withColumnRenamed(
         "sz", "sz_build"
     )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
     now = (
-        spark.read.parquet(f"{path}/buckets")
+        mask_tombstones(spark, path, spark.read.parquet(f"{path}/buckets"))
         .groupBy("tree", "hash")
         .agg(F.count(F.lit(1)).alias("sz_now"))
     )
@@ -621,7 +627,9 @@ def maintain(
         ] + [f"{path}/hot_buckets"]
     else:
         config = LshIndex.load_forest(spark, path).config
-        vectors = spark.read.parquet(f"{path}/vectors")
+        from vector_search_go_spark.streaming.delete import mask_tombstones
+
+        vectors = mask_tombstones(spark, path, spark.read.parquet(f"{path}/vectors"))
         save_kwargs = {}
         refresh = [f"{path}/{sub}" for sub in subs]
     if dedup_ids:
@@ -662,8 +670,10 @@ def cell_staleness(spark: SparkSession, path: str) -> dict:
     build = _read_build_stats(spark, path, "ivf_save / ivfpq_save").withColumnRenamed(
         "sz", "sz_build"
     )
+    from vector_search_go_spark.streaming.delete import mask_tombstones
+
     now = (
-        spark.read.parquet(f"{path}/cells")
+        mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("sz_now"))
     )
@@ -729,7 +739,11 @@ def maintain_ivf(
     else:
         saved = store_metric(spark, path)
         model_src = path
-        vectors = spark.read.parquet(f"{path}/cells").select("id", "vec")
+        from vector_search_go_spark.streaming.delete import mask_tombstones
+
+        vectors = mask_tombstones(
+            spark, path, spark.read.parquet(f"{path}/cells")
+        ).select("id", "vec")
         save_kwargs = {}
         refresh = [f"{path}/{sub}" for sub in subs]
         where = f"store at {path!r}"
