@@ -107,7 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     # took the slot of r3-green, unchanged multimodal_byte_stats
     "multimodal_decode_real",
     "sessionize_events",
-    "sketch_rollup_daily",
+    # r8: tombstone deletes under the driver's value check (delete_ids
+    # routed per shard -> masked sharded serving, hash-matched vs DuckDB
+    # KNN over the corpus minus the ids); took the slot of r2-r7-green,
+    # unchanged sketch_rollup_daily
+    "store_tombstone_knn",
     # Scale-shape operators (driver-green since r6; re-green r7)
     "join_skew_salted",
     "join_bucketed_colocated",
