@@ -120,3 +120,44 @@ def test_advisor_max_useful_frac_gates_weakly_pruning_index(spark):
         best_free["family"],
         best_free["config"],
     )
+
+
+def test_serving_batch_advisor_measures_and_persists(spark, tmp_path):
+    """The serving-batch advisor (r8, VERDICT r7 item 8): measured
+    per-batch ms/q rows over the store's OWN reader, argmin
+    recommendation (ties to the smaller batch), and a persist that
+    MERGES into store_meta without clobbering the saved family/metric
+    (the maintain_ivfpq retune contract)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.exact_knn import scan_save
+    from vector_search_go_spark.operators.tune import serving_batch_advisor
+    from vector_search_go_spark.serve.local_reader import _read_store_meta
+    from vector_search_go_spark.serve.sharded import open_reader
+
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((800, 16))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    )
+    path = str(tmp_path / "scan")
+    scan_save(spark, corpus, path, metric="l2")
+    rep = serving_batch_advisor(
+        spark, path, X[:64], k=5, batch_sizes=(1, 8), persist=True
+    )
+    assert [b for b, _ in rep["rows"]] == [1, 8]
+    assert all(m > 0 for _, m in rep["rows"])
+    assert rep["recommended_batch"] in (1, 8)
+    meta = _read_store_meta(path)
+    assert meta["recommended_batch"] == rep["recommended_batch"]
+    assert meta["family"] == "scan" and meta["metric"] == "l2"  # merged
+    assert set(meta["batch_ms_per_query"]) == {"1", "8"}
+    # too-small probe sample is refused, not silently mismeasured
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe queries"):
+        serving_batch_advisor(spark, path, X[:8], batch_sizes=(1, 8))
+    # open_reader routes families: the scan store opens as a scan reader
+    r = open_reader(path)
+    assert type(r).__name__ == "LocalScanReader"

@@ -201,3 +201,97 @@ def advisor_report(
         "family string, config string, eps_recall double, "
         "cand_frac double, in_band boolean, recommended boolean",
     )
+
+
+def serving_batch_advisor(
+    spark,
+    path: str,
+    Q,
+    k: int = 10,
+    batch_sizes: tuple = (1, 8, 32),
+    persist: bool = False,
+    reader_kwargs: dict | None = None,
+    **search_kwargs,
+) -> dict:
+    """Measure the serving tier's batch-size trade ON the store at
+    ``path`` and recommend the batch that minimizes per-query latency —
+    the r7 SCALE.md diagnosis (sharded-IVFADC batch inverted against
+    single-query on one disk) turned into an operator decision, exactly
+    like the scan-vs-index advisor turned the GloVe-shape wall-clock
+    loss into a gate.
+
+    Protocol: open the store's own reader (serve.sharded.open_reader —
+    local or sharded, any family), warm it, then for each batch size
+    run ``search_many`` over disjoint groups of the probe queries and
+    take the median per-query ms (batch 1 uses ``search``). The
+    recommendation is the argmin median with ties to the SMALLER batch
+    (smaller batches bound tail latency for free). ``Q`` is the
+    caller's probe sample — bounded (hundreds), never the corpus.
+
+    ``persist=True`` merges ``recommended_batch`` (+ the measured table)
+    into the layout-level ``store_meta`` the same way maintain_ivfpq
+    persists the retuned shortlist — serving loops read it instead of
+    guessing. Returns {"rows": [(batch, ms_q_median)...],
+    "recommended_batch": int}."""
+    import time as _time
+
+    import numpy as np
+
+    from vector_search_go_spark.serve.sharded import open_reader
+
+    Qm = np.asarray(Q, dtype=np.float64)
+    max_b = max(int(b) for b in batch_sizes)
+    if len(Qm) < 2 * max_b:
+        raise ValueError(
+            f"need >= {2 * max_b} probe queries for batch_sizes "
+            f"{tuple(batch_sizes)}; got {len(Qm)}"
+        )
+    reader = open_reader(path, **(reader_kwargs or {}))
+    try:
+        reader.search_many(
+            Qm[:max_b], k=k, query_ids=list(range(max_b)), **search_kwargs
+        )  # warm: model load, file indexes, page cache
+        rows = []
+        for b in sorted(int(x) for x in batch_sizes):
+            per_q = []
+            if b == 1:
+                for i in range(len(Qm)):
+                    t0 = _time.perf_counter()
+                    reader.search(Qm[i], k=k, **search_kwargs)
+                    per_q.append((_time.perf_counter() - t0) * 1000)
+            else:
+                for g0 in range(0, len(Qm) - b + 1, b):
+                    t0 = _time.perf_counter()
+                    reader.search_many(
+                        Qm[g0 : g0 + b], k=k,
+                        query_ids=list(range(b)), **search_kwargs,
+                    )
+                    per_q.append((_time.perf_counter() - t0) * 1000 / b)
+            per_q.sort()
+            rows.append((b, float(per_q[len(per_q) // 2])))
+    finally:
+        close = getattr(reader, "close", None)
+        if close is not None:
+            close()
+    best = min(rows, key=lambda r: (r[1], r[0]))[0]
+    out = {"rows": rows, "recommended_batch": int(best)}
+    if persist:
+        import json as _json
+
+        from vector_search_go_spark.serve.local_reader import _read_store_meta
+
+        meta = {}
+        if "://" not in path:
+            meta.update(_read_store_meta(path))
+        meta["recommended_batch"] = int(best)
+        meta["batch_ms_per_query"] = {str(b): m for b, m in rows}
+        spark.createDataFrame(
+            [(_json.dumps(meta),)], "meta_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+        spark.catalog.refreshByPath(f"{path}/store_meta")
+        from vector_search_go_spark.operators.pq import (
+            invalidate_stored_shortlist,
+        )
+
+        invalidate_stored_shortlist(path)
+    return out

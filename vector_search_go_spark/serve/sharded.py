@@ -617,3 +617,34 @@ class ShardedReader:
             self.close()
         except Exception:
             pass
+
+
+def open_reader(path: str, **reader_kwargs):
+    """Open the right serving reader for WHATEVER store lives at
+    ``path``: a ShardedReader for sharded layouts (shards_meta), else
+    the family's LocalReader — family from store_meta when persisted,
+    else from the layout's discriminating component (the engine.load
+    rules: codebook -> ivfpq, cells -> ivf, buckets -> lsh, bare
+    vectors -> scan). One entry point so operators that take "a saved
+    store" (serving_batch_advisor, serving loops) need no family
+    plumbing."""
+    if read_shards_meta(path) is not None:
+        return ShardedReader(path, **reader_kwargs)
+    family = _read_store_meta(path).get("family")
+    if family is None:
+        if os.path.exists(os.path.join(path, "codebook")):
+            family = "ivfpq"
+        elif os.path.exists(os.path.join(path, "cells")):
+            family = "ivf"
+        elif os.path.exists(os.path.join(path, "buckets")):
+            family = "lsh"
+        elif os.path.exists(os.path.join(path, "vectors")):
+            family = "scan"
+        else:
+            raise FileNotFoundError(
+                f"{path!r} holds no recognizable store layout"
+            )
+    cls = _READER_CLS.get(family)
+    if cls is None:
+        raise ValueError(f"family {family!r} has no serving reader")
+    return cls(path, **reader_kwargs)
