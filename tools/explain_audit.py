@@ -73,6 +73,13 @@ AUDITS = {
     "sq8_search_rerank": (True, False, True, True),
     "ivf_pq_search": (True, False, True, True),
     "kmeans_train_centroids": (True, False, True, True),
+    # r8: image near-dup dedup — the decode+dHash kernel is the allowed
+    # Python (mapInPandas); the banded self-join is an equi-join on
+    # (band, key) over doc-count-sized hash rows, so an SMJ there is
+    # acceptable blocking (both sides are the same small table; at
+    # corpus scale AQE picks the strategy). NEVER a cartesian product —
+    # the no-cartesian check below is the hard gate.
+    "dedup_image_phash": (False, False, True, False),
 }
 
 
@@ -417,6 +424,10 @@ def main() -> int:
                     if "PushedFilters" in line
                 ),
             )
+        # a plain CartesianProduct is a defect in ANY audited plan —
+        # intentional small-side cross joins compile to
+        # BroadcastNestedLoopJoin, never this node
+        check("no CartesianProduct", "CartesianProduct" not in plan)
         py_nodes = [
             n for n in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
             if n in plan
