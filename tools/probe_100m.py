@@ -181,7 +181,11 @@ def serve(
 
     regimes = (
         ("", dict(preload_codes=True)),
-        (", preload_vectors", dict(preload_codes=True, preload_vectors=True)),
+        # staggered init: 10 workers' construction transients (~2x the
+        # pinned matrix each) would OOM the box in parallel; steady
+        # state (~6.5 GB/worker here) fits fine
+        (", preload_vectors", dict(preload_codes=True, preload_vectors=True,
+                                   stagger_init=True)),
     )
     for tag, kwargs in regimes:
         t0 = time.time()

@@ -297,8 +297,18 @@ class ShardedReader:
         path: str,
         max_workers: int = 8,
         processes: bool = False,
+        stagger_init: bool = False,
         **reader_kwargs,
     ):
+        """``stagger_init=True`` (processes mode) builds the shard
+        readers one at a time instead of in parallel: preload-heavy
+        readers peak at ~2-3x their steady RAM during construction
+        (arrow table + sorted copy live together), and N shards paying
+        that transient simultaneously can OOM a box whose steady
+        footprint fits fine — at 100M x 64 x 10 shards the
+        preload_vectors regime is ~65 GB steady but >130 GB under
+        parallel init. Costs init wall time (serial), changes nothing
+        else."""
         meta = read_shards_meta(path)
         if meta is None:
             raise FileNotFoundError(
@@ -370,8 +380,12 @@ class ShardedReader:
                     self._procs.append(pool)
                 # force worker startup (initializer runs on first task)
                 # so init cost lands here, not in the first query
-                for f in [p.submit(os.getpid) for p in self._procs]:
-                    f.result()
+                if stagger_init:
+                    for p in self._procs:
+                        p.submit(os.getpid).result()
+                else:
+                    for f in [p.submit(os.getpid) for p in self._procs]:
+                        f.result()
             except BaseException:
                 self.close()  # don't leak already-spawned shard workers
                 raise
