@@ -382,3 +382,177 @@ def test_image_dhash_refuses_small_and_nonimage(spark):
     )
     with _pytest.raises(Exception, match="non-image payload"):
         image_dhash(wav).collect()
+
+
+def test_audio_fp60_bits_and_guards():
+    """audio_fp60 fixture: bit b set iff window-energy[b] < [b+1];
+    monotone-up energies -> all 60 bits, monotone-down -> 0; one forced
+    inversion sets exactly one bit; short clips and stereo mixing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_go_spark.operators.multimodal import (
+        AUDIO_FP_WINDOW,
+        AUDIO_FP_WINDOWS,
+        audio_fp60,
+    )
+
+    n = AUDIO_FP_WINDOWS * AUDIO_FP_WINDOW
+    up = np.repeat(np.arange(AUDIO_FP_WINDOWS), AUDIO_FP_WINDOW).astype(
+        np.int16
+    )
+    assert audio_fp60(up) == (1 << 60) - 1
+    assert audio_fp60(up[::-1].copy()) == 0
+    flat = np.full(n, 7, dtype=np.int16)
+    assert audio_fp60(flat) == 0  # strict <: ties clear the bit
+    one = flat.copy()
+    one[20 * AUDIO_FP_WINDOW : 21 * AUDIO_FP_WINDOW] = 9  # energy[20] jumps
+    # e[19] < e[20] sets bit 19; e[20] > e[21] leaves bit 20 clear
+    assert audio_fp60(one) == 1 << 19
+    # negatives count by |sample|; stereo mixes channels by summed |s|
+    neg = up.copy().astype(np.int16)
+    assert audio_fp60(-neg) == audio_fp60(neg)
+    stereo = np.stack([up, up], axis=1)
+    assert audio_fp60(stereo) == audio_fp60(up)
+    with _pytest.raises(ValueError, match="below the 244-frame"):
+        audio_fp60(np.zeros(n - 1, dtype=np.int16))
+
+
+def test_audio_near_dup_pairs_end_to_end(spark):
+    """Real WAV payloads through audio_fingerprint + the banded Hamming
+    join: an exact duplicate pair, a within-tau near clip (2 forced
+    energy-gradient flips -> pigeonhole-guaranteed catch), a far clip,
+    and a non-audio payload refusal."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_go_spark.operators.multimodal import (
+        AUDIO_FP_WINDOW,
+        AUDIO_FP_WINDOWS,
+        audio_fingerprint,
+        audio_fp60,
+        encode_bmp,
+        encode_wav,
+        hamming_near_dup_pairs,
+    )
+
+    n = AUDIO_FP_WINDOWS * AUDIO_FP_WINDOW
+    rng = np.random.default_rng(8)
+    base = rng.integers(-2000, 2000, size=n).astype(np.int16)
+    near = base.copy()
+    # zero two interior windows: flips the comparisons on both sides of
+    # each window unless already oriented that way -> hamming in [1, 4]
+    near[10 * AUDIO_FP_WINDOW : 11 * AUDIO_FP_WINDOW] = 0
+    near[40 * AUDIO_FP_WINDOW : 41 * AUDIO_FP_WINDOW] = 0
+    far = rng.integers(-2000, 2000, size=n).astype(np.int16)
+    rows = [
+        (0, encode_wav(base), {"mime": "audio/x-wav"}),
+        (1, encode_wav(base), {"mime": "audio/x-wav"}),  # exact dup of 0
+        (2, encode_wav(near), {"mime": "audio/x-wav"}),
+        (3, encode_wav(far), {"mime": "audio/x-wav"}),
+    ]
+    media = spark.createDataFrame(
+        rows, "id bigint, media binary, meta struct<mime:string>"
+    )
+    hashes = audio_fingerprint(media)
+    hm = {r["id"]: r["phash"] for r in hashes.collect()}
+    assert hm[0] == audio_fp60(base) and hm[0] == hm[1]
+    ham_near = bin(hm[0] ^ hm[2]).count("1")
+    assert 1 <= ham_near <= 4
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(hashes, tau=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    if ham_near < 4:  # pigeonhole: < n_bands flipped bits MUST be caught
+        assert pairs[(0, 2)] == ham_near and pairs[(1, 2)] == ham_near
+    assert not any(3 in p for p in pairs)
+    bmp = spark.createDataFrame(
+        [(0, encode_bmp(np.zeros((8, 9, 3), dtype=np.uint8)),
+          {"mime": "image/bmp"})],
+        "id bigint, media binary, meta struct<mime:string>",
+    )
+    with _pytest.raises(Exception, match="non-audio payload"):
+        audio_fingerprint(bmp).collect()
+
+
+def test_vbm_roundtrip_and_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_go_spark.operators.multimodal import (
+        decode_media,
+        decode_vbm,
+        encode_vbm,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    payload = encode_vbm(frames)
+    back = decode_vbm(payload)
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    d = decode_media(payload, "video/x-vbm")
+    assert d["kind"] == "video" and d["n_frames"] == 3
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_vbm(b"NOPE" + payload[4:])
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        decode_vbm(payload + b"\x00")
+    with _pytest.raises(ValueError, match="at least one frame"):
+        encode_vbm([])
+
+
+def test_video_near_dup_pairs_end_to_end(spark):
+    """3-frame VBM clips through video_framehash + the aligned banded
+    join: an exact duplicate pair (3 frames near), a partial pair
+    sharing exactly 2 aligned frames (the third frame far), a clip
+    matching on only 1 frame (dropped by min_frames=2), and a far
+    clip. Alignment is exercised by clip 5: clip 0's frames shifted by
+    one position -> no aligned frame matches despite identical frame
+    content."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        dhash60,
+        encode_vbm,
+        gray_luma,
+        video_framehash,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(12)
+
+    def frame():
+        return rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+
+    f0, f1, f2 = frame(), frame(), frame()
+    far0, far1, far2, far3 = frame(), frame(), frame(), frame()
+    clips = {
+        0: [f0, f1, f2],
+        1: [f0, f1, f2],          # exact dup of 0
+        2: [f0, f1, far0],        # 2 of 3 aligned frames match
+        3: [f0, far1, far2],      # only 1 -> below min_frames
+        4: [far3, far1, far2],    # no frame matches 0
+        5: [f2, f0, f1],          # 0's frames, misaligned
+    }
+    media = spark.createDataFrame(
+        [
+            (i, encode_vbm(fs), {"mime": "video/x-vbm"})
+            for i, fs in clips.items()
+        ],
+        "id bigint, media binary, meta struct<mime:string>",
+    )
+    hashes = video_framehash(media)
+    hm = {(r["id"], r["frame"]): r["phash"] for r in hashes.collect()}
+    assert hm[(0, 0)] == dhash60(gray_luma(f0))  # kernel parity
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["n_frames_near"], r["min_hamming"])
+        for r in video_near_dup_pairs(hashes, tau=6, min_frames=2).collect()
+    }
+    assert pairs[(0, 1)] == (3, 0)
+    assert pairs[(0, 2)] == (2, 0) and pairs[(1, 2)] == (2, 0)
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+    assert (0, 5) not in pairs  # alignment: same frames, wrong positions

@@ -341,6 +341,230 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_audio_fingerprint",
+    oracle="""
+WITH rep AS (
+  SELECT doc_id,
+         repeat(text, CAST(ceil(244.0 / length(text)) AS INT)) AS rt
+  FROM documents WHERE length(text) >= 1
+),
+e AS (
+  SELECT doc_id, w.w AS w,
+         256 * (abs(ascii(substr(rt, 4 * w.w + 1, 1)) - 128)
+              + abs(ascii(substr(rt, 4 * w.w + 2, 1)) - 128)
+              + abs(ascii(substr(rt, 4 * w.w + 3, 1)) - 128)
+              + abs(ascii(substr(rt, 4 * w.w + 4, 1)) - 128)) AS energy
+  FROM rep, range(0, 61) w(w)
+),
+bits AS (
+  SELECT a.doc_id, a.w AS b
+  FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.w = a.w + 1
+  WHERE a.w < 60 AND a.energy < c.energy
+),
+hx AS (
+  SELECT r.doc_id,
+         COALESCE(bit_or(CAST(1 AS BIGINT) << b.b), CAST(0 AS BIGINT)) AS phash
+  FROM rep r LEFT JOIN bits b ON r.doc_id = b.doc_id
+  GROUP BY r.doc_id
+),
+bands AS (
+  SELECT doc_id, phash, k.k AS band,
+         (phash >> (15 * k.k)) & 32767 AS key
+  FROM hx, range(0, 4) k(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.phash AS pa,
+                  b.doc_id AS id_b, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+""",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate dedup, end to end (round 8 — the audio
+    sibling of dedup_image_phash): synthesize a genuine 244-sample
+    16-bit PCM WAV per document (first 244 bytes of the text, cycled to
+    length, as centered int16 samples — near-dup documents thus yield
+    near-identical clips), decode it back through the REAL stdlib WAV
+    parser, fingerprint it with the 60-bit energy-gradient hash (61
+    windows of 4 samples, bit b = energy[b] < energy[b+1] —
+    operators.multimodal.audio_fp60), then find near-dup pairs with the
+    same banded Hamming self-join as images (4 bands x 15 bits).
+    ORACLE-CHECKABLE despite the binary hop: the WAV round-trip is
+    lossless and |(byte-128)*256| sums are exact integer math, so
+    DuckDB reproduces the identical pair set (including banding misses)
+    straight from the text bytes — a hash match proves
+    encode -> decode -> energy -> fingerprint -> band-join end to end.
+
+    At scale: fingerprinting is an Arrow map stage; the join is banded
+    equi-join blocking, NEVER all-pairs (queries_text.py:7-12)."""
+    from vector_search_go_spark.operators.multimodal import (
+        AUDIO_FP_WINDOW,
+        AUDIO_FP_WINDOWS,
+        audio_fingerprint,
+        encode_wav,
+        hamming_near_dup_pairs,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select("doc_id", "text")
+    )
+    n_bytes = AUDIO_FP_WINDOWS * AUDIO_FP_WINDOW  # 244
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                t = r["text"]
+                bs = (t * (-(-n_bytes // len(t)))).encode("utf-8")[:n_bytes]
+                samples = (
+                    _np.frombuffer(bs, _np.uint8).astype(_np.int64) - 128
+                ) * 256
+                rows.append(
+                    {
+                        "id": r["doc_id"],
+                        "media": encode_wav(samples.astype(_np.int16), 16_000),
+                        "meta": {"mime": "audio/x-wav"},
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["id", "media", "meta"])
+
+    media = docs.mapInPandas(
+        synth, schema="id bigint, media binary, meta struct<mime:string>"
+    )
+    return hamming_near_dup_pairs(audio_fingerprint(media), tau=6)
+
+
+@register(
+    "dedup_video_framehash",
+    oracle="""
+WITH rep AS (
+  SELECT doc_id,
+         repeat(text, CAST(ceil(648.0 / length(text)) AS INT)) AS rt
+  FROM documents WHERE length(text) >= 1
+),
+g AS (
+  SELECT doc_id, f.f AS f, p.p AS p,
+         299 * ascii(substr(rt, 216 * f.f + 3 * p.p + 1, 1))
+       + 587 * ascii(substr(rt, 216 * f.f + 3 * p.p + 2, 1))
+       + 114 * ascii(substr(rt, 216 * f.f + 3 * p.p + 3, 1)) AS gray
+  FROM rep, range(0, 3) f(f), range(0, 72) p(p)
+),
+bits AS (
+  SELECT a.doc_id, a.f, (a.p // 9) * 8 + (a.p % 9) AS b
+  FROM g a JOIN g c ON a.doc_id = c.doc_id AND a.f = c.f AND c.p = a.p + 1
+  WHERE a.p % 9 < 8 AND (a.p // 9) * 8 + (a.p % 9) < 60
+    AND a.gray < c.gray
+),
+frames AS (
+  SELECT doc_id, f.f AS f FROM rep, range(0, 3) f(f)
+),
+hx AS (
+  SELECT fr.doc_id, fr.f,
+         COALESCE(bit_or(CAST(1 AS BIGINT) << b.b), CAST(0 AS BIGINT)) AS phash
+  FROM frames fr LEFT JOIN bits b ON fr.doc_id = b.doc_id AND fr.f = b.f
+  GROUP BY fr.doc_id, fr.f
+),
+bands AS (
+  SELECT doc_id, f, phash, k.k AS band,
+         (phash >> (15 * k.k)) & 32767 AS key
+  FROM hx, range(0, 4) k(k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS f,
+                  a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b
+    ON a.f = b.f AND a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+),
+pf AS (
+  SELECT id_a, id_b, f, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+)
+SELECT id_a, id_b, CAST(count(*) AS INT) AS n_frames_near,
+       CAST(min(hamming) AS INT) AS min_hamming
+FROM pf GROUP BY id_a, id_b HAVING count(*) >= 2
+""",
+)
+def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate dedup, end to end (round 8 — completes the
+    image/audio/video modality triple): synthesize a genuine 3-frame
+    uncompressed video per document (each frame an 8x9 24-bit BMP from
+    a 216-byte slice of the text, cycled to length, packed in the VBM
+    frame container — near-dup documents thus yield near-identical
+    clips), decode every frame back through the REAL stdlib BMP parser
+    (operators.multimodal.decode_vbm), dHash each frame, then find
+    clip pairs whose ALIGNED frames match through the banded Hamming
+    join with the frame index as an extra equi-key; a pair survives
+    with >= 2 of its 3 frames near (tau 6). ORACLE-CHECKABLE despite
+    the binary hop: the container and BMP round-trips are lossless and
+    every hash op is exact integer math, so DuckDB reproduces the
+    identical (pair, n_frames_near, min_hamming) set straight from the
+    text bytes.
+
+    At scale: frame hashing is an Arrow map stage (frames of a clip
+    never leave its task); the join is banded equi-join blocking keyed
+    on (frame, band, key) — NEVER all-pairs — and the clip rollup
+    groups only surviving frame pairs. A production MP4/H.264 decoder
+    swaps into the same mapInPandas slot (decode_media refuses those
+    mimes loudly in this codec-less sandbox)."""
+    from vector_search_go_spark.operators.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        encode_vbm,
+        video_framehash,
+        video_near_dup_pairs,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select("doc_id", "text")
+    )
+    frame_bytes = DHASH_ROWS * DHASH_COLS * 3  # 216
+    n_frames = 3
+    n_bytes = frame_bytes * n_frames  # 648
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                t = r["text"]
+                bs = (t * (-(-n_bytes // len(t)))).encode("utf-8")[:n_bytes]
+                frames = [
+                    _np.frombuffer(
+                        bs[f * frame_bytes : (f + 1) * frame_bytes], _np.uint8
+                    ).reshape(DHASH_ROWS, DHASH_COLS, 3)
+                    for f in range(n_frames)
+                ]
+                rows.append(
+                    {
+                        "id": r["doc_id"],
+                        "media": encode_vbm(frames),
+                        "meta": {"mime": "video/x-vbm"},
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["id", "media", "meta"])
+
+    media = docs.mapInPandas(
+        synth, schema="id bigint, media binary, meta struct<mime:string>"
+    )
+    return video_near_dup_pairs(
+        video_framehash(media), tau=6, min_frames=2
+    )
+
+
+@register(
     "doc_embedding_join",
     oracle="""
 SELECT d.doc_id, d.lang, d.n_chars,

@@ -102,7 +102,12 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_train_split",
     "pack_training_sequences",
     "sample_rebalance_langs",
-    "multimodal_features",
+    # r8: audio near-dup dedup under the driver's value check (real WAV
+    # decode -> 60-bit energy-gradient fingerprint -> banded Hamming
+    # self-join, hash-matched vs DuckDB's byte-level reconstruction);
+    # took the slot of r3-r7-green, unchanged multimodal_features (its
+    # decode sibling multimodal_decode_real keeps the window slot below)
+    "dedup_audio_fingerprint",
     # r4: real BMP/WAV decode path (driver-green since r4's window);
     # took the slot of r3-green, unchanged multimodal_byte_stats
     "multimodal_decode_real",
@@ -135,7 +140,13 @@ _PRIORITY: tuple[str, ...] = (
     # assertion) — everything else r2-green stays covered by the local
     # oracle mirror + EXPECTED_HASHES.
     "knn_exact_l2",
-    "dedup_ngram_jaccard",
+    # r8: video near-dup dedup under the driver's value check (real VBM
+    # container + per-frame BMP decode -> frame dHash -> aligned banded
+    # Hamming join -> clip rollup, hash-matched vs DuckDB's byte-level
+    # reconstruction); took the slot of r2-r7-green, unchanged
+    # dedup_ngram_jaccard (its shingle-join sibling dedup_minhash_lsh
+    # keeps the window slot below)
+    "dedup_video_framehash",
     "dedup_minhash_lsh",
     # r5: the advisor wired into the facade (driver-green since r6);
     # took the slot of r4-green, unchanged embed_random_projection
