@@ -75,3 +75,200 @@ def test_state_persists_across_drains(spark, tmp_path):
         for r in duplicate_verdicts(spark.read.parquet(hits_path)).collect()
     }
     assert verdicts == {2: 1}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal fingerprint gate
+# ---------------------------------------------------------------------------
+
+
+def _synth_media_rows(spark, sf_dir):
+    """The image payloads of dedup_image_phash and the audio payloads
+    of dedup_audio_fingerprint, as one mixed-modality item list
+    (same ids in both modalities — the kind column must keep them in
+    disjoint bucket spaces)."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        AUDIO_FP_WINDOW,
+        AUDIO_FP_WINDOWS,
+        DHASH_COLS,
+        DHASH_ROWS,
+        encode_bmp,
+        encode_wav,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("length(text) >= 1")
+        .select("doc_id", "text")
+        .collect()
+    )
+    img_bytes = DHASH_ROWS * DHASH_COLS * 3
+    wav_bytes = AUDIO_FP_WINDOWS * AUDIO_FP_WINDOW
+    rows = []
+    for r in docs:
+        t = r["text"]
+        bi = (t * (-(-img_bytes // len(t)))).encode("utf-8")[:img_bytes]
+        px = np.frombuffer(bi, np.uint8).reshape(DHASH_ROWS, DHASH_COLS, 3)
+        rows.append((r["doc_id"], encode_bmp(px), {"mime": "image/bmp"}))
+        bw = (t * (-(-wav_bytes // len(t)))).encode("utf-8")[:wav_bytes]
+        samples = ((np.frombuffer(bw, np.uint8).astype(np.int64) - 128) * 256)
+        rows.append(
+            (r["doc_id"], encode_wav(samples.astype(np.int16), 16_000),
+             {"mime": "audio/x-wav"})
+        )
+    return rows
+
+
+def test_media_gate_matches_batch_pairs_any_order(spark, tmp_path):
+    """The drained gate's pair set is bit-identical to the batch banded
+    joins — per modality, with items arriving in DESCENDING id order
+    (the member-list state is order-independent, unlike the MinHash
+    gate's owner semantics)."""
+    from vector_search_go_spark.queries_pipeline import (
+        dedup_audio_fingerprint,
+        dedup_image_phash,
+    )
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sorted(_synth_media_rows(spark, sf_dir), key=lambda r: -r[0])
+    d = tmp_path / "media_stream"
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d))
+    hits_path = str(tmp_path / "hits")
+    run_media_dedup_gate(spark, stream, hits_path, str(tmp_path / "ckpt"))
+    got = {
+        (r["kind"], r["id_a"], r["id_b"]): r["min_hamming"]
+        for r in media_pair_verdicts(
+            spark.read.parquet(hits_path), min_frames=1
+        ).collect()
+    }
+    want = {
+        ("image", r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_image_phash(spark, sf_dir).collect()
+    }
+    want.update(
+        {
+            ("audio", r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup_audio_fingerprint(spark, sf_dir).collect()
+        }
+    )
+    assert got == want
+    assert len(got) > 0  # corpus has planted near-dups
+
+
+def test_media_gate_video_and_replay(spark, tmp_path):
+    """Video clips through the gate match video_near_dup_pairs
+    (min_frames=2), a replayed file adds no duplicate pairs
+    (at-least-once tolerance), and a later drain pairs new arrivals
+    against checkpoint-carried state."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        encode_vbm,
+        video_framehash,
+        video_near_dup_pairs,
+    )
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def frame():
+        return rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+
+    f0, f1, f2, g0, g1, g2 = (frame() for _ in range(6))
+    clips = {0: [f0, f1, f2], 1: [f0, f1, g0], 2: [g1, g2, f2]}
+    d = tmp_path / "vid"
+    d.mkdir()
+    rows = [
+        (i, encode_vbm(fs), {"mime": "video/x-vbm"}) for i, fs in clips.items()
+    ]
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d) + "/*")
+    hits_path = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    run_media_dedup_gate(spark, stream, hits_path, ckpt)
+
+    def verdicts():
+        return {
+            (r["id_a"], r["id_b"]): (r["n_frames_near"], r["min_hamming"])
+            for r in media_pair_verdicts(
+                spark.read.parquet(hits_path), min_frames=2
+            ).collect()
+        }
+
+    media_batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    want = {
+        (r["id_a"], r["id_b"]): (r["n_frames_near"], r["min_hamming"])
+        for r in video_near_dup_pairs(
+            video_framehash(media_batch), tau=6, min_frames=2
+        ).collect()
+    }
+    assert verdicts() == want
+    assert (0, 1) in want  # 2 shared frames
+    assert (0, 2) not in want  # only 1 shared frame
+
+    # replay the same file: at-least-once delivery must not duplicate
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+    stream2 = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d) + "/*")
+    run_media_dedup_gate(spark, stream2, hits_path, ckpt)
+    assert verdicts() == want
+
+    # a new exact-dup clip arriving later pairs against carried state
+    rows3 = [(9, encode_vbm([f0, f1, f2]), {"mime": "video/x-vbm"})]
+    spark.createDataFrame(rows3, MEDIA_SCHEMA).coalesce(1).write.parquet(
+        str(d / "f3.parquet")
+    )
+    stream3 = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d) + "/*")
+    run_media_dedup_gate(spark, stream3, hits_path, ckpt)
+    v = verdicts()
+    assert v[(0, 9)] == (3, 0) and v[(1, 9)][0] == 2
+
+
+def test_media_gate_kind_isolation(spark, tmp_path):
+    """A flat image (dHash 0) and a flat audio clip (fingerprint 0)
+    share every band key value but must NOT pair — modalities live in
+    disjoint bucket spaces; two flat images DO pair."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+    )
+
+    flat_img = np.zeros((8, 9, 3), dtype=np.uint8)
+    flat_wav = np.zeros(244, dtype=np.int16)
+    rows = [
+        (1, encode_bmp(flat_img), {"mime": "image/bmp"}),
+        (2, encode_wav(flat_wav), {"mime": "audio/x-wav"}),
+        (3, encode_bmp(flat_img), {"mime": "image/bmp"}),
+    ]
+    d = tmp_path / "mixed"
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d))
+    hits_path = str(tmp_path / "hits")
+    run_media_dedup_gate(spark, stream, hits_path, str(tmp_path / "ckpt"))
+    got = {
+        (r["kind"], r["id_a"], r["id_b"])
+        for r in media_pair_verdicts(spark.read.parquet(hits_path)).collect()
+    }
+    assert got == {("image", 1, 3)}

@@ -760,3 +760,61 @@ def video_near_dup_pairs(
         )
         .filter(F.col("n_frames_near") >= int(min_frames))
     )
+
+
+def media_fingerprints(media_df: DataFrame) -> DataFrame:
+    """(id, media binary, meta struct<mime,...>) -> (id, kind, frame,
+    phash): ONE modality-dispatching fingerprint kernel — image
+    payloads emit (frame 0, dhash60), audio (frame 0, audio_fp60),
+    video one row per frame dHash. The shared entry point the streaming
+    dedup gate uses so a mixed-modality ingest stream needs a single
+    Arrow map stage; the kind column keeps modalities in disjoint
+    bucket spaces (an image dHash and an audio fingerprint that share
+    15 band bits are not near-dups of each other) and the frame column
+    keeps video collisions aligned. Unknown/compressed mimes raise
+    loudly via decode_media."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                d = decode_media(bytes(row["media"]), row["meta"]["mime"])
+                if d["kind"] == "image":
+                    px = d["pixels"]
+                    if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
+                        raise ValueError(
+                            f"image {row['id']} below the dHash grid"
+                        )
+                    g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                    rows.append(
+                        {
+                            "id": row["id"], "kind": "image", "frame": 0,
+                            "phash": dhash60(g),
+                        }
+                    )
+                elif d["kind"] == "audio":
+                    rows.append(
+                        {
+                            "id": row["id"], "kind": "audio", "frame": 0,
+                            "phash": audio_fp60(d["samples"]),
+                        }
+                    )
+                else:
+                    for i, px in enumerate(d["frames"]):
+                        if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
+                            raise ValueError(
+                                f"frame {i} of video {row['id']} below the "
+                                "dHash grid"
+                            )
+                        g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                        rows.append(
+                            {
+                                "id": row["id"], "kind": "video", "frame": i,
+                                "phash": dhash60(g),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["id", "kind", "frame", "phash"])
+
+    return media_df.mapInPandas(
+        extract, schema="id bigint, kind string, frame int, phash bigint"
+    )

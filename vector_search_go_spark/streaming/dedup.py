@@ -124,3 +124,162 @@ def duplicate_verdicts(hits: DataFrame) -> DataFrame:
     """Batch rollup of the hit log: per flagged doc, the earliest owner
     it collided with — 'doc_id is a near-dup of dup_of'."""
     return hits.groupBy("doc_id").agg(F.min("owner_doc_id").alias("dup_of"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal fingerprint gate (round 8): the online twin of the batch
+# banded-Hamming dedup operators (dedup_image_phash /
+# dedup_audio_fingerprint / dedup_video_framehash). Unlike the MinHash
+# gate above — whose band claim keeps only the first presenter, giving
+# arrival-order owner semantics — this gate keeps the full member list
+# (id, hash) per band bucket in state and emits every newcomer-vs-member
+# pair VERIFIED by exact Hamming distance, so the drained pair set is
+# bit-identical to the batch join's output for ANY arrival order. State
+# is O(bucket members); a hot bucket is a true duplicate family whose
+# pairs ARE the output, the same posture as the batch join (and the
+# same scale ceiling as the batch operator's band-group fan-in).
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = "id bigint, media binary, meta struct<mime:string>"
+
+_FP_HIT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+    ]
+)
+
+
+def stream_media_band_keys(
+    media_stream: DataFrame, n_bands: int = 4, band_bits: int = 15
+) -> DataFrame:
+    """(id, media, meta) stream -> (id, kind, frame, phash, band,
+    key): the
+    batch fingerprint + band projection lifted onto the stream (one
+    Arrow map stage + narrow ops; no state, no shuffle until the
+    band-claim groupBy). Band keys are byte-identical to the batch
+    operators' (same shift/mask), so gate hits and batch pairs agree."""
+    from vector_search_go_spark.operators.multimodal import media_fingerprints
+
+    mask = (1 << band_bits) - 1
+    return (
+        media_fingerprints(media_stream)
+        .withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+        )
+        .withColumn(
+            "key",
+            F.expr(f"shiftright(phash, band * {int(band_bits)}) & {mask}"),
+        )
+    )
+
+
+def _claim_fp_bucket(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State per (kind, frame, band, key) bucket: parallel arrays of member
+    ids and their full 60-bit fingerprints. Each newcomer (processed in
+    id order within the micro-batch — Arrow chunk order is not
+    guaranteed) emits one row per existing member with the exact
+    Hamming distance; replayed ids (at-least-once delivery) are
+    skipped, keeping the pair set exactly-once."""
+    kind, frame, band, _bucket = key
+    arrivals: dict[int, int] = {}
+    for pdf in pdfs:
+        for i, h in zip(pdf["id"], pdf["phash"]):
+            arrivals.setdefault(int(i), int(h))
+    if state.exists:
+        ids, hashes = state.get
+        ids, hashes = list(ids), list(hashes)
+    else:
+        ids, hashes = [], []
+    seen = set(ids)
+    rows = []
+    for i in sorted(arrivals):
+        if i in seen:
+            continue
+        h = arrivals[i]
+        for j, hj in zip(ids, hashes):
+            a, b = (j, i) if j < i else (i, j)
+            rows.append((kind, frame, band, a, b, bin(h ^ hj).count("1")))
+        ids.append(i)
+        hashes.append(h)
+        seen.add(i)
+    state.update((ids, hashes))
+    yield pd.DataFrame(
+        rows, columns=["kind", "frame", "band", "id_a", "id_b", "hamming"]
+    )
+
+
+def stream_media_duplicate_hits(
+    media_stream: DataFrame,
+    tau: int = 6,
+    n_bands: int = 4,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Streaming (kind, frame, band, id_a, id_b, hamming) near-dup hits over
+    a mixed-modality media stream: one row per band bucket a pair
+    collides in (dedup across bands at rollup — media_pair_verdicts),
+    Hamming-verified in the stateful op, filtered to <= tau here so tau
+    is a query knob, not state."""
+    hits = (
+        stream_media_band_keys(media_stream, n_bands, band_bits)
+        .groupBy("kind", "frame", "band", "key")
+        .applyInPandasWithState(
+            _claim_fp_bucket,
+            outputStructType=_FP_HIT_SCHEMA,
+            stateStructType="ids array<long>, hashes array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return hits.filter(F.col("hamming") <= int(tau))
+
+
+def run_media_dedup_gate(
+    spark: SparkSession,
+    media_stream: DataFrame,
+    hits_path: str,
+    checkpoint_path: str,
+    tau: int = 6,
+    timeout: int = 120,
+) -> None:
+    """Drain the media stream (availableNow) appending verified
+    near-dup hits to parquet; the checkpoint carries the bucket-member
+    state so successive drains keep comparing against everything
+    already fingerprinted."""
+    q = (
+        stream_media_duplicate_hits(media_stream, tau=tau)
+        .writeStream.format("parquet")
+        .option("path", hits_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def media_pair_verdicts(hits: DataFrame, min_frames: int = 1) -> DataFrame:
+    """Batch rollup of the hit log to clip/item pairs: dedup the
+    per-band hits to one row per (pair, kind, frame), then aggregate
+    frames — (kind, id_a, id_b, n_frames_near, min_hamming), keeping
+    pairs with >= min_frames near frames. With min_frames=1 on
+    image/audio hits this is exactly hamming_near_dup_pairs' output;
+    with min_frames=2 on video frame hits it is exactly
+    video_near_dup_pairs'."""
+    per_frame = hits.dropDuplicates(["id_a", "id_b", "kind", "frame"])
+    return (
+        per_frame.groupBy("kind", "id_a", "id_b")
+        .agg(
+            F.count("*").cast("int").alias("n_frames_near"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .filter(F.col("n_frames_near") >= int(min_frames))
+    )
