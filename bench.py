@@ -63,6 +63,11 @@ HEADLINE = [
     "kmeans_train_centroids",
     "embed_random_projection",
     "source_fvecs_roundtrip",
+    # added in round 8 (headline grew by 3: subtract these medians for
+    # a like-for-like r7 comparison — every r7 query is still present)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_framehash",
 ]
 
 

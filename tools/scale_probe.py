@@ -1892,7 +1892,150 @@ def glove_probe(
         shutil.rmtree(base, ignore_errors=True)
 
 
+
+
+def media_dedup_probe(
+    n_hash: int = 1_000_000, n_join: int = 10_000_000
+) -> None:
+    """Scale receipts for the multimodal near-dup operators (round 8).
+
+    Part A — fingerprint throughput: n_hash REAL BMP payloads (encoded
+    AND decoded inside the kernel task, so the measured rate is a
+    conservative bound that includes synthesis) through image_dhash's
+    decode -> luma -> dHash path. This stage is embarrassingly
+    parallel: items/s scales with executors, nothing shuffles.
+
+    Part B — the banded Hamming join at corpus scale, the shuffle-bound
+    half. Uniform-random 60-bit fingerprints are the WORST case for
+    banding (real corpora skew toward duplicate families whose pairs
+    are the output): with b-bit bands every bucket holds ~n/2^b members
+    and candidate pairs grow as n^2/2^b, so 15-bit bands (pigeonhole
+    tau<4 guarantee, right for ~100k corpora) explode at millions of
+    rows and the knob must move to 2x30 (guaranteed for 1-bit
+    divergence, probabilistic above). The probe measures BOTH: 4x15 at
+    a small n to show the n^2/2^b wall, 2x30 at n_join with planted
+    1-bit near-dup families to show the scale path recovers every
+    planted pair in linear time."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.multimodal import (
+        hamming_near_dup_pairs,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "media-dedup-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- Part A: decode+hash throughput over real BMP payloads -------
+    def synth_and_hash(batches):
+        import pandas as pd
+
+        from vector_search_go_spark.operators.multimodal import (
+            decode_media,
+            dhash60,
+            encode_bmp,
+            gray_luma,
+        )
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                # deterministic 8x9 image per id; ids in the same
+                # family (i // 100) share a base pattern
+                g = np.random.default_rng(int(i) // 100).integers(
+                    0, 256, size=(8, 9, 3)
+                ).astype(np.uint8)
+                if i % 100 == 1:
+                    g = g.copy()
+                    g[0, 0] ^= 255  # near-dup of family base
+                payload = encode_bmp(g)
+                d = decode_media(payload, "image/bmp")
+                rows.append(
+                    {
+                        "id": int(i),
+                        "phash": dhash60(gray_luma(d["pixels"][:8, :9])),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    t0 = time.time()
+    hashed = spark.range(n_hash).mapInPandas(
+        synth_and_hash, schema="id bigint, phash bigint"
+    )
+    n_out = hashed.count()
+    t_hash = time.time() - t0
+    print(
+        f"hash-throughput: {n_out:,} BMP payloads encoded+decoded+hashed "
+        f"in {t_hash:.1f}s = {n_out / t_hash:,.0f} items/s on "
+        f"{os.environ.get('SPARK_GRAFT_CPUS', '32')} cores"
+    )
+
+    # --- Part B: the banded join, worst-case uniform fingerprints ----
+    def fingerprints(n, plant_every=1000):
+        df = spark.range(n).select(
+            "id",
+            (F.abs(F.xxhash64(F.col("id") - (F.col("id") % plant_every)))
+             % F.lit(1 << 60)).alias("base"),
+        )
+        # rows with id % plant_every == 1 are 1-bit near-dups of their
+        # family base; everyone else gets an independent uniform hash
+        return df.select(
+            "id",
+            F.when(F.col("id") % plant_every == 1, F.col("base").bitwiseXOR(F.lit(1)))
+            .when(F.col("id") % plant_every == 0, F.col("base"))
+            .otherwise(F.abs(F.xxhash64("id")) % F.lit(1 << 60))
+            .alias("phash"),
+        )
+
+    n_small = 500_000
+    fp_small = fingerprints(n_small).cache()
+    fp_small.count()
+    t0 = time.time()
+    n_cand_small = (
+        hamming_near_dup_pairs(fp_small, tau=60, n_bands=4, band_bits=15)
+        .count()
+    )
+    t_small_15 = time.time() - t0
+    t0 = time.time()
+    pairs_small_30 = hamming_near_dup_pairs(
+        fp_small, tau=6, n_bands=2, band_bits=30
+    ).count()
+    t_small_30 = time.time() - t0
+    fp_small.unpersist()
+    print(
+        f"band-wall: n={n_small:,} uniform fingerprints, 4x15 bands -> "
+        f"{n_cand_small:,} candidate pairs in {t_small_15:.1f}s (the "
+        f"n^2/2^15 wall); 2x30 bands -> {pairs_small_30:,} verified "
+        f"pairs in {t_small_30:.1f}s"
+    )
+
+    fp = fingerprints(n_join).cache()
+    fp.count()
+    planted = n_join // 1000  # one 1-bit dup per 1000-row family
+    t0 = time.time()
+    pairs = hamming_near_dup_pairs(fp, tau=6, n_bands=2, band_bits=30)
+    got = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("hamming") == 1, 1).otherwise(0)).alias("n1"),
+    ).collect()[0]
+    t_join = time.time() - t0
+    fp.unpersist()
+    print(
+        f"scale-join: n={n_join:,} fingerprints, 2x30 bands -> "
+        f"{got['n']:,} pairs ({got['n1']:,} hamming-1, planted "
+        f"{planted:,}) in {t_join:.1f}s"
+    )
+
+
+
+
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--media-dedup"]:
+        media_dedup_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--local-serve"]:
         local_serve_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)

@@ -532,6 +532,15 @@ def hamming_near_dup_pairs(
     The mask after the arithmetic shift keeps band keys identical
     across engines regardless of sign-extension semantics.
 
+    Sizing ``band_bits`` at scale: a band bucket holds ~n / 2**band_bits
+    members, so candidate pairs grow as n**2 / 2**band_bits — the 4x15
+    default (pigeonhole guarantee for < 4 differing bits) is right for
+    ~1e5-row corpora, but at millions of rows move to 2x30 (guaranteed
+    for <= 1-bit divergence, probabilistic above) or the candidate mass
+    explodes even on uniform fingerprints. Measured in SCALE.md
+    ("Multimodal near-dup dedup at scale"); band width must grow with
+    log2(n).
+
     ``align_cols``: extra columns joined as equi-keys alongside
     (band, key) and carried into the output — e.g. ['frame'] compares
     video fingerprints only at matching frame positions (one output
