@@ -80,6 +80,12 @@ AUDITS = {
     # corpus scale AQE picks the strategy). NEVER a cartesian product —
     # the no-cartesian check below is the hard gate.
     "dedup_image_phash": (False, False, True, False),
+    # r8 second pass: the audio and video siblings share the image
+    # entry's shape — Arrow fingerprint kernel is the allowed Python,
+    # banded equi-join blocking (video adds the frame index to the join
+    # key), no cartesian products ever
+    "dedup_audio_fingerprint": (False, False, True, False),
+    "dedup_video_framehash": (False, False, True, False),
 }
 
 
