@@ -272,3 +272,60 @@ def test_media_gate_kind_isolation(spark, tmp_path):
         for r in media_pair_verdicts(spark.read.parquet(hits_path)).collect()
     }
     assert got == {("image", 1, 3)}
+
+
+def test_media_gate_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """With state_ttl_ms set, a bucket idle past the TTL is evicted at
+    the next drain (processing-time timeout), so a later duplicate of
+    the forgotten item is NOT flagged against it — the documented
+    dedup-horizon trade — while duplicates inside the horizon still
+    pair normally."""
+    import time as _time
+
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import encode_bmp
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    other = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    d = tmp_path / "ttl"
+    d.mkdir()
+    hits_path = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    ttl = 1_500
+
+    def drain(fname, rows):
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(d / fname)
+        )
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d) + "/*")
+        run_media_dedup_gate(
+            spark, stream, hits_path, ckpt, state_ttl_ms=ttl
+        )
+
+    # drain 1: item 1 claims its buckets
+    drain("f1.parquet", [(1, encode_bmp(base), {"mime": "image/bmp"})])
+    # idle past the TTL, then drain unrelated data: expired idle
+    # buckets get their timeout callback and are removed
+    _time.sleep(3)
+    drain("f2.parquet", [(8, encode_bmp(other), {"mime": "image/bmp"})])
+    # drain 3: two exact dups of item 1 — they pair with each other
+    # (same horizon) but NOT with the evicted item 1
+    drain(
+        "f3.parquet",
+        [
+            (2, encode_bmp(base), {"mime": "image/bmp"}),
+            (4, encode_bmp(base), {"mime": "image/bmp"}),
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in media_pair_verdicts(spark.read.parquet(hits_path)).collect()
+    }
+    assert pairs == {(2, 4)}

@@ -1894,6 +1894,115 @@ def glove_probe(
 
 
 
+def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
+    """Throughput receipt for the streaming multimodal dedup gate
+    (round 8): n REAL BMP payloads land as a parquet stream and drain
+    through fingerprint -> stateful band-bucket claim; then n_incr more
+    arrive and drain against the checkpoint-carried state (the
+    steady-state arrival cost — state load dominates this one).
+    Reports items/s per drain, verified pair counts, and the state
+    bucket count (distinct (kind, frame, band, key), computed
+    batch-side — the quantity the state store actually holds)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.session import get_spark
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+        stream_media_band_keys,
+    )
+
+    spark = get_spark(
+        "media-gate-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(lo, hi):
+        def gen(batches):
+            import pandas as pd
+
+            from vector_search_go_spark.operators.multimodal import encode_bmp
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    # unique image per id, except ids = 1 mod 100 which
+                    # are a 1-pixel-flip near-dup of their predecessor
+                    seed = int(i) - 1 if i % 100 == 1 else int(i)
+                    g = np.random.default_rng(seed).integers(
+                        0, 256, size=(8, 9, 3)
+                    ).astype(np.uint8)
+                    if i % 100 == 1:
+                        g = g.copy()
+                        g[0, 0] ^= 255
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "media": encode_bmp(g),
+                            "meta": {"mime": "image/bmp"},
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["id", "media", "meta"])
+
+        return (
+            spark.range(lo, hi)
+            .repartition(32)
+            .mapInPandas(gen, schema=MEDIA_SCHEMA)
+        )
+
+    base = tempfile.mkdtemp(prefix="media_gate_probe_")
+    try:
+        d = f"{base}/stream"
+        synth(0, n).write.parquet(f"{d}/f1.parquet")
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(d + "/*")
+        t0 = time.time()
+        run_media_dedup_gate(
+            spark, stream, f"{base}/hits", f"{base}/ckpt", timeout=600
+        )
+        t1 = time.time() - t0
+        hits = spark.read.parquet(f"{base}/hits")
+        n_pairs = media_pair_verdicts(hits).count()
+        print(
+            f"gate-drain: {n:,} BMP payloads fingerprinted + claimed in "
+            f"{t1:.1f}s = {n / t1:,.0f} items/s; {n_pairs:,} verified "
+            f"pairs (planted {n // 100:,} 1-flip near-dups)"
+        )
+
+        synth(n, n + n_incr).write.parquet(f"{d}/f2.parquet")
+        stream2 = spark.readStream.schema(MEDIA_SCHEMA).parquet(d + "/*")
+        t0 = time.time()
+        run_media_dedup_gate(
+            spark, stream2, f"{base}/hits", f"{base}/ckpt", timeout=600
+        )
+        t2 = time.time() - t0
+        n_pairs2 = media_pair_verdicts(
+            spark.read.parquet(f"{base}/hits")
+        ).count()
+        # the bucket count the state store holds after both drains,
+        # computed batch-side over the same projection the gate uses
+        n_buckets = (
+            stream_media_band_keys(
+                spark.read.parquet(f"{d}/f1.parquet", f"{d}/f2.parquet")
+            )
+            .select("kind", "frame", "band", "key")
+            .distinct()
+            .count()
+        )
+        print(
+            f"gate-incr: +{n_incr:,} arrivals drained against carried "
+            f"state in {t2:.1f}s = {n_incr / t2:,.0f} items/s; pairs "
+            f"{n_pairs:,} -> {n_pairs2:,}; state = {n_buckets:,} band "
+            f"buckets ({n + n_incr:,} items x 4 bands, minus dup-family "
+            f"sharing)"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def media_dedup_probe(
     n_hash: int = 1_000_000, n_join: int = 10_000_000
 ) -> None:
@@ -2033,6 +2142,9 @@ def media_dedup_probe(
 
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--media-gate"]:
+        media_gate_probe(*[int(s) for s in sys.argv[2:]])
+        sys.exit(0)
     if sys.argv[1:2] == ["--media-dedup"]:
         media_dedup_probe(*[int(s) for s in sys.argv[2:]])
         sys.exit(0)

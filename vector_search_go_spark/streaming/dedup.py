@@ -178,17 +178,43 @@ def stream_media_band_keys(
     )
 
 
-def _claim_fp_bucket(
+def _make_fp_claim(ttl_ms: int | None):
+    """Build the band-bucket claim function with an optional state TTL
+    closure-bound (closures ship to executors via cloudpickle; module
+    globals would re-resolve to their import-time defaults there)."""
+
+    def _claim_fp_bucket(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _claim_fp_bucket_impl(key, pdfs, state, ttl_ms)
+
+    return _claim_fp_bucket
+
+
+def _claim_fp_bucket_impl(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """State per (kind, frame, band, key) bucket: parallel arrays of member
     ids and their full 60-bit fingerprints. Each newcomer (processed in
     id order within the micro-batch — Arrow chunk order is not
     guaranteed) emits one row per existing member with the exact
     Hamming distance; replayed ids (at-least-once delivery) are
-    skipped, keeping the pair set exactly-once."""
+    skipped, keeping the pair set exactly-once.
+
+    ``ttl_ms``: processing-time state eviction — an idle bucket is
+    dropped after ttl_ms without arrivals, bounding state over an
+    infinite stream. Eviction FORGETS members: a duplicate arriving
+    after its family's bucket expired is not flagged, the standard
+    retention trade (document the TTL as the dedup horizon).
+    ttl_ms=None keeps state forever."""
+    if state.hasTimedOut:
+        state.remove()
+        return  # yields nothing: eviction emits no rows
     kind, frame, band, _bucket = key
     arrivals: dict[int, int] = {}
     for pdf in pdfs:
@@ -212,9 +238,12 @@ def _claim_fp_bucket(
         hashes.append(h)
         seen.add(i)
     state.update((ids, hashes))
-    yield pd.DataFrame(
-        rows, columns=["kind", "frame", "band", "id_a", "id_b", "hamming"]
-    )
+    if ttl_ms is not None:
+        state.setTimeoutDuration(int(ttl_ms))
+    if rows:  # most buckets emit nothing — skip the DataFrame build
+        yield pd.DataFrame(
+            rows, columns=["kind", "frame", "band", "id_a", "id_b", "hamming"]
+        )
 
 
 def stream_media_duplicate_hits(
@@ -222,21 +251,29 @@ def stream_media_duplicate_hits(
     tau: int = 6,
     n_bands: int = 4,
     band_bits: int = 15,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming (kind, frame, band, id_a, id_b, hamming) near-dup hits over
     a mixed-modality media stream: one row per band bucket a pair
     collides in (dedup across bands at rollup — media_pair_verdicts),
     Hamming-verified in the stateful op, filtered to <= tau here so tau
-    is a query knob, not state."""
+    is a query knob, not state. ``state_ttl_ms`` bounds state over an
+    infinite stream by evicting idle buckets (the dedup horizon);
+    None = compare against everything ever seen."""
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     hits = (
         stream_media_band_keys(media_stream, n_bands, band_bits)
         .groupBy("kind", "frame", "band", "key")
         .applyInPandasWithState(
-            _claim_fp_bucket,
+            _make_fp_claim(state_ttl_ms),
             outputStructType=_FP_HIT_SCHEMA,
             stateStructType="ids array<long>, hashes array<long>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     )
     return hits.filter(F.col("hamming") <= int(tau))
@@ -249,13 +286,26 @@ def run_media_dedup_gate(
     checkpoint_path: str,
     tau: int = 6,
     timeout: int = 120,
+    state_ttl_ms: int | None = None,
 ) -> None:
     """Drain the media stream (availableNow) appending verified
     near-dup hits to parquet; the checkpoint carries the bucket-member
     state so successive drains keep comparing against everything
-    already fingerprinted."""
+    already fingerprinted (within state_ttl_ms, if set).
+
+    With a TTL the query does NOT self-terminate: processing-time
+    timeouts keep scheduling timer-sweep micro-batches after the data
+    is exhausted (observed: 100+ empty batches per availableNow drain),
+    so this drain watches progress and stops the query once input is
+    exhausted and at least one empty sweep batch has run — expired
+    buckets are evicted in the data batches / that sweep; buckets
+    expiring later are swept at the START of the next drain, which is
+    equivalent for dedup semantics (nothing arrives in between)."""
+    import time as _time
+
     q = (
-        stream_media_duplicate_hits(media_stream, tau=tau)
+        stream_media_duplicate_hits(media_stream, tau=tau,
+                                    state_ttl_ms=state_ttl_ms)
         .writeStream.format("parquet")
         .option("path", hits_path)
         .option("checkpointLocation", checkpoint_path)
@@ -263,6 +313,17 @@ def run_media_dedup_gate(
         .trigger(availableNow=True)
         .start()
     )
+    if state_ttl_ms is None:
+        q.awaitTermination(timeout)
+        return
+    deadline = _time.time() + timeout
+    while q.isActive and _time.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0:
+            break  # data exhausted AND one timer-sweep batch completed
+        _time.sleep(0.25)
+    if q.isActive:
+        q.stop()
     q.awaitTermination(timeout)
 
 
