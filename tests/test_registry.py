@@ -35,7 +35,9 @@ def test_priority_window_covers_flagship_operators():
         "ivf_pq_search", "ivf_pq_recall_vs_exact",
         "sq8_encode_codes", "sq8_search_rerank", "sq8_recall_vs_exact",
         "asof_click_before_purchase", "range_join_click_purchase",
-        "curate_training_corpus", "split_train_val_test",
+        # r8: split_train_val_test rotated below the window — its
+        # hash-split CASE runs inside both in-window funnels
+        "curate_training_corpus", "curate_multimodal_corpus",
         "dedup_cluster_groups",
     }
     assert flagship <= window

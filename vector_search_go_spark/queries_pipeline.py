@@ -1674,6 +1674,111 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_mm_oracle() -> str:
+    """Compose the image + audio near-dup oracles (each itself a full
+    WITH query — DuckDB accepts nested WITH in a CTE body) with the
+    same reach/min-root survivorship, quality scoring, and hash-split
+    CASE the text funnel uses."""
+    from vector_search_go_spark import registry
+
+    img = registry._ORACLES["dedup_image_phash"]
+    aud = registry._ORACLES["dedup_audio_fingerprint"]
+    return f"""
+WITH RECURSIVE img_pairs AS (
+  {img}
+),
+aud_pairs AS (
+  {aud}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM img_pairs
+  UNION SELECT id_b, id_a FROM img_pairs
+  UNION SELECT id_a, id_b FROM aud_pairs
+  UNION SELECT id_b, id_a FROM aud_pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+),
+dropped AS (
+  SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
+  WHERE id <> root
+),
+base AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+),
+m AS (
+  SELECT doc_id, lang,
+         len(w) AS n_tokens,
+         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+           + (CAST(len(list_filter(w, _x -> _x IN {_STOPWORDS_SQL})) AS DOUBLE)
+              / len(w)) * 0.3
+           + (CASE WHEN len(w) BETWEEN 20 AND 200 THEN 0.2 ELSE 0.0 END)
+           AS quality_score,
+         text
+  FROM base
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, quality_score,
+       {_split_case_sql()} AS split
+FROM m WHERE quality_score >= {_CURATE_MIN_QUALITY}
+"""
+
+
+@register("curate_multimodal_corpus", oracle=_curate_mm_oracle())
+def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal curation funnel (round 8): a corpus whose rows
+    carry image AND audio payloads is deduped on BOTH fingerprint
+    channels (a row is a duplicate if either modality near-dups —
+    union of the banded-join pair sets -> connected components -> keep
+    each cluster's min id), then quality-scored and content-hash split
+    exactly like the text funnel (curate_training_corpus), minus the
+    language allowlist (multimodal corpora are inherently
+    multilingual). Every stage is an operator checked on its own; this
+    query pins their COMPOSITION end-to-end against the composed
+    oracle.
+
+    At scale: two Arrow fingerprint passes + banded equi-joins (never
+    all-pairs), CC rounds bounded by duplicate-cluster diameter, one
+    broadcast anti-join, and the same narrow quality/split stages the
+    text funnel plan-audits."""
+    from vector_search_go_spark.operators.graph import connected_components
+    from vector_search_go_spark.operators.split import hash_split
+    from vector_search_go_spark.queries_text import _STOPWORDS, _tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    img = dedup_image_phash(spark, sf_dir).select("id_a", "id_b")
+    aud = dedup_audio_fingerprint(spark, sf_dir).select("id_a", "id_b")
+    pairs = img.unionByName(aud).dropDuplicates()
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = comp.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    w = _tokens_col()
+    m = kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq"),
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    quality = (
+        (F.col("n_uniq").cast("double") / F.col("n_tokens")) * 0.5
+        + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.3
+        + F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 0.2)
+        .otherwise(0.0)
+    )
+    scored = m.withColumn("quality_score", quality)
+    filtered = scored.filter(F.col("quality_score") >= _CURATE_MIN_QUALITY)
+    return hash_split(filtered, "text").select(
+        "doc_id", "lang", "n_tokens", "quality_score", "split"
+    )
+
+
 @register(
     "split_train_val_test",
     oracle=f"""

@@ -91,7 +91,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_image_phash",
     # Curation pipeline
     "curate_training_corpus",
-    "split_train_val_test",
+    # r8: the multimodal curation funnel (image+audio fingerprint dedup
+    # union -> connected components -> quality -> hash split, composed
+    # oracle); took the slot of r2-r7-green, unchanged
+    # split_train_val_test — its hash-split CASE is exercised inside
+    # BOTH in-window funnels (curate_training_corpus and this one)
+    "curate_multimodal_corpus",
     "dedup_cluster_groups",
     # Dedup / text entries (driver-green since r6; re-green r7)
     "dedup_semantic_clusters",
