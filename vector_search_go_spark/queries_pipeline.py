@@ -306,7 +306,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = (
+    docs = ensure_parallelism(
         table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 1)
         .select("doc_id", "text")
@@ -408,7 +408,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_near_dup_pairs,
     )
 
-    docs = (
+    docs = ensure_parallelism(
         table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 1)
         .select("doc_id", "text")
@@ -523,7 +523,7 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_near_dup_pairs,
     )
 
-    docs = (
+    docs = ensure_parallelism(
         table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 1)
         .select("doc_id", "text")
