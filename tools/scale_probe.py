@@ -1894,7 +1894,12 @@ def glove_probe(
 
 
 
-def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
+def media_gate_probe(
+    n: int = 100_000,
+    n_incr: int = 10_000,
+    n_bands: int = 4,
+    band_bits: int = 15,
+) -> None:
     """Throughput receipt for the streaming multimodal dedup gate
     (round 8): n REAL BMP payloads land as a parquet stream and drain
     through fingerprint -> stateful band-bucket claim; then n_incr more
@@ -1912,9 +1917,23 @@ def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
     from vector_search_go_spark.streaming.dedup import (
         MEDIA_SCHEMA,
         media_pair_verdicts,
-        run_media_dedup_gate,
         stream_media_band_keys,
+        stream_media_duplicate_hits,
     )
+
+    def drain(stream, hits_path, ckpt):
+        q = (
+            stream_media_duplicate_hits(
+                stream, tau=6, n_bands=n_bands, band_bits=band_bits
+            )
+            .writeStream.format("parquet")
+            .option("path", hits_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1200)
 
     spark = get_spark(
         "media-gate-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -1960,24 +1979,21 @@ def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
         synth(0, n).write.parquet(f"{d}/f1.parquet")
         stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(d + "/*")
         t0 = time.time()
-        run_media_dedup_gate(
-            spark, stream, f"{base}/hits", f"{base}/ckpt", timeout=600
-        )
+        drain(stream, f"{base}/hits", f"{base}/ckpt")
         t1 = time.time() - t0
         hits = spark.read.parquet(f"{base}/hits")
         n_pairs = media_pair_verdicts(hits).count()
         print(
             f"gate-drain: {n:,} BMP payloads fingerprinted + claimed in "
             f"{t1:.1f}s = {n / t1:,.0f} items/s; {n_pairs:,} verified "
-            f"pairs (planted {n // 100:,} 1-flip near-dups)"
+            f"pairs (planted {n // 100:,} 1-flip near-dups; "
+            f"{n_bands}x{band_bits} bands)"
         )
 
         synth(n, n + n_incr).write.parquet(f"{d}/f2.parquet")
         stream2 = spark.readStream.schema(MEDIA_SCHEMA).parquet(d + "/*")
         t0 = time.time()
-        run_media_dedup_gate(
-            spark, stream2, f"{base}/hits", f"{base}/ckpt", timeout=600
-        )
+        drain(stream2, f"{base}/hits", f"{base}/ckpt")
         t2 = time.time() - t0
         n_pairs2 = media_pair_verdicts(
             spark.read.parquet(f"{base}/hits")
@@ -1986,7 +2002,8 @@ def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
         # computed batch-side over the same projection the gate uses
         n_buckets = (
             stream_media_band_keys(
-                spark.read.parquet(f"{d}/f1.parquet", f"{d}/f2.parquet")
+                spark.read.parquet(f"{d}/f1.parquet", f"{d}/f2.parquet"),
+                n_bands, band_bits,
             )
             .select("kind", "frame", "band", "key")
             .distinct()
@@ -1996,8 +2013,8 @@ def media_gate_probe(n: int = 100_000, n_incr: int = 10_000) -> None:
             f"gate-incr: +{n_incr:,} arrivals drained against carried "
             f"state in {t2:.1f}s = {n_incr / t2:,.0f} items/s; pairs "
             f"{n_pairs:,} -> {n_pairs2:,}; state = {n_buckets:,} band "
-            f"buckets ({n + n_incr:,} items x 4 bands, minus dup-family "
-            f"sharing)"
+            f"buckets ({n + n_incr:,} items x {n_bands} bands, minus "
+            f"key sharing)"
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
