@@ -329,3 +329,91 @@ def test_media_gate_state_ttl_evicts_idle_buckets(spark, tmp_path):
         for r in media_pair_verdicts(spark.read.parquet(hits_path)).collect()
     }
     assert pairs == {(2, 4)}
+
+
+# ---------------------------------------------------------------------------
+# Embedding (vector) dedup gate
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_gate_matches_batch_pairs(spark, tmp_path):
+    """The drained embedding gate's (pair, exact cosine) set is
+    bit-identical to batch dedup_embedding_lsh on the same frozen
+    forest, with vectors arriving in DESCENDING id order, and a later
+    drain pairs a replayed near-dup against checkpoint-carried
+    bucket state."""
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.config import LshConfig
+    from vector_search_go_spark.lsh.index import LshIndex
+    from vector_search_go_spark.operators import model_store
+    from vector_search_go_spark.queries_lsh import dedup_embedding_lsh
+    from vector_search_go_spark.streaming.dedup import (
+        VEC_SCHEMA,
+        embedding_pair_verdicts,
+        run_embedding_dedup_gate,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # batch first: trains + persists the forest under the model-store
+    # key the gate then loads (identical frozen model on both sides)
+    want = {
+        (r["id_a"], r["id_b"]): r["cos_dist"]
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert len(want) > 0
+    cfg = LshConfig(dims=64, n_trees=32, k_min_vecs=50, seed=23,
+                    is_angular=True)
+    path = model_store.store_path(
+        f"lsh_dedup_index_angular_t{cfg.n_trees}k{cfg.k_min_vecs}s{cfg.seed}",
+        sf_dir,
+    )
+    idx = LshIndex.load(spark, path)
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+        .orderBy(F.desc("id"))
+    )
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    emb.coalesce(1).write.parquet(str(d / "f1.parquet"))
+    stream = spark.readStream.schema(VEC_SCHEMA).parquet(str(d) + "/*")
+    hits_path = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    run_embedding_dedup_gate(
+        spark, stream, idx.forest, cfg.dims, hits_path, ckpt
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_dist"]
+        for r in embedding_pair_verdicts(
+            spark.read.parquet(hits_path)
+        ).collect()
+    }
+    assert got == want  # pair set AND exact distances, bit-identical
+
+    # second drain: an exact copy of one paired vector under a new id
+    # must pair (dist 0) against state carried through the checkpoint
+    some_id = next(iter(want))[0]
+    v = emb.filter(F.col("id") == some_id).collect()[0]["vec"]
+    new_id = 10_000_000
+    spark.createDataFrame([(new_id, v)], VEC_SCHEMA).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+    stream2 = spark.readStream.schema(VEC_SCHEMA).parquet(str(d) + "/*")
+    run_embedding_dedup_gate(
+        spark, stream2, idx.forest, cfg.dims, hits_path, ckpt
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r["cos_dist"]
+        for r in embedding_pair_verdicts(
+            spark.read.parquet(hits_path)
+        ).collect()
+    }
+    assert got2[(some_id, new_id)] == 0.0
+    # the original pair set is untouched (replay adds nothing else
+    # beyond the new id's own near-dups)
+    assert all(got2[k] == v for k, v in got.items())

@@ -344,3 +344,166 @@ def media_pair_verdicts(hits: DataFrame, min_frames: int = 1) -> DataFrame:
         )
         .filter(F.col("n_frames_near") >= int(min_frames))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dedup gate (round 8): the online twin of dedup_embedding_lsh
+# (queries_lsh.py) — vectors hash through a FROZEN angular forest, land
+# in (tree, hash) buckets, and each newcomer is exact-cosine-verified
+# against the bucket's members, the member-list posture of the media
+# gate. Completes the gate family: text (MinHash), media (fingerprint),
+# vectors (LSH). The frozen-model requirement is the same as streaming
+# index ingest (streaming/ingest.py): drift is the maintenance loop's
+# job, not the gate's.
+# ---------------------------------------------------------------------------
+
+VEC_SCHEMA = "id bigint, vec array<double>"
+
+_VEC_HIT_SCHEMA = T.StructType(
+    [
+        T.StructField("tree", T.IntegerType()),
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_dist", T.DoubleType()),
+    ]
+)
+
+
+def stream_vector_band_keys(spark, vec_stream: DataFrame, forest) -> DataFrame:
+    """(id, vec) stream -> (id, vec, tree, hash): the batch bucket
+    projection lifted onto the stream through the broadcast forest
+    (lsh.index._hash_probe_udf — the same Arrow kernel batch training
+    and search use, so bucket keys are byte-identical to the batch
+    store's)."""
+    from vector_search_go_spark.lsh.index import _hash_probe_udf
+
+    hv = _hash_probe_udf(spark, forest, with_probes=False)
+    return vec_stream.select(
+        "id", "vec", F.posexplode(hv("vec")).alias("tree", "hash")
+    )
+
+
+def _make_vec_claim(dims: int, tol: float = 1e-6):
+    """Bucket-claim factory for vector buckets. State per (tree, hash):
+    member ids + their vectors packed as one float64 blob (binary packs
+    denser through the state store than nested arrays and reshapes for
+    free). Each newcomer emits one row per existing member with the
+    EXACT cosine distance, computed with the same sequential
+    per-dimension accumulation as operators.argmin.pairwise_dist_udf so
+    gate distances are bit-identical to the batch verify stage."""
+
+    def claim(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        tree, _bucket = key
+        arrivals: dict[int, np.ndarray] = {}
+        for pdf in pdfs:
+            for i, v in zip(pdf["id"], pdf["vec"]):
+                arrivals.setdefault(int(i), np.asarray(v, dtype=np.float64))
+        if state.exists:
+            ids, blob = state.get
+            ids = list(ids)
+            M = np.frombuffer(blob, dtype=np.float64).reshape(-1, dims)
+        else:
+            ids, M = [], np.zeros((0, dims), dtype=np.float64)
+        seen = set(ids)
+        rows = []
+        for i in sorted(arrivals):
+            if i in seen:
+                continue
+            v = arrivals[i]
+            if len(ids):
+                # pairwise_dist_udf's exact op order: sequential
+                # per-dimension adds for norms and dot
+                na = np.zeros(len(ids))
+                dot = np.zeros(len(ids))
+                nb = 0.0
+                for d in range(dims):
+                    na += M[:, d] * M[:, d]
+                    nb += v[d] * v[d]
+                na = np.sqrt(na)
+                nb = np.sqrt(np.zeros(1) + nb)[0]
+                for d in range(dims):
+                    dot += M[:, d] * v[d]
+                raw = 1.0 - dot / (na * nb)
+                out = np.where(raw < tol, 0.0, raw)
+                out = np.where((na <= tol) | (nb <= tol), 1.0, out)
+                for j, cd in zip(ids, out):
+                    a, b = (j, i) if j < i else (i, j)
+                    rows.append((tree, a, b, float(cd)))
+            ids.append(i)
+            M = np.vstack([M, v[None, :]])
+            seen.add(i)
+        state.update((ids, M.tobytes()))
+        if rows:
+            yield pd.DataFrame(rows, columns=["tree", "id_a", "id_b", "cos_dist"])
+
+    return claim
+
+
+def stream_embedding_duplicate_hits(
+    spark,
+    vec_stream: DataFrame,
+    forest,
+    dims: int,
+    eps: float = 0.6,
+) -> DataFrame:
+    """Streaming (tree, id_a, id_b, cos_dist) near-dup hits over an
+    embedding stream: candidates meet only inside a frozen-forest
+    bucket (never all-pairs), exact cosine verified in the stateful op,
+    filtered to <= eps here so the threshold is a query knob. Dedup
+    across trees at rollup (embedding_pair_verdicts). State is O(bucket
+    members x dims x 8 B) — the same sum(bucket^2)-shaped ceiling the
+    batch self-join has, and the same hot-bucket caveat (a duplicate
+    family's bucket holds the family; its pairs are the output)."""
+    hits = (
+        stream_vector_band_keys(spark, vec_stream, forest)
+        .groupBy("tree", "hash")
+        .applyInPandasWithState(
+            _make_vec_claim(dims),
+            outputStructType=_VEC_HIT_SCHEMA,
+            stateStructType="ids array<long>, blob binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return hits.filter(F.col("cos_dist") <= float(eps))
+
+
+def run_embedding_dedup_gate(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    forest,
+    dims: int,
+    hits_path: str,
+    checkpoint_path: str,
+    eps: float = 0.6,
+    timeout: int = 120,
+) -> None:
+    """Drain the embedding stream (availableNow) appending verified
+    near-dup hits to parquet; the checkpoint carries bucket-member
+    state across drains."""
+    q = (
+        stream_embedding_duplicate_hits(spark, vec_stream, forest, dims, eps)
+        .writeStream.format("parquet")
+        .option("path", hits_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def embedding_pair_verdicts(hits: DataFrame) -> DataFrame:
+    """Batch rollup of the hit log: one row per pair (a pair hitting in
+    several trees carries one identical exact distance), matching the
+    batch query's (id_a, id_b, cos_dist) output."""
+    return (
+        hits.groupBy("id_a", "id_b")
+        .agg(F.min("cos_dist").alias("cos_dist"))
+    )
