@@ -373,7 +373,7 @@ def test_image_dhash_refuses_small_and_nonimage(spark):
           {"mime": "image/bmp"})],
         "id bigint, media binary, meta struct<mime:string>",
     )
-    with _pytest.raises(Exception, match="below the 8x9 dHash grid"):
+    with _pytest.raises(Exception, match="resize\\s+upstream first"):
         image_dhash(small).collect()
     wav = spark.createDataFrame(
         [(0, encode_wav(np.zeros(16, dtype=np.int16)),
@@ -556,3 +556,32 @@ def test_video_near_dup_pairs_end_to_end(spark):
     assert pairs[(0, 2)] == (2, 0) and pairs[(1, 2)] == (2, 0)
     assert (0, 3) not in pairs and (0, 4) not in pairs
     assert (0, 5) not in pairs  # alignment: same frames, wrong positions
+
+
+def test_gray_to_grid_exact_pooling():
+    """Area pooling onto the dHash grid: divisible images pool to
+    exact block sums (dHash of a 2x-upscaled image == dHash of the
+    original, because equal-area sums preserve every comparison);
+    non-divisible or too-small shapes raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_search_go_spark.operators.multimodal import (
+        dhash60,
+        gray_luma,
+        gray_to_grid,
+    )
+
+    rng = np.random.default_rng(44)
+    px = rng.integers(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    g = gray_luma(px)
+    assert (gray_to_grid(g) == g).all()  # on-grid passes through
+    # 2x nearest-neighbor upscale: each grid cell sums 4 equal pixels
+    big = px.repeat(2, axis=0).repeat(2, axis=1)
+    gb = gray_to_grid(gray_luma(big))
+    assert (gb == 4 * g).all()
+    assert dhash60(gb) == dhash60(g)  # fingerprint is scale-invariant
+    with _pytest.raises(ValueError, match="resize upstream"):
+        gray_to_grid(np.zeros((4, 4), dtype=np.int64))
+    with _pytest.raises(ValueError, match="resize upstream"):
+        gray_to_grid(np.zeros((12, 9), dtype=np.int64))  # 12 % 8 != 0

@@ -474,14 +474,42 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def gray_to_grid(
+    gray: np.ndarray, rows: int = DHASH_ROWS, cols: int = DHASH_COLS
+) -> np.ndarray:
+    """Reduce an (H, W) integer-luma image to the (rows, cols) dHash
+    grid by EXACT integer area pooling: when H and W divide evenly,
+    each grid cell is the sum of its H/rows x W/cols block — cells
+    have equal area, so comparing sums is identical to comparing means
+    with zero rounding (the property the DuckDB oracles and the
+    cross-engine determinism pins rely on). An image already on the
+    grid passes through; non-divisible or too-small shapes raise
+    (fractional-cell resampling needs a real resize upstream — pooling
+    unequal cells silently would compare fingerprints of different
+    grids, and no resampling codec exists in this sandbox)."""
+    h, w = gray.shape
+    if (h, w) == (rows, cols):
+        return gray
+    if h < rows or w < cols or h % rows or w % cols:
+        raise ValueError(
+            f"image is {h}x{w}: the {rows}x{cols} dHash grid needs "
+            "equal-size shape or evenly divisible dimensions — resize "
+            "upstream first"
+        )
+    return (
+        gray.reshape(rows, h // rows, cols, w // cols)
+        .sum(axis=(1, 3))
+        .astype(np.int64)
+    )
+
+
 def image_dhash(media_df: DataFrame) -> DataFrame:
     """(id, media binary, meta struct<mime,...>) -> (id, phash): decode
     each image payload (decode_media — real stdlib BMP/PNG parsing),
-    integer-luma it, dHash it. Images whose grid is smaller than the
-    canonical 8x9 raise (resize upstream; fake_resize shows the
-    mapInPandas shape) — silently hashing a tiny image would compare
-    fingerprints of different grids. Arrow-batched map stage: no
-    shuffle, scales as rows/executors."""
+    integer-luma it, area-pool it onto the canonical grid
+    (gray_to_grid — larger images with evenly divisible dimensions
+    pool exactly; others raise, resize upstream), dHash it.
+    Arrow-batched map stage: no shuffle, scales as rows/executors."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,14 +520,7 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"image_dhash got non-image payload (id={row['id']})"
                     )
-                px = d["pixels"]
-                if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
-                    raise ValueError(
-                        f"image {row['id']} is {px.shape[0]}x{px.shape[1]}, "
-                        f"below the {DHASH_ROWS}x{DHASH_COLS} dHash grid — "
-                        "resize upstream first"
-                    )
-                g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                g = gray_to_grid(gray_luma(d["pixels"]))
                 rows.append({"id": row["id"], "phash": dhash60(g)})
             yield pd.DataFrame(rows, columns=["id", "phash"])
 
@@ -723,13 +744,7 @@ def video_framehash(media_df: DataFrame) -> DataFrame:
                         f"(id={row['id']})"
                     )
                 for i, px in enumerate(d["frames"]):
-                    if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
-                        raise ValueError(
-                            f"frame {i} of video {row['id']} is "
-                            f"{px.shape[0]}x{px.shape[1]}, below the "
-                            f"{DHASH_ROWS}x{DHASH_COLS} dHash grid"
-                        )
-                    g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                    g = gray_to_grid(gray_luma(px))
                     rows.append(
                         {"id": row["id"], "frame": i, "phash": dhash60(g)}
                     )
@@ -789,12 +804,7 @@ def media_fingerprints(media_df: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 d = decode_media(bytes(row["media"]), row["meta"]["mime"])
                 if d["kind"] == "image":
-                    px = d["pixels"]
-                    if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
-                        raise ValueError(
-                            f"image {row['id']} below the dHash grid"
-                        )
-                    g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                    g = gray_to_grid(gray_luma(d["pixels"]))
                     rows.append(
                         {
                             "id": row["id"], "kind": "image", "frame": 0,
@@ -810,12 +820,7 @@ def media_fingerprints(media_df: DataFrame) -> DataFrame:
                     )
                 else:
                     for i, px in enumerate(d["frames"]):
-                        if px.shape[0] < DHASH_ROWS or px.shape[1] < DHASH_COLS:
-                            raise ValueError(
-                                f"frame {i} of video {row['id']} below the "
-                                "dHash grid"
-                            )
-                        g = gray_luma(px[:DHASH_ROWS, :DHASH_COLS])
+                        g = gray_to_grid(gray_luma(px))
                         rows.append(
                             {
                                 "id": row["id"], "kind": "video", "frame": i,
