@@ -2021,7 +2021,10 @@ def media_gate_probe(
 
 
 def media_dedup_probe(
-    n_hash: int = 1_000_000, n_join: int = 10_000_000
+    n_hash: int = 1_000_000,
+    n_join: int = 10_000_000,
+    img_h: int = 8,
+    img_w: int = 9,
 ) -> None:
     """Scale receipts for the multimodal near-dup operators (round 8).
 
@@ -2063,16 +2066,17 @@ def media_dedup_probe(
             dhash60,
             encode_bmp,
             gray_luma,
+            gray_to_grid,
         )
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids:
-                # deterministic 8x9 image per id; ids in the same
-                # family (i // 100) share a base pattern
+                # deterministic img_h x img_w image per id; ids in the
+                # same family (i // 100) share a base pattern
                 g = np.random.default_rng(int(i) // 100).integers(
-                    0, 256, size=(8, 9, 3)
+                    0, 256, size=(img_h, img_w, 3)
                 ).astype(np.uint8)
                 if i % 100 == 1:
                     g = g.copy()
@@ -2082,7 +2086,9 @@ def media_dedup_probe(
                 rows.append(
                     {
                         "id": int(i),
-                        "phash": dhash60(gray_luma(d["pixels"][:8, :9])),
+                        "phash": dhash60(
+                            gray_to_grid(gray_luma(d["pixels"]))
+                        ),
                     }
                 )
             yield pd.DataFrame(rows, columns=["id", "phash"])
@@ -2094,8 +2100,9 @@ def media_dedup_probe(
     n_out = hashed.count()
     t_hash = time.time() - t0
     print(
-        f"hash-throughput: {n_out:,} BMP payloads encoded+decoded+hashed "
-        f"in {t_hash:.1f}s = {n_out / t_hash:,.0f} items/s on "
+        f"hash-throughput: {n_out:,} {img_h}x{img_w} BMP payloads "
+        f"encoded+decoded+pooled+hashed in {t_hash:.1f}s = "
+        f"{n_out / t_hash:,.0f} items/s on "
         f"{os.environ.get('SPARK_GRAFT_CPUS', '32')} cores"
     )
 
