@@ -110,3 +110,17 @@ def test_decontaminate_finds_planted_cross_split_dups(spark, sf_dir):
     assert flagged, "fixture should contain cross-split near-dups"
     for r in flagged:
         assert r["contamination_ratio"] >= 0.5
+
+
+def test_cycled_ascii_bytes_guard():
+    """The media-dedup synths refuse non-ASCII text loudly (ADVICE r8):
+    the DuckDB oracles index characters while Spark slices UTF-8 bytes,
+    so parity would break silently on a non-ASCII corpus."""
+    import pytest as _pytest
+
+    from vector_search_go_spark.queries_pipeline import _cycled_ascii_bytes
+
+    assert _cycled_ascii_bytes("abc", 7) == b"abcabca"
+    assert _cycled_ascii_bytes("xyz", 2) == b"xy"
+    with _pytest.raises(ValueError, match="ASCII"):
+        _cycled_ascii_bytes("café latte", 16)

@@ -417,3 +417,95 @@ def test_embedding_gate_matches_batch_pairs(spark, tmp_path):
     # the original pair set is untouched (replay adds nothing else
     # beyond the new id's own near-dups)
     assert all(got2[k] == v for k, v in got.items())
+
+
+def test_media_gate_multiprobe_matches_batch(spark, tmp_path):
+    """Multiprobe parity (VERDICT r8 item 4): with n_probes the gate's
+    drained pair set equals hamming_near_dup_pairs(n_probes=...) — for
+    both arrival orders — and without probes neither side reports the
+    all-bands-differ pair."""
+    from tests.test_multimodal import _pattern_pixels
+    from vector_search_go_spark.operators.multimodal import (
+        encode_bmp,
+        hamming_near_dup_pairs,
+        image_dhash,
+    )
+    from vector_search_go_spark.streaming.dedup import (
+        MEDIA_SCHEMA,
+        media_pair_verdicts,
+        run_media_dedup_gate,
+    )
+
+    base = 0x0F0F0F0F0F0F0F % (1 << 60)
+    # differs at the MSB of each 15-bit band (bits 14, 29, 44, 59):
+    # every band differs -> exact 4x15 banding misses; 1-probe catches
+    twin = base ^ (1 << 14) ^ (1 << 29) ^ (1 << 44) ^ (1 << 59)
+    rows = [
+        (0, encode_bmp(_pattern_pixels(base)), {"mime": "image/bmp"}),
+        (1, encode_bmp(_pattern_pixels(twin)), {"mime": "image/bmp"}),
+        (2, encode_bmp(_pattern_pixels(base)), {"mime": "image/bmp"}),
+    ]
+    media_batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def batch_pairs(n_probes):
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_near_dup_pairs(
+                image_dhash(media_batch), tau=6, n_probes=n_probes
+            ).collect()
+        }
+
+    assert batch_pairs(0) == {(0, 2): 0}
+    want = batch_pairs(1)
+    assert want == {(0, 2): 0, (0, 1): 4, (1, 2): 4}
+
+    for tag, order in (("fwd", rows), ("rev", rows[::-1])):
+        d = tmp_path / f"stream_{tag}"
+        spark.createDataFrame(order, MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(d)
+        )
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(str(d))
+        hits_path = str(tmp_path / f"hits_{tag}")
+        run_media_dedup_gate(
+            spark, stream, hits_path, str(tmp_path / f"ckpt_{tag}"),
+            n_probes=1,
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["min_hamming"]
+            for r in media_pair_verdicts(
+                spark.read.parquet(hits_path), min_frames=1
+            ).collect()
+        }
+        assert got == want, tag
+
+
+def test_media_pair_verdicts_per_kind_min_frames(spark):
+    """Per-kind min_frames (ADVICE r8): on a mixed log, a dict applies
+    video's 2-of-3 batch semantics to video pairs while image pairs
+    keep threshold 1; a plain int stays uniform."""
+    from vector_search_go_spark.streaming.dedup import media_pair_verdicts
+
+    hits = spark.createDataFrame(
+        [
+            ("video", 0, 0, 10, 11, 2),   # video pair, 1 near frame only
+            ("video", 1, 0, 20, 21, 1),   # video pair, 2 near frames
+            ("video", 2, 0, 20, 21, 3),
+            ("image", 0, 0, 30, 31, 0),   # image pair, 1 hit
+        ],
+        "kind string, frame int, band int, id_a long, id_b long, hamming int",
+    )
+
+    def verdicts(mf):
+        return {
+            (r["kind"], r["id_a"], r["id_b"]): r["n_frames_near"]
+            for r in media_pair_verdicts(hits, min_frames=mf).collect()
+        }
+
+    mixed = verdicts({"video": 2})
+    assert mixed == {("video", 20, 21): 2, ("image", 30, 31): 1}
+    assert ("video", 10, 11) not in mixed  # single-frame video pair cut
+    assert verdicts(1) == {
+        ("video", 10, 11): 1,
+        ("video", 20, 21): 2,
+        ("image", 30, 31): 1,
+    }

@@ -155,18 +155,33 @@ _FP_HIT_SCHEMA = T.StructType(
 
 
 def stream_media_band_keys(
-    media_stream: DataFrame, n_bands: int = 4, band_bits: int = 15
+    media_stream: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 15,
+    n_probes: int = 0,
 ) -> DataFrame:
-    """(id, media, meta) stream -> (id, kind, frame, phash, band,
-    key): the
-    batch fingerprint + band projection lifted onto the stream (one
-    Arrow map stage + narrow ops; no state, no shuffle until the
-    band-claim groupBy). Band keys are byte-identical to the batch
-    operators' (same shift/mask), so gate hits and batch pairs agree."""
-    from vector_search_go_spark.operators.multimodal import media_fingerprints
+    """(id, media, meta) stream -> (id, kind, frame, phash, band, key,
+    is_probe): the batch fingerprint + band projection lifted onto the
+    stream (one Arrow map stage + narrow ops; no state, no shuffle
+    until the band-claim groupBy). Band keys are byte-identical to the
+    batch operators' (same shift/mask), so gate hits and batch pairs
+    agree.
+
+    ``n_probes`` (round 9, parity with hamming_near_dup_pairs): each
+    item ADDITIONALLY emits one probe row per flipped MSB of every band
+    key (operators.multimodal.probe_bit_positions — the same bit set as
+    the batch join's probe side), flagged ``is_probe``. Probe rows
+    route the item into neighboring buckets to be COMPARED against
+    members there, but never become members themselves — exactly the
+    batch join's one-sided probing, so gate and batch pair sets stay
+    identical for any arrival order."""
+    from vector_search_go_spark.operators.multimodal import (
+        media_fingerprints,
+        probe_bit_positions,
+    )
 
     mask = (1 << band_bits) - 1
-    return (
+    keyed = (
         media_fingerprints(media_stream)
         .withColumn(
             "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
@@ -175,6 +190,19 @@ def stream_media_band_keys(
             "key",
             F.expr(f"shiftright(phash, band * {int(band_bits)}) & {mask}"),
         )
+    )
+    pos = probe_bit_positions(band_bits, n_probes)
+    if not pos:
+        return keyed.withColumn("is_probe", F.lit(False))
+    variants = ", ".join(
+        ["struct(key AS key, false AS is_probe)"]
+        + [f"struct(key ^ {1 << p} AS key, true AS is_probe)" for p in pos]
+    )
+    return (
+        keyed.withColumn("pk", F.expr(f"explode(array({variants}))"))
+        .drop("key")
+        .select("*", "pk.key", "pk.is_probe")
+        .drop("pk")
     )
 
 
@@ -211,15 +239,31 @@ def _claim_fp_bucket_impl(
     infinite stream. Eviction FORGETS members: a duplicate arriving
     after its family's bucket expired is not flagged, the standard
     retention trade (document the TTL as the dedup horizon).
-    ttl_ms=None keeps state forever."""
+    ttl_ms=None keeps state forever.
+
+    Probe rows (``is_probe``, multiprobe banding): an item probing a
+    neighboring bucket is compared against that bucket's members but
+    never JOINS them — membership belongs to the exact-key bucket only,
+    matching the batch join's one-sided probe (probing members too
+    would pair items 2 probed bits apart, a candidate space the batch
+    join never explores). Probe hits are not tracked in state, so a
+    replayed micro-batch may re-emit a probe hit row — harmless:
+    media_pair_verdicts dedups to one row per (pair, kind, frame), the
+    same way multi-band collisions are deduped."""
     if state.hasTimedOut:
         state.remove()
         return  # yields nothing: eviction emits no rows
     kind, frame, band, _bucket = key
     arrivals: dict[int, int] = {}
+    probes: dict[int, int] = {}
     for pdf in pdfs:
-        for i, h in zip(pdf["id"], pdf["phash"]):
-            arrivals.setdefault(int(i), int(h))
+        flags = (
+            pdf["is_probe"]
+            if "is_probe" in pdf.columns
+            else [False] * len(pdf)
+        )
+        for i, h, p in zip(pdf["id"], pdf["phash"], flags):
+            (probes if p else arrivals).setdefault(int(i), int(h))
     if state.exists:
         ids, hashes = state.get
         ids, hashes = list(ids), list(hashes)
@@ -227,16 +271,24 @@ def _claim_fp_bucket_impl(
         ids, hashes = [], []
     seen = set(ids)
     rows = []
-    for i in sorted(arrivals):
-        if i in seen:
+    # one sorted pass over exact + probe arrivals: same-batch pairs
+    # meet exactly once per bucket regardless of which side probed,
+    # because the earlier id is a member by the time the later id
+    # (exact or probe) is processed
+    for i in sorted(set(arrivals) | set(probes)):
+        is_probe = i not in arrivals
+        if not is_probe and i in seen:
             continue
-        h = arrivals[i]
+        h = probes[i] if is_probe else arrivals[i]
         for j, hj in zip(ids, hashes):
+            if j == i:
+                continue
             a, b = (j, i) if j < i else (i, j)
             rows.append((kind, frame, band, a, b, bin(h ^ hj).count("1")))
-        ids.append(i)
-        hashes.append(h)
-        seen.add(i)
+        if not is_probe:
+            ids.append(i)
+            hashes.append(h)
+            seen.add(i)
     state.update((ids, hashes))
     if ttl_ms is not None:
         state.setTimeoutDuration(int(ttl_ms))
@@ -252,6 +304,7 @@ def stream_media_duplicate_hits(
     n_bands: int = 4,
     band_bits: int = 15,
     state_ttl_ms: int | None = None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Streaming (kind, frame, band, id_a, id_b, hamming) near-dup hits over
     a mixed-modality media stream: one row per band bucket a pair
@@ -259,14 +312,17 @@ def stream_media_duplicate_hits(
     Hamming-verified in the stateful op, filtered to <= tau here so tau
     is a query knob, not state. ``state_ttl_ms`` bounds state over an
     infinite stream by evicting idle buckets (the dedup horizon);
-    None = compare against everything ever seen."""
+    None = compare against everything ever seen. ``n_probes`` enables
+    multiprobe banding with the same bit set as the batch join
+    (hamming_near_dup_pairs) — the scale config 2x30 + full probing
+    keeps the 4x15 pigeonhole guarantee at ~100x less candidate mass."""
     timeout_conf = (
         GroupStateTimeout.NoTimeout
         if state_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     hits = (
-        stream_media_band_keys(media_stream, n_bands, band_bits)
+        stream_media_band_keys(media_stream, n_bands, band_bits, n_probes)
         .groupBy("kind", "frame", "band", "key")
         .applyInPandasWithState(
             _make_fp_claim(state_ttl_ms),
@@ -287,6 +343,7 @@ def run_media_dedup_gate(
     tau: int = 6,
     timeout: int = 120,
     state_ttl_ms: int | None = None,
+    n_probes: int = 0,
 ) -> None:
     """Drain the media stream (availableNow) appending verified
     near-dup hits to parquet; the checkpoint carries the bucket-member
@@ -296,16 +353,23 @@ def run_media_dedup_gate(
     With a TTL the query does NOT self-terminate: processing-time
     timeouts keep scheduling timer-sweep micro-batches after the data
     is exhausted (observed: 100+ empty batches per availableNow drain),
-    so this drain watches progress and stops the query once input is
-    exhausted and at least one empty sweep batch has run — expired
-    buckets are evicted in the data batches / that sweep; buckets
-    expiring later are swept at the START of the next drain, which is
-    equivalent for dedup semantics (nothing arrives in between)."""
+    so this drain watches progress and stops the query once the SOURCE
+    is exhausted — an empty batch alone is not enough (ADVICE r8: a
+    source configured with maxFilesPerTrigger could interleave an early
+    empty report before later data batches commit), so the stop also
+    requires the source's latestOffset to equal its endOffset (nothing
+    left to read); when a source doesn't report latestOffset, two
+    consecutive empty sweeps with an unmoved endOffset are the
+    fallback signal. Expired buckets are evicted in the data batches /
+    those sweeps; buckets expiring later are swept at the START of the
+    next drain, which is equivalent for dedup semantics (nothing
+    arrives in between)."""
     import time as _time
 
     q = (
         stream_media_duplicate_hits(media_stream, tau=tau,
-                                    state_ttl_ms=state_ttl_ms)
+                                    state_ttl_ms=state_ttl_ms,
+                                    n_probes=n_probes)
         .writeStream.format("parquet")
         .option("path", hits_path)
         .option("checkpointLocation", checkpoint_path)
@@ -317,32 +381,58 @@ def run_media_dedup_gate(
         q.awaitTermination(timeout)
         return
     deadline = _time.time() + timeout
+    prev_empty_end = None  # endOffsets of the previous EMPTY report
     while q.isActive and _time.time() < deadline:
         lp = q.lastProgress
         if lp is not None and lp["numInputRows"] == 0:
-            break  # data exhausted AND one timer-sweep batch completed
+            srcs = lp.get("sources") or []
+            drained = all(
+                s.get("latestOffset") is not None
+                and s.get("latestOffset") == s.get("endOffset")
+                for s in srcs
+            ) if srcs else False
+            ends = [s.get("endOffset") for s in srcs]
+            if drained or (prev_empty_end is not None
+                           and ends == prev_empty_end):
+                break  # source exhausted AND a timer-sweep batch ran
+            prev_empty_end = ends
         _time.sleep(0.25)
     if q.isActive:
         q.stop()
     q.awaitTermination(timeout)
 
 
-def media_pair_verdicts(hits: DataFrame, min_frames: int = 1) -> DataFrame:
+def media_pair_verdicts(
+    hits: DataFrame, min_frames: int | dict[str, int] = 1
+) -> DataFrame:
     """Batch rollup of the hit log to clip/item pairs: dedup the
     per-band hits to one row per (pair, kind, frame), then aggregate
     frames — (kind, id_a, id_b, n_frames_near, min_hamming), keeping
     pairs with >= min_frames near frames. With min_frames=1 on
     image/audio hits this is exactly hamming_near_dup_pairs' output;
     with min_frames=2 on video frame hits it is exactly
-    video_near_dup_pairs'."""
+    video_near_dup_pairs'.
+
+    ``min_frames`` may be a per-kind dict (ADVICE r8) — e.g.
+    ``{"video": 2}`` on a MIXED-modality hit log applies the video
+    operators' 2-of-3-frames batch semantics to video pairs while
+    image/audio pairs keep the default 1 (a single int would let video
+    pairs sharing one near frame through, diverging from
+    video_near_dup_pairs). Kinds absent from the dict default to 1."""
     per_frame = hits.dropDuplicates(["id_a", "id_b", "kind", "frame"])
+    if isinstance(min_frames, dict):
+        thresh = F.lit(1)
+        for kind, mf in sorted(min_frames.items()):
+            thresh = F.when(F.col("kind") == kind, int(mf)).otherwise(thresh)
+    else:
+        thresh = F.lit(int(min_frames))
     return (
         per_frame.groupBy("kind", "id_a", "id_b")
         .agg(
             F.count("*").cast("int").alias("n_frames_near"),
             F.min("hamming").cast("int").alias("min_hamming"),
         )
-        .filter(F.col("n_frames_near") >= int(min_frames))
+        .filter(F.col("n_frames_near") >= thresh)
     )
 
 
