@@ -238,6 +238,145 @@ def serve(
             reader.close()
 
 
+def _ground_truth(
+    spark, n: int, dims: int, Q: np.ndarray, qids: list[int], k: int,
+    cache_path: str,
+) -> dict[int, list[int]]:
+    """Exact L2 top-k ids for each query over the block-seeded corpus —
+    the fan-in shape: every task keeps a local top-k per query over its
+    regenerated blocks (BLAS GEMM per block, never materializing
+    distances beyond the block), the driver merges ~64 partials.
+    O(n * dims * n_queries) FLOPs and O(partitions * k * n_queries)
+    rows cross to the driver; the corpus never lands. Cached as npz so
+    repeated sweeps pay it once."""
+    import os as _os
+
+    if _os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return {int(q): z[str(q)].tolist() for q in qids}
+
+    import pandas as pd
+
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    Qn = (Q * Q).sum(axis=1)
+    nq = len(qids)
+
+    def local_topk(batches):
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.full((nq, k), -1, dtype=np.int64)
+        for pdf in batches:
+            for b in pdf["id"].tolist():
+                X = block_rows(int(b), n, dims)
+                lo = int(b) * BLOCK
+                # ||x-q||^2 = ||x||^2 - 2 x.q + ||q||^2, GEMM-backed
+                d2 = (
+                    (X * X).sum(axis=1)[None, :]
+                    - 2.0 * (Q @ X.T)
+                    + Qn[:, None]
+                )
+                take = min(k, d2.shape[1])
+                part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+                cand_d = np.take_along_axis(d2, part, axis=1)
+                cand_i = part + lo
+                all_d = np.concatenate([best_d, cand_d], axis=1)
+                all_i = np.concatenate([best_i, cand_i], axis=1)
+                sel = np.argsort(all_d, axis=1, kind="stable")[:, :k]
+                best_d = np.take_along_axis(all_d, sel, axis=1)
+                best_i = np.take_along_axis(all_i, sel, axis=1)
+        out = []
+        for qi in range(nq):
+            for j in range(k):
+                out.append((qi, int(best_i[qi, j]), float(best_d[qi, j])))
+        yield pd.DataFrame(out, columns=["q", "id", "d2"])
+
+    parts = spark.range(0, n_blocks, 1, 64).mapInPandas(
+        local_topk, "q int, id long, d2 double"
+    ).toPandas()
+    truth: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qids):
+        g = parts[parts["q"] == qi].sort_values(["d2", "id"]).head(k)
+        truth[int(qid)] = [int(i) for i in g["id"]]
+    np.savez(cache_path, **{str(q): np.array(v) for q, v in truth.items()})
+    return truth
+
+
+def recall(
+    path: str = DEFAULT_PATH,
+    n: int = 100_000_000,
+    dims: int = 64,
+    k: int = 10,
+) -> None:
+    """recall@k of the sharded IVFADC store at the production budget and
+    along the (nprobe, shortlist) frontier (VERDICT r8 next item 1 —
+    the 100M receipt was latency-complete but recall-silent; the
+    reference publishes recall for every dataset it times,
+    README.md:150-178).
+
+    Protocol: the SAME 100 measured queries as --serve (picks[20:] of
+    rng(SEED+1)); ground truth by exact scan (_ground_truth); each
+    config reports mean recall@k (id-set intersection / k) and median
+    ms/q through the default-regime process-per-shard router. The
+    'measured' shortlist config uses store_meta's recommended_shortlist
+    (written by --maintain's adc_shortlist_probe) on fewer queries —
+    at frac ~0.011 of 100M it reranks ~1.4M rows/query, the honest
+    cost of exact-set recall on this low-contrast synthetic corpus."""
+    import time as _time
+
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+
+    rng = np.random.default_rng(SEED + 1)
+    picks = rng.choice(n, size=120, replace=False)
+    qids = [int(i) for i in picks[20:]]
+    Q = np.stack([vec_of(i, n, dims) for i in qids])
+
+    spark = get_spark(
+        "probe-100m-recall", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = _time.time()
+    truth = _ground_truth(
+        spark, n, dims, Q, qids, k, os.path.join(path, "..", "gt100.npz")
+    )
+    print(f"# ground truth (exact top-{k}, {len(qids)} q): "
+          f"{_time.time() - t0:.0f} s", flush=True)
+    spark.stop()
+
+    reader = ShardedReader(path, processes=True, preload_codes=True)
+    try:
+        configs = [
+            (8, 100, len(qids)),      # the shipped production budget
+            (16, 100, len(qids)),
+            (32, 100, len(qids)),
+            (64, 100, len(qids)),
+            (8, 400, len(qids)),
+            (8, 1600, len(qids)),
+            (32, 1600, len(qids)),
+            (8, None, 10),            # measured recommended_shortlist
+        ]
+        for nprobe, shortlist, nq in configs:
+            lats, recs = [], []
+            for qid in qids[:nq]:
+                qv = Q[qids.index(qid)]
+                t0 = _time.time()
+                top = reader.search(
+                    qv, k=k, nprobe=nprobe, shortlist=shortlist
+                )
+                lats.append((_time.time() - t0) * 1000)
+                got = set(int(i) for i in top["id"][:k])
+                recs.append(len(got & set(truth[qid])) / k)
+            lats.sort()
+            tag = shortlist if shortlist is not None else "measured"
+            print(
+                f"| ivfpq 100M recall | nprobe={nprobe} shortlist={tag} "
+                f"| recall@{k} {float(np.mean(recs)):.4f} | "
+                f"{lats[len(lats) // 2]:.1f} ms/q median ({nq} q) |",
+                flush=True,
+            )
+    finally:
+        reader.close()
+
+
 def maintain(path: str = DEFAULT_PATH) -> None:
     """Whole-store staleness on the sharded layout (union of per-shard
     masses — must say FRESH right after the build) + the bounded
@@ -275,6 +414,10 @@ if __name__ == "__main__":
         serve(p, *a)
     elif sys.argv[1:2] == ["--maintain"]:
         maintain(*sys.argv[2:3])
+    elif sys.argv[1:2] == ["--recall"]:
+        p = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
+        a = [int(s) for s in sys.argv[3:]]
+        recall(p, *a)
     else:
         print(__doc__)
         sys.exit(2)

