@@ -161,3 +161,68 @@ def test_serving_batch_advisor_measures_and_persists(spark, tmp_path):
     # open_reader routes families: the scan store opens as a scan reader
     r = open_reader(path)
     assert type(r).__name__ == "LocalScanReader"
+
+
+def test_recall_frontier_advisor_measures_and_persists(spark, tmp_path):
+    """The (nprobe, shortlist) frontier advisor on a small IVFADC
+    store: full grid measured, recalls in range and shortlist-monotone
+    at fixed nprobe, the recommendation honors the target gate, and
+    persist=True lands recommended_nprobe/recommended_shortlist plus
+    the frontier table in store_meta (the maintain_ivfpq retune
+    contract)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+    from vector_search_go_spark.operators.tune import recall_frontier_advisor
+
+    N, DIMS = 900, 64
+    rng = np.random.default_rng(31)
+    X = rng.standard_normal((N, DIMS))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(N)],
+        "id bigint, vec array<double>",
+    )
+    cents = corpus.filter(F.col("id") % 90 == 0).select(
+        (F.col("id") / 90).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    emb_like = corpus.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq")
+    ivfpq_save(spark, corpus, cents, pq_codebook(emb_like), path, metric="l2")
+
+    rep = recall_frontier_advisor(
+        spark, path, k=5, n_queries=6, nprobes=(2, 10),
+        shortlists=(10, 60), target_recall=0.8, persist=True,
+    )
+    rows = {(a, b): (r, ms) for a, b, r, ms in rep["rows"]}
+    assert len(rows) == 4
+    assert all(0.0 <= r <= 1.0 and ms > 0 for r, ms in rows.values())
+    # shortlist monotonicity at fixed nprobe (exact-rerank theorem)
+    assert rows[(2, 60)][0] >= rows[(2, 10)][0]
+    assert rows[(10, 60)][0] >= rows[(10, 10)][0]
+    # exhaustive probing of every cell at full shortlist is exact
+    assert rows[(10, 60)][0] == 1.0
+    rec = (rep["recommended_nprobe"], rep["recommended_shortlist"])
+    assert rec in rows
+    if any(r >= 0.8 for r, _ in rows.values()):
+        assert rep["target_met"] and rows[rec][0] >= 0.8
+
+    from vector_search_go_spark.serve.local_reader import _read_store_meta
+
+    meta = _read_store_meta(path)
+    assert meta["recommended_nprobe"] == rep["recommended_nprobe"]
+    assert meta["recommended_shortlist"] == rep["recommended_shortlist"]
+    assert len(meta["recall_frontier"]) == 4
+
+    # a scan-family store is refused: the knob pair is IVFADC-only
+    import pytest as _pytest
+
+    scan_path = str(tmp_path / "scan")
+    corpus.write.parquet(f"{scan_path}/vectors")
+    with _pytest.raises(ValueError, match="family"):
+        recall_frontier_advisor(spark, scan_path)

@@ -1206,25 +1206,11 @@ def ivf_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precision_recall(pred, truth)
 
 
-@register("serving_sharded_ivfpq_knn", oracle=_ivf_pq_oracle())
-def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-7 sharded IVFADC serving tier under the driver's VALUE
-    check (VERDICT r6 item 1): the SAME trained models as ivf_pq_search
-    are persisted as a 3-shard IVFADC store (ivfpq_save(shards=3) —
-    per-shard coded cells + rerank vectors, identical models per shard),
-    and every query is answered ENTIRELY by the driver-side router:
-    each shard returns its local ADC top-200 with exact rerank
-    distances, the router merges by (adc, id), keeps the GLOBAL
-    top-200, ranks by (dist, id) — then the rows are hash-compared
-    against DuckDB's own full IVFADC pipeline (the ivf_pq_search
-    oracle: k-means, PQ encode, ADC, shortlist, rerank in SQL). A hash
-    match certifies the 100 TB serving story end-to-end: the id-hash
-    shard split loses nothing, per-shard ADC floats are comparable
-    (shared codebook => identical LUTs), the selection-monotone global
-    shortlist equals the one-store shortlist, and the exact rerank is
-    the sequential-IEEE kernel everywhere. Reference anchor: the Store
-    pluggability this composes over (store/store.go:12-18) + Search
-    (lsh/lsh.go:137-197)."""
+def _ensure_ivfpq_sharded_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir; disk-memoized) the 3-shard IVFADC store
+    every sharded-serving entry reads — the SAME trained models as
+    ivf_pq_search, persisted via ivfpq_save(shards=3). Returns the
+    store path."""
     import os
 
     from vector_search_go_spark.operators.kmeans import kmeans_fit
@@ -1236,14 +1222,10 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_save,
         pq_codebook_trained,
     )
-    from vector_search_go_spark.serve.sharded import ShardedReader
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     allv = ensure_parallelism(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    )
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     corpus = ensure_parallelism(
         emb.filter(F.col("vec_id") % 50 != 0).select(
@@ -1270,6 +1252,35 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: pq_codebook_trained(allv, iters=3, exact=True),
         )
         ivfpq_save(spark, corpus, centroids, cb, path, metric="l2", shards=3)
+    return path
+
+
+@register("serving_sharded_ivfpq_knn", oracle=_ivf_pq_oracle())
+def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 sharded IVFADC serving tier under the driver's VALUE
+    check (VERDICT r6 item 1): the SAME trained models as ivf_pq_search
+    are persisted as a 3-shard IVFADC store (ivfpq_save(shards=3) —
+    per-shard coded cells + rerank vectors, identical models per shard),
+    and every query is answered ENTIRELY by the driver-side router:
+    each shard returns its local ADC top-200 with exact rerank
+    distances, the router merges by (adc, id), keeps the GLOBAL
+    top-200, ranks by (dist, id) — then the rows are hash-compared
+    against DuckDB's own full IVFADC pipeline (the ivf_pq_search
+    oracle: k-means, PQ encode, ADC, shortlist, rerank in SQL). A hash
+    match certifies the 100 TB serving story end-to-end: the id-hash
+    shard split loses nothing, per-shard ADC floats are comparable
+    (shared codebook => identical LUTs), the selection-monotone global
+    shortlist equals the one-store shortlist, and the exact rerank is
+    the sequential-IEEE kernel everywhere. Reference anchor: the Store
+    pluggability this composes over (store/store.go:12-18) + Search
+    (lsh/lsh.go:137-197)."""
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    path = _ensure_ivfpq_sharded_store(spark, sf_dir)
     qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
     with ShardedReader(path) as reader:
         pdf = reader.search_many(
@@ -1285,6 +1296,68 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q, i, d, rn in zip(pdf["query_id"], pdf["id"], pdf["dist"], pdf["rn"])
         ],
         "query_id bigint, id bigint, dist double, rn int",
+    )
+
+
+@register(
+    "ivfpq_recall_frontier_verdict",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_points,
+           TRUE AS recommended_in_grid,
+           TRUE AS recalls_valid,
+           TRUE AS latencies_valid,
+           TRUE AS gate_ok,
+           TRUE AS shortlist_monotone
+    """,
+)
+def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured (nprobe, shortlist) -> (recall@k, ms/q) frontier
+    advisor (operators.tune.recall_frontier_advisor, VERDICT r8 next
+    item 5) on the SAME 3-shard IVFADC store serving_sharded_ivfpq_knn
+    hash-checks, reduced to its contract: the full 2x2 grid measured,
+    the recommendation drawn from the grid, every recall in [0, 1] and
+    every latency positive, the target gate honored (if any point meets
+    target_recall the recommended one does), and shortlist
+    monotonicity — at fixed nprobe a larger shortlist's recall is >=
+    the smaller's, which is a THEOREM of exact rerank (the superset's
+    rerank can only replace a returned id with a strictly closer one,
+    and any id closer than a true top-k member is itself in the true
+    top-k under the shared (dist, id) tie-break). Frontier VALUES vary
+    with the box (latency), so the driver pins the decision procedure,
+    not the milliseconds."""
+    from vector_search_go_spark.operators.tune import recall_frontier_advisor
+
+    path = _ensure_ivfpq_sharded_store(spark, sf_dir)
+    rep = recall_frontier_advisor(
+        spark,
+        path,
+        k=10,
+        n_queries=10,
+        nprobes=(2, _IVFPQ_NPROBE),
+        shortlists=(20, _IVFPQ_SHORT),
+        target_recall=0.9,
+        seed=7,
+    )
+    rows = rep["rows"]
+    rec = (rep["recommended_nprobe"], rep["recommended_shortlist"])
+    by_cfg = {(np_, sl): r for np_, sl, r, _ in rows}
+    meeting = [r for r in rows if r[2] >= rep["target_recall"]]
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                rec in by_cfg,
+                all(0.0 <= r[2] <= 1.0 for r in rows),
+                all(r[3] > 0.0 for r in rows),
+                (not meeting) or rep["target_met"],
+                all(
+                    by_cfg[(np_, _IVFPQ_SHORT)] >= by_cfg[(np_, 20)]
+                    for np_ in (2, _IVFPQ_NPROBE)
+                ),
+            )
+        ],
+        "n_points bigint, recommended_in_grid boolean, recalls_valid boolean, "
+        "latencies_valid boolean, gate_ok boolean, shortlist_monotone boolean",
     )
 
 

@@ -113,9 +113,12 @@ _PRIORITY: tuple[str, ...] = (
     # took the slot of r3-r7-green, unchanged multimodal_features (its
     # decode sibling multimodal_decode_real keeps the window slot below)
     "dedup_audio_fingerprint",
-    # r4: real BMP/WAV decode path (driver-green since r4's window);
-    # took the slot of r3-green, unchanged multimodal_byte_stats
-    "multimodal_decode_real",
+    # r9: the measured (nprobe, shortlist) -> (recall, ms/q) frontier
+    # advisor contract (recall + latency + monotonicity gates on the
+    # sharded IVFADC store); took the slot of r4-r8-green, unchanged
+    # multimodal_decode_real — its real decode path is exercised by the
+    # three in-window media dedup entries (image/audio/video)
+    "ivfpq_recall_frontier_verdict",
     "sessionize_events",
     # r8: tombstone deletes under the driver's value check (delete_ids
     # routed per shard -> masked sharded serving, hash-matched vs DuckDB
