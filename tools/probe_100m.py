@@ -340,6 +340,22 @@ def recall(
     )
     print(f"# ground truth (exact top-{k}, {len(qids)} q): "
           f"{_time.time() - t0:.0f} s", flush=True)
+    # the 'measured' config: the adc_shortlist_probe recommendation.
+    # Resolve it EXPLICITLY (store_meta if a retune persisted it, else
+    # run the bounded probe now) — shortlist=None through the reader
+    # would silently fall back to the pq_shortlist floor on a store
+    # whose maintain loop never tripped a rebuild.
+    from vector_search_go_spark.serve.local_reader import _read_store_meta
+
+    measured = _read_store_meta(path).get("recommended_shortlist")
+    if measured is None:
+        from vector_search_go_spark.operators.pq import adc_shortlist_probe
+
+        t0 = _time.time()
+        probe = adc_shortlist_probe(spark, path, k=k)
+        measured = probe["recommended_shortlist"]
+        print(f"# shortlist probe {probe} in {_time.time() - t0:.0f} s",
+              flush=True)
     spark.stop()
 
     reader = ShardedReader(path, processes=True, preload_codes=True)
@@ -352,7 +368,7 @@ def recall(
             (8, 400, len(qids)),
             (8, 1600, len(qids)),
             (32, 1600, len(qids)),
-            (8, None, 10),            # measured recommended_shortlist
+            (8, int(measured), 10),   # measured recommended_shortlist
         ]
         for nprobe, shortlist, nq in configs:
             lats, recs = [], []
@@ -366,7 +382,11 @@ def recall(
                 got = set(int(i) for i in top["id"][:k])
                 recs.append(len(got & set(truth[qid])) / k)
             lats.sort()
-            tag = shortlist if shortlist is not None else "measured"
+            tag = (
+                f"{shortlist} (measured)"
+                if shortlist == int(measured)
+                else shortlist
+            )
             print(
                 f"| ivfpq 100M recall | nprobe={nprobe} shortlist={tag} "
                 f"| recall@{k} {float(np.mean(recs)):.4f} | "
