@@ -118,9 +118,16 @@ def build(
     t0 = time.time()
     # ~1M-row strided sample for both models (the sampled-Lloyd posture
     # the angular_ivf probe measured: quality saturates below corpus
-    # size and driver cost must not scale with it)
+    # size and driver cost must not scale with it). CACHED (round 9):
+    # kmeans materializes centroids between iterations, so every Lloyd
+    # pass re-scans the sample — uncached, each pass regenerated the
+    # FULL corpus just to keep 1%, which made training O(iters x
+    # corpus) instead of O(iters x sample). 1M x 64 doubles is ~0.5 GB,
+    # comfortably cacheable; identical rows and math, just not
+    # recomputed (r8's 1,185 s kmeans -> minutes).
     stride = max(1, n // 1_000_000)
-    sample = corpus.filter(F.col("id") % stride == 0)
+    sample = corpus.filter(F.col("id") % stride == 0).cache()
+    sample.count()  # materialize once
     cents = kmeans_fit(sample, k_cells, iters=3, dim=dims)
     cents = spark.createDataFrame(cents.collect(), cents.schema)
     t_kmeans = time.time() - t0
@@ -129,6 +136,7 @@ def build(
     t0 = time.time()
     cb = pq_codebook_trained(sample)
     cb = spark.createDataFrame(cb.collect(), cb.schema)
+    sample.unpersist()
     t_cb = time.time() - t0
     print(f"# pq codebook trained: {t_cb:.0f} s", flush=True)
 
@@ -161,6 +169,72 @@ def build(
         f"| {du} on disk |",
         flush=True,
     )
+
+
+def resume_build(
+    n: int = 100_000_000,
+    dims: int = 64,
+    shards: int = 10,
+    path: str = DEFAULT_PATH,
+) -> None:
+    """Resume an interrupted --build: models are read back from the
+    first COMPLETE shard (ivfpq_save persists centroids + codebook per
+    shard; build_stats is written last, so its _SUCCESS is the shard's
+    completeness marker), incomplete shard dirs are discarded, and only
+    the missing shards run. Possible because everything is
+    deterministic — the corpus regenerates from (SEED, block) and the
+    shard split is pmod(xxhash64(id)) — so resumed shards are
+    bit-identical to what an uninterrupted build would have written."""
+    import shutil
+
+    from vector_search_go_spark.serve.sharded import (
+        shard_expr,
+        write_shards_meta,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "probe-100m-resume", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def complete(k: int) -> bool:
+        return os.path.exists(f"{path}/shard={k}/build_stats/_SUCCESS")
+
+    done = [k for k in range(shards) if complete(k)]
+    if not done:
+        raise SystemExit("no complete shard to take models from — run --build")
+    cents = spark.read.parquet(f"{path}/shard={done[0]}/centroids")
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    cb = spark.read.parquet(f"{path}/shard={done[0]}/codebook")
+    cb = spark.createDataFrame(cb.collect(), cb.schema)
+    print(f"# resuming: shards {done} complete, models from shard {done[0]}",
+          flush=True)
+
+    corpus = gen_corpus(spark, n, dims)
+    sh = shard_expr(shards)
+    for k in range(shards):
+        if complete(k):
+            continue
+        if os.path.exists(f"{path}/shard={k}"):
+            shutil.rmtree(f"{path}/shard={k}")  # partial write
+        t0 = time.time()
+        ivfpq_save_mod = __import__(
+            "vector_search_go_spark.operators.pq", fromlist=["ivfpq_save"]
+        )
+        ivfpq_save_mod.ivfpq_save(
+            spark, corpus.filter(sh == k), cents, cb,
+            f"{path}/shard={k}", metric="l2",
+        )
+        print(f"# shard {k}: {time.time() - t0:.0f} s", flush=True)
+    write_shards_meta(spark, path, "ivfpq", shards, metric="l2")
+    import subprocess
+
+    du = subprocess.run(
+        ["du", "-sh", path], capture_output=True, text=True
+    ).stdout.split()[0]
+    print(f"| ivfpq {n:,} x {dims} store resumed to {shards} shards | {du} "
+          f"on disk |", flush=True)
 
 
 def serve(
@@ -428,6 +502,9 @@ if __name__ == "__main__":
     if sys.argv[1:2] == ["--build"]:
         a = [s if not s.lstrip("-").isdigit() else int(s) for s in sys.argv[2:]]
         build(*a)
+    elif sys.argv[1:2] == ["--resume-build"]:
+        a = [s if not s.lstrip("-").isdigit() else int(s) for s in sys.argv[2:]]
+        resume_build(*a)
     elif sys.argv[1:2] == ["--serve"]:
         p = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
         a = [int(s) for s in sys.argv[3:]]
