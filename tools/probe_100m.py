@@ -322,12 +322,19 @@ def _ground_truth(
     distances beyond the block), the driver merges ~64 partials.
     O(n * dims * n_queries) FLOPs and O(partitions * k * n_queries)
     rows cross to the driver; the corpus never lands. Cached as npz so
-    repeated sweeps pay it once."""
+    repeated sweeps pay it once; the cache is KEYED on (n, dims, k,
+    SEED) via a __key__ entry validated on load (ADVICE r9: a fixed
+    filename silently served stale truth to a re-run with different
+    parameters), regenerating on mismatch."""
     import os as _os
 
+    key = np.array([n, dims, k, SEED], dtype=np.int64)
     if _os.path.exists(cache_path):
         z = np.load(cache_path)
-        return {int(q): z[str(q)].tolist() for q in qids}
+        if "__key__" in z.files and np.array_equal(z["__key__"], key) and all(
+            str(q) in z.files for q in qids
+        ):
+            return {int(q): z[str(q)].tolist() for q in qids}
 
     import pandas as pd
 
@@ -370,7 +377,10 @@ def _ground_truth(
     for qi, qid in enumerate(qids):
         g = parts[parts["q"] == qi].sort_values(["d2", "id"]).head(k)
         truth[int(qid)] = [int(i) for i in g["id"]]
-    np.savez(cache_path, **{str(q): np.array(v) for q, v in truth.items()})
+    np.savez(
+        cache_path, __key__=key,
+        **{str(q): np.array(v) for q, v in truth.items()},
+    )
     return truth
 
 

@@ -188,6 +188,90 @@ def pq_codes_udf(codebook: DataFrame):
     return codes_udf
 
 
+def _coarse_pos(coarse_cents) -> tuple:
+    """(centroid matrix float64[C, D], {cid: row}) from a centroid
+    DataFrame or a preloaded (cids, matrix) model — the closure payload
+    of the residual kernels."""
+    from vector_search_go_spark.operators.argmin import collect_centroids
+
+    if isinstance(coarse_cents, tuple):
+        cids, C = coarse_cents
+    else:
+        cids, C = collect_centroids(coarse_cents)
+    return C, {int(c): i for i, c in enumerate(cids)}
+
+
+def residual_vec_udf(coarse_cents):
+    """Arrow kernel: (vec, cell) -> x - centroid(cell) as
+    array<double> — the residual the IVFADC codebook trains on and
+    encodes (Jegou et al. 2011 §IV.A: quantizing residuals concentrates
+    the PQ codebook on within-cell variance, the standard fix for ADC
+    rank error burying near-tie neighbors — the measured failure in
+    SCALE.md's 100M sweep). Elementwise float64 subtraction ==
+    Catalyst zip_with double subtract == the oracle's list_transform
+    CAST(vec AS DOUBLE) - cvec, so the residual corpus is bit-portable
+    across all three."""
+    from pyspark.sql.functions import pandas_udf
+
+    C, pos = _coarse_pos(coarse_cents)
+
+    @pandas_udf("array<double>")
+    def rvec(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        idx = np.array([pos[int(c)] for c in cells], dtype=np.int64)
+        return pd.Series(list(V - C[idx]))
+
+    return rvec
+
+
+def pq_codes_residual_udf(codebook: DataFrame, coarse_cents):
+    """Arrow kernel: (vec, cell) -> packed codes of the RESIDUAL
+    x - centroid(cell) — pq_codes_udf with the subtraction fused into
+    the same batch pass (one map stage over the corpus, models ride the
+    closure). ``codebook`` must itself be trained on residuals
+    (pq_codebook_trained over residual_vec_udf output) for the codes to
+    mean anything; search builds its ADC tables over the residual query
+    q - centroid(cell) per probed cell."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids, mats = _codebook_mats(codebook)
+    C, pos = _coarse_pos(coarse_cents)
+    m_sub, d_sub = M_SUB, D_SUB
+
+    @pandas_udf("array<int>")
+    def codes_udf(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        idx = np.array([pos[int(c)] for c in cells], dtype=np.int64)
+        R = V - C[idx]
+        out = np.empty((R.shape[0], m_sub), dtype=np.int32)
+        for sub in range(m_sub):
+            sl = R[:, sub * d_sub : (sub + 1) * d_sub]
+            D = _seq_sq_l2(sl, mats[sub])
+            out[:, sub] = ids[sub][D.argmin(axis=1)]
+        return pd.Series(list(out))
+
+    return codes_udf
+
+
+def residual_lut(q: np.ndarray, cent_row: np.ndarray, cb_ids, cb_mats,
+                 n_codes: int) -> np.ndarray:
+    """The per-(query, cell) ADC lookup table of a residual store:
+    LUT[sub][code] = squared L2 from (q - centroid(cell))'s sub-th
+    subvector to that codeword — same sequential-IEEE kernel as the raw
+    LUT, so the table is bit-identical wherever it is built (Spark
+    point paths, local reader, shard readers, shortlist probe)."""
+    from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+    qr = q - cent_row
+    lut = np.zeros((M_SUB, n_codes))
+    for sub in range(M_SUB):
+        sl = qr[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+        lut[sub, cb_ids[sub]] = _seq_sq_l2(sl, cb_mats[sub])[0]
+    return lut
+
+
 def pq_adc_candidates(
     queries: DataFrame, codes: DataFrame, codebook: DataFrame,
     impl: str = "arrow", local_topk: int | None = None,
@@ -537,6 +621,33 @@ _SHORTLIST_MEMO: dict[str, tuple[tuple, int | None]] = {}
 
 def invalidate_stored_shortlist(path: str) -> None:
     _SHORTLIST_MEMO.pop(path, None)
+
+
+def read_store_meta_any(spark, path: str) -> dict:
+    """The store_meta payload at ``path`` for ANY path scheme: local
+    paths parse the JSON part files directly (serve.local_reader),
+    remote ('://') paths read through Spark. {} when the table is
+    absent; parse errors raise (absence != unreadable — the
+    _stored_shortlist contract). Every advisor/maintenance persist
+    that MERGES into store_meta goes through this (ADVICE r9: the
+    local-only merge meant a remote store's retune overwrote its
+    family/metric keys)."""
+    if "://" not in path:
+        from vector_search_go_spark.serve.local_reader import _read_store_meta
+
+        return _read_store_meta(path)
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.json(f"{path}/store_meta").collect()
+    except AnalysisException:  # absent meta table; parse errors raise
+        return {}
+    for r in rows:
+        if r["meta_json"]:
+            return _json.loads(r["meta_json"])
+    return {}
 
 
 def _stored_shortlist(spark, path: str) -> int | None:

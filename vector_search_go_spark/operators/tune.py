@@ -278,11 +278,12 @@ def serving_batch_advisor(
     if persist:
         import json as _json
 
-        from vector_search_go_spark.serve.local_reader import _read_store_meta
+        from vector_search_go_spark.operators.pq import read_store_meta_any
 
-        meta = {}
-        if "://" not in path:
-            meta.update(_read_store_meta(path))
+        # merge into the EXISTING meta for every path scheme (ADVICE
+        # r9: the local-only merge dropped family/metric on remote
+        # stores, breaking open_reader's family detection there)
+        meta = read_store_meta_any(spark, path)
         meta["recommended_batch"] = int(best)
         meta["batch_ms_per_query"] = {str(b): m for b, m in rows}
         spark.createDataFrame(
@@ -441,9 +442,10 @@ def recall_frontier_advisor(
     if persist:
         import json as _json
 
-        meta = {}
-        if "://" not in path:
-            meta.update(_read_store_meta(path))
+        from vector_search_go_spark.operators.pq import read_store_meta_any
+
+        # merge into the EXISTING meta for every path scheme (ADVICE r9)
+        meta = read_store_meta_any(spark, path)
         meta["recommended_nprobe"] = out["recommended_nprobe"]
         meta["recommended_shortlist"] = out["recommended_shortlist"]
         meta["recall_frontier"] = [

@@ -381,7 +381,7 @@ def run_media_dedup_gate(
         q.awaitTermination(timeout)
         return
     deadline = _time.time() + timeout
-    prev_empty_end = None  # endOffsets of the previous EMPTY report
+    prev_empty = None  # (batchId, endOffsets) of the previous EMPTY report
     while q.isActive and _time.time() < deadline:
         lp = q.lastProgress
         if lp is not None and lp["numInputRows"] == 0:
@@ -392,10 +392,18 @@ def run_media_dedup_gate(
                 for s in srcs
             ) if srcs else False
             ends = [s.get("endOffset") for s in srcs]
-            if drained or (prev_empty_end is not None
-                           and ends == prev_empty_end):
+            bid = lp.get("batchId")
+            # the fallback needs TWO DISTINCT empty batches (ADVICE r9:
+            # one report observed on two 0.25 s polls has the same
+            # endOffsets — keying on batchId too keeps a single early
+            # empty batch from stopping the gate while data batches are
+            # still pending on a latestOffset-less source)
+            if drained or (prev_empty is not None
+                           and prev_empty[1] == ends
+                           and prev_empty[0] != bid):
                 break  # source exhausted AND a timer-sweep batch ran
-            prev_empty_end = ends
+            if prev_empty is None or prev_empty[0] != bid:
+                prev_empty = (bid, ends)
         _time.sleep(0.25)
     if q.isActive:
         q.stop()

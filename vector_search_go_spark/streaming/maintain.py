@@ -483,11 +483,12 @@ def maintain_ivfpq(
         # (shards_meta is the manifest), so the merge starts from the
         # family/metric pair there too — the router's shortlist=None
         # resolution reads this layout-level file.
-        from vector_search_go_spark.serve.local_reader import _read_store_meta
+        from vector_search_go_spark.operators.pq import read_store_meta_any
 
         meta = {"family": "ivfpq", "metric": "l2"}
-        if "://" not in path:
-            meta.update(_read_store_meta(path))
+        # merge for every path scheme (ADVICE r9: local-only merging
+        # made a remote retune drop save-time meta keys)
+        meta.update(read_store_meta_any(spark, path))
         meta["recommended_shortlist"] = probe["recommended_shortlist"]
         meta["shortlist_frac"] = probe["shortlist_frac"]
         spark.createDataFrame(
