@@ -704,3 +704,50 @@ def test_decode_vbm_truncated_payloads():
         decode_vbm(VBM_MAGIC + struct.pack("<II", 1, 10_000) + b"x" * 8)
     with _pytest.raises(ValueError, match="trailing bytes"):
         decode_vbm(good + b"extra")
+
+
+def test_auto_n_probes_pigeonhole_rule():
+    """'auto' probe sizing (VERDICT r9 item 5): 0 when exact banding
+    already guarantees tau (tau <= n_bands - 1), else full band_bits
+    coverage — a partial MSB prefix adds candidate mass without adding
+    any guarantee, so auto never returns one."""
+    from vector_search_go_spark.operators.multimodal import (
+        auto_n_probes,
+        resolve_n_probes,
+    )
+
+    assert auto_n_probes(4, 15, 3) == 0      # 4x15 guarantees d<4 exactly
+    assert auto_n_probes(4, 15, 6) == 15     # beyond: full coverage
+    assert auto_n_probes(2, 30, 1) == 0      # 2x30 guarantees d<2 exactly
+    assert auto_n_probes(2, 30, 6) == 30     # the scale config
+    assert resolve_n_probes("auto", 2, 30, 6) == 30
+    assert resolve_n_probes(7, 2, 30, 6) == 7  # ints pass through
+
+
+def test_hamming_join_auto_probes_matches_explicit(spark):
+    """n_probes='auto' through the batch join == the explicit resolved
+    count, pair for pair."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.multimodal import (
+        hamming_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = [int(x) for x in rng.integers(0, 1 << 60, size=60)]
+    rows = [(i, h) for i, h in enumerate(base)]
+    # planted near pairs differing in 2 bits (needs probing at 2x30)
+    for j, h in enumerate(base[:10]):
+        rows.append((1000 + j, h ^ (1 << 5) ^ (1 << 40)))
+    df = spark.createDataFrame(rows, "id bigint, phash bigint")
+    got_auto = hamming_near_dup_pairs(
+        df, tau=6, n_bands=2, band_bits=30, n_probes="auto"
+    ).collect()
+    got_explicit = hamming_near_dup_pairs(
+        df, tau=6, n_bands=2, band_bits=30, n_probes=30
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    assert sorted(map(key, got_auto)) == sorted(map(key, got_explicit))
+    # the planted 2-bit pairs are all recovered under probing
+    planted = {(j, 1000 + j) for j in range(10)}
+    assert planted <= {(r["id_a"], r["id_b"]) for r in got_auto}

@@ -247,3 +247,72 @@ def test_adc_shortlist_probe_floor_and_retune(spark, tmp_path):
     assert rep1["recommended_shortlist"] == pq_shortlist(10)
     assert rep1["n_store"] == len(X)
     assert 0.0 < rep1["shortlist_frac"] <= 1.0
+
+
+def test_residual_encoding_beats_raw_on_clustered_corpus(spark, tmp_path):
+    """The r10 residual claim, measured: on a clustered corpus (the
+    geometry real embeddings have), IVFADC with residual-encoded codes
+    reaches strictly higher recall@10 than raw-vector codes at the SAME
+    (nprobe, shortlist) budget — the codebook spends its 128 codewords
+    on within-cell variance instead of the inter-center spread. Both
+    stores share the coarse model, so the delta is the encoding alone."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        pq_codebook_residual,
+        pq_codebook_trained,
+    )
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    rng = np.random.default_rng(5)
+    n_centers, per, dims = 16, 120, 64
+    centers = rng.normal(size=(n_centers, dims)) * 6.0
+    X = np.repeat(centers, per, axis=0) + 0.25 * rng.standard_normal(
+        (n_centers * per, dims)
+    )
+    n = len(X)
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)],
+        "id bigint, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(int(c), centers[c].tolist()) for c in range(n_centers)],
+        "cid int, cvec array<double>",
+    )
+    cb_raw = pq_codebook_trained(corpus, iters=2)
+    cb_raw = spark.createDataFrame(cb_raw.collect(), cb_raw.schema)
+    cb_res = pq_codebook_residual(corpus, cents, iters=2)
+    cb_res = spark.createDataFrame(cb_res.collect(), cb_res.schema)
+    p_raw = str(tmp_path / "raw")
+    p_res = str(tmp_path / "res")
+    ivfpq_save(spark, corpus, cents, cb_raw, p_raw, encoding="raw")
+    ivfpq_save(spark, corpus, cents, cb_res, p_res, encoding="residual")
+
+    r_raw = LocalIvfPqReader(p_raw, preload_codes=True, preload_vectors=True)
+    r_res = LocalIvfPqReader(p_res, preload_codes=True, preload_vectors=True)
+    assert r_raw.encoding == "raw" and r_res.encoding == "residual"
+    qidx = list(range(0, n, n // 24))[:24]
+    k, shortlist = 10, 20  # tight budget: ADC rank quality is the test
+    hits_raw = hits_res = 0
+    for qi in qidx:
+        q = X[qi]
+        exact = ((X - q) ** 2).sum(axis=1)
+        truth = set(np.lexsort((np.arange(n), exact))[:k].tolist())
+        got_raw = set(
+            int(i) for i in r_raw.search(q, k=k, nprobe=2, shortlist=shortlist)["id"]
+        )
+        got_res = set(
+            int(i) for i in r_res.search(q, k=k, nprobe=2, shortlist=shortlist)["id"]
+        )
+        hits_raw += len(got_raw & truth)
+        hits_res += len(got_res & truth)
+    rec_raw = hits_raw / (k * len(qidx))
+    rec_res = hits_res / (k * len(qidx))
+    # the margin is the point of the whole change — not a tie-break
+    assert rec_res > rec_raw + 0.1, (rec_res, rec_raw)
+    # residue of the loss is coarse-probe misses at nprobe=2 (cluster
+    # boundary queries), not ADC rank error — 0.85 with a >0.1 margin
+    # over raw is the encoding claim
+    assert rec_res >= 0.85, rec_res

@@ -335,8 +335,12 @@ def test_sharded_ivfpq_stored_shortlist_resolution(spark, ivfpq_sharded_stores, 
     shutil.copytree(str(base / "single"), single_p)
     shutil.copytree(str(base / "sharded"), sharded_p)
     rec = 220  # above the pq_shortlist(10)=100 floor, so it is the value used
+    # the single store's meta rewrite must carry the encoding tag a real
+    # retune merge preserves (maintain_ivfpq merges into existing meta);
+    # dropping it would silently flip the reader to raw-LUT scoring
     for p, meta in (
-        (single_p, {"family": "ivfpq", "metric": "l2", "recommended_shortlist": rec}),
+        (single_p, {"family": "ivfpq", "metric": "l2",
+                    "encoding": "residual", "recommended_shortlist": rec}),
         (sharded_p, {"recommended_shortlist": rec}),
     ):
         spark.createDataFrame(

@@ -226,3 +226,72 @@ def test_recall_frontier_advisor_measures_and_persists(spark, tmp_path):
     corpus.write.parquet(f"{scan_path}/vectors")
     with _pytest.raises(ValueError, match="family"):
         recall_frontier_advisor(spark, scan_path)
+
+
+def test_frontier_pick_latency_budget_mode():
+    """frontier_pick(target_ms=...) — the r10 latency-budget inverse
+    (VERDICT r9 item 4), pure-function checked on a fixed grid."""
+    from vector_search_go_spark.operators.tune import frontier_pick
+
+    rows = [
+        (2, 20, 0.40, 5.0),
+        (2, 100, 0.70, 9.0),
+        (8, 20, 0.55, 12.0),
+        (8, 100, 0.95, 30.0),
+    ]
+    # roomy budget: max-recall point wins, latency met
+    p = frontier_pick(rows, target_ms=50.0)
+    assert (p["recommended_nprobe"], p["recommended_shortlist"]) == (8, 100)
+    assert p["latency_met"] and p["target_met"] and p["target_ms"] == 50.0
+    # tight budget: best recall among points within it
+    p = frontier_pick(rows, target_ms=10.0)
+    assert (p["recommended_nprobe"], p["recommended_shortlist"]) == (2, 100)
+    assert p["latency_met"] and not p["target_met"]  # 0.70 < 0.9 — visible
+    # impossible budget: min-latency fallback, latency_met=False
+    p = frontier_pick(rows, target_ms=1.0)
+    assert (p["recommended_nprobe"], p["recommended_shortlist"]) == (2, 20)
+    assert not p["latency_met"]
+    # recall-tie within budget resolves to the LOWER latency
+    tied = rows + [(16, 100, 0.95, 40.0)]
+    p = frontier_pick(tied, target_ms=60.0)
+    assert (p["recommended_nprobe"], p["recommended_shortlist"]) == (8, 100)
+    # recall-target mode unchanged: cheapest point meeting the target
+    p = frontier_pick(rows, target_recall=0.9)
+    assert (p["recommended_nprobe"], p["recommended_shortlist"]) == (8, 100)
+    assert p["target_met"] and "target_ms" not in p
+
+
+def test_recall_frontier_advisor_target_ms(spark, tmp_path):
+    """target_ms= through the measuring advisor: the recommendation is
+    a grid point, and a huge budget admits everything so the pick is
+    the grid's max-recall row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+    from vector_search_go_spark.operators.tune import recall_frontier_advisor
+
+    N, DIMS = 400, 64
+    rng = np.random.default_rng(37)
+    X = rng.standard_normal((N, DIMS))
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(N)],
+        "id bigint, vec array<double>",
+    )
+    cents = corpus.filter(F.col("id") % 100 == 0).select(
+        (F.col("id") / 100).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    emb_like = corpus.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq_ms")
+    ivfpq_save(spark, corpus, cents, pq_codebook(emb_like), path, metric="l2")
+    rep = recall_frontier_advisor(
+        spark, path, k=5, n_queries=4, nprobes=(1, 4), shortlists=(10, 40),
+        target_ms=1e9,
+    )
+    rows = {(a, b): (r, ms) for a, b, r, ms in rep["rows"]}
+    rec = (rep["recommended_nprobe"], rep["recommended_shortlist"])
+    assert rec in rows
+    assert rep["latency_met"]
+    assert rows[rec][0] == max(r for r, _ in rows.values())

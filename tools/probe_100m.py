@@ -101,7 +101,7 @@ def build(
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.pq import (
         ivfpq_save,
-        pq_codebook_trained,
+        pq_codebook_residual,
     )
     from vector_search_go_spark.serve.sharded import (
         shard_expr,
@@ -134,11 +134,13 @@ def build(
     print(f"# kmeans {k_cells} cells on ~1M sample: {t_kmeans:.0f} s", flush=True)
 
     t0 = time.time()
-    cb = pq_codebook_trained(sample)
+    # residual codebook (r10): trained on x - centroid(cell) of the
+    # same cached sample — the encoding ivfpq_save defaults to
+    cb = pq_codebook_residual(sample, cents)
     cb = spark.createDataFrame(cb.collect(), cb.schema)
     sample.unpersist()
     t_cb = time.time() - t0
-    print(f"# pq codebook trained: {t_cb:.0f} s", flush=True)
+    print(f"# pq codebook trained (residual): {t_cb:.0f} s", flush=True)
 
     # per-shard saves over the lazily-regenerated corpus: the library's
     # shards=N branch caches the corpus (right at 1-10M, impossible at
@@ -208,8 +210,15 @@ def resume_build(
     cents = spark.createDataFrame(cents.collect(), cents.schema)
     cb = spark.read.parquet(f"{path}/shard={done[0]}/codebook")
     cb = spark.createDataFrame(cb.collect(), cb.schema)
-    print(f"# resuming: shards {done} complete, models from shard {done[0]}",
-          flush=True)
+    # resumed shards must encode EXACTLY like the complete ones — take
+    # the encoding from the complete shard's store_meta, not the
+    # library default (a raw r9-era store resumed under the residual
+    # default would mix encodings across shards)
+    from vector_search_go_spark.operators.pq import store_encoding
+
+    encoding = store_encoding(spark, f"{path}/shard={done[0]}")
+    print(f"# resuming: shards {done} complete, models from shard {done[0]}, "
+          f"encoding={encoding}", flush=True)
 
     corpus = gen_corpus(spark, n, dims)
     sh = shard_expr(shards)
@@ -224,7 +233,7 @@ def resume_build(
         )
         ivfpq_save_mod.ivfpq_save(
             spark, corpus.filter(sh == k), cents, cb,
-            f"{path}/shard={k}", metric="l2",
+            f"{path}/shard={k}", metric="l2", encoding=encoding,
         )
         print(f"# shard {k}: {time.time() - t0:.0f} s", flush=True)
     write_shards_meta(spark, path, "ivfpq", shards, metric="l2")

@@ -2216,7 +2216,10 @@ def media_probe_recovery(n: int = 10_000_000) -> None:
     fp.count()
     n_fam = n // 1000
 
-    for tag, n_probes in (("2x30 exact", 0), ("2x30 + 30 probes", 30)):
+    # 'auto' resolves to band_bits=30 here by the pigeonhole rule
+    # (tau=6 > n_bands-1=1 -> full 1-bit coverage); the scale config
+    # derives its probe count instead of hand-picking (VERDICT r9 #5)
+    for tag, n_probes in (("2x30 exact", 0), ("2x30 + auto probes", "auto")):
         t0 = time.time()
         pairs = hamming_near_dup_pairs(
             fp, tau=6, n_bands=2, band_bits=30, n_probes=n_probes

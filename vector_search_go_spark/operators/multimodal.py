@@ -527,6 +527,37 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(extract, schema=DHASH_SCHEMA)
 
 
+def auto_n_probes(n_bands: int, band_bits: int, tau: int) -> int:
+    """Probe count the pigeonhole arithmetic requires for a GUARANTEE
+    at Hamming radius ``tau`` (VERDICT r9 item 5 — the sizing rule the
+    SCALE.md 10M receipt measured, as a derivation instead of a manual
+    knob): exact banding already guarantees detection for
+    tau <= n_bands - 1 (some band must match exactly), so 0 probes;
+    beyond that, radius-1 probing extends the guarantee to
+    tau <= 2 * n_bands - 1 (pigeonhole: some band carries <= 1
+    differing bit) — but ONLY when every band position is probed,
+    because a band differing in exactly one bit meets iff that
+    position's flip is emitted, and the adversary picks the position.
+    Hence band_bits probes, never a partial count (a partial MSB
+    prefix adds candidate mass without adding any guarantee). Above
+    2 * n_bands - 1, radius-1 probing cannot guarantee anything more;
+    returns band_bits so the caller keeps the widest guarantee
+    available — detection beyond it stays probabilistic, which the
+    band split already serves well for spread-out divergence."""
+    if int(tau) <= int(n_bands) - 1:
+        return 0
+    return int(band_bits)
+
+
+def resolve_n_probes(n_probes, n_bands: int, band_bits: int, tau: int) -> int:
+    """'auto' -> auto_n_probes(...); ints pass through. Shared by the
+    batch join and the streaming media gate so an 'auto' caller gets
+    the identical candidate space on both."""
+    if n_probes == "auto":
+        return auto_n_probes(n_bands, band_bits, tau)
+    return int(n_probes)
+
+
 def probe_bit_positions(band_bits: int, n_probes: int) -> list[int]:
     """Bit positions (within a band) that multiprobe banding flips: the
     ``n_probes`` MOST significant band bits, MSB first — the
@@ -555,10 +586,13 @@ def hamming_near_dup_pairs(
     id_col: str = "id",
     hash_col: str = "phash",
     align_cols: list[str] | None = None,
-    n_probes: int = 0,
+    n_probes: int | str = 0,
 ) -> DataFrame:
     """Banded Hamming near-dup join over (id, hash) fingerprints ->
     (id_a, id_b, hamming) pairs with hamming <= tau, id_a < id_b.
+    ``n_probes='auto'`` derives the probe count from the (n_bands,
+    band_bits, tau) pigeonhole arithmetic (auto_n_probes) — what the
+    scale configs should pass instead of hand-picking.
 
     Blocking: a pair is a candidate iff SOME band of ``band_bits``
     contiguous bits matches exactly — the SimHash/MinHash band trick
@@ -603,6 +637,7 @@ def hamming_near_dup_pairs(
     (band, key) and carried into the output — e.g. ['frame'] compares
     video fingerprints only at matching frame positions (one output
     row per (id_a, id_b, *align_cols))."""
+    n_probes = resolve_n_probes(n_probes, n_bands, band_bits, tau)
     align = list(align_cols or [])
     mask = (1 << band_bits) - 1
     h = hashes.select(
@@ -817,7 +852,7 @@ def video_near_dup_pairs(
     min_frames: int = 2,
     n_bands: int = 4,
     band_bits: int = DHASH_BAND_BITS,
-    n_probes: int = 0,
+    n_probes: int | str = 0,
 ) -> DataFrame:
     """Clip-level near-dup pairs from (id, frame, phash) rows ->
     (id_a, id_b, n_frames_near, min_hamming): frames are compared

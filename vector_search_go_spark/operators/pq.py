@@ -108,6 +108,29 @@ def pq_codebook_trained(
     return cents.select("sub", F.col("cid").alias("code"), "cvec")
 
 
+def pq_codebook_residual(
+    corpus: DataFrame,
+    coarse_cents: DataFrame,
+    iters: int = 3,
+    exact: bool = False,
+) -> DataFrame:
+    """corpus(id, vec) x coarse centroids -> (sub, code, cvec): the PQ
+    codebook TRAINED ON RESIDUALS x - centroid(cell) — the model half
+    of the residual IVFADC construction (see pq_codes_residual_udf).
+    One assignment map stage + one residual map stage feed the same
+    grouped Lloyd chain as pq_codebook_trained; the corpus never
+    shuffles."""
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+
+    res = assign_cells(corpus, coarse_cents, metric="l2").select(
+        "id",
+        residual_vec_udf(coarse_cents)(F.col("vec"), F.col("cell")).alias(
+            "vec"
+        ),
+    )
+    return pq_codebook_trained(res, iters=iters, exact=exact)
+
+
 def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> DataFrame:
     """corpus(id, vec) -> (id, sub, code): nearest codeword per
     subspace, (dist, code) tie-break. The corpus is never shuffled or
@@ -439,6 +462,86 @@ def pq_adc_candidates(
     )
 
 
+def ivfpq_adc_candidates_res(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    coarse_cents: DataFrame,
+    local_topk: int | None = None,
+) -> DataFrame:
+    """(query_id, id, approx_dist) over RESIDUAL-encoded candidates —
+    the residual twin of pq_adc_candidates' arrow path. ``codes`` rows
+    are (query_id, cell, id, codes array<int>) pairs already restricted
+    by the coarse probe join; the ADC value of a candidate depends on
+    its CELL (LUT over q - centroid(cell)), so lookup tables are built
+    per (query, cell) — lazily inside the Arrow kernel from the
+    broadcast-sized models (queries x probed cells of them, each
+    M x C doubles), never shipped as a batch x nprobe LUT blob.
+
+    Bit-portability: residual_lut uses the sequential-IEEE kernel, the
+    per-row fold adds its M terms in subspace order, and ``local_topk``
+    is the same exact per-batch (approx_dist, id) truncation as
+    pq_adc_candidates (selection-monotone for the downstream
+    topk(shortlist) -> rerank -> topk(k))."""
+    from vector_search_go_spark.operators.argmin import local_topk_flat
+
+    qrows = sorted(
+        queries.select("query_id", "qvec").collect(), key=lambda r: r["query_id"]
+    )
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, id long, approx_dist double"
+        )
+    qpos = {int(r["query_id"]): i for i, r in enumerate(qrows)}
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    cb_ids, cb_mats = _codebook_mats(codebook.select("sub", "code", "cvec"))
+    n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
+    C, cpos = _coarse_pos(coarse_cents)
+
+    def gen(batches):
+        lut_memo: dict = {}
+
+        def lut_for(qp: int, cell: int) -> np.ndarray:
+            key = (qp, cell)
+            lut = lut_memo.get(key)
+            if lut is None:
+                lut = residual_lut(
+                    Q[qp], C[cpos[cell]], cb_ids, cb_mats, n_codes
+                )
+                lut_memo[key] = lut
+            return lut
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            q_arr = pdf["query_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            ids_arr = pdf["id"].to_numpy()
+            d = np.empty(len(Cd))
+            # one LUT-fold per (query, cell) group; per-row op order is
+            # the plain per-sub sequential add either way
+            for qv in np.unique(q_arr):
+                for cell in np.unique(cells[q_arr == qv]):
+                    m = (q_arr == qv) & (cells == cell)
+                    lut = lut_for(qpos[int(qv)], int(cell))
+                    acc = np.zeros(int(m.sum()))
+                    Cm = Cd[m]
+                    for sub in range(M_SUB):
+                        acc = acc + lut[sub][Cm[:, sub]]
+                    d[m] = np.sqrt(acc)
+            if local_topk is not None and len(d) > local_topk:
+                keep = local_topk_flat(q_arr, ids_arr, d, local_topk)
+                q_arr, ids_arr, d = q_arr[keep], ids_arr[keep], d[keep]
+            yield pd.DataFrame(
+                {"query_id": q_arr, "id": ids_arr, "approx_dist": d}
+            )
+
+    return codes.select("query_id", "cell", "id", "codes").mapInPandas(
+        gen, "query_id long, id long, approx_dist double"
+    )
+
+
 def pq_rerank(
     approx: DataFrame,
     queries: DataFrame,
@@ -486,6 +589,7 @@ def ivfpq_save(
     path: str,
     metric: str = "l2",
     shards: int | None = None,
+    encoding: str = "residual",
 ) -> None:
     """Persist a composed IVF+PQ index (the FAISS IVFADC layout) as a
     serving store:
@@ -518,7 +622,17 @@ def ivfpq_save(
     (the selection-monotone argument in serve/sharded.py): the union of
     per-shard ADC top-L supersets the global ADC top-L. At 100 TB the
     COMPRESSED store is the one that must shard — raw vectors do not
-    fit one reader's RAM, codes do per shard."""
+    fit one reader's RAM, codes do per shard.
+
+    ``encoding='residual'`` (default; VERDICT r9 item 1): codes are PQ
+    over the RESIDUAL x - centroid(cell) and search LUTs are built per
+    (query, probed cell) over q - centroid(cell) — the canonical IVFADC
+    construction (Jegou et al. 2011 §IV.A). ``codebook`` must then be
+    trained on residuals (residual_vec_udf -> pq_codebook_trained).
+    ``encoding='raw'`` keeps the pre-r10 raw-vector codes + one global
+    LUT per query. The choice rides in store_meta; every reader and
+    probe resolves it from there — sharded merges stay exact either way
+    (identical models => identical per-(query, cell) LUTs per shard)."""
     from vector_search_go_spark.operators.ann_ivf import assign_cells
 
     if metric != "l2":
@@ -526,6 +640,8 @@ def ivfpq_save(
             "IVFADC ranks its shortlist by squared L2; for cosine, "
             "L2-normalize the corpus and queries and use metric='l2'"
         )
+    if encoding not in ("residual", "raw"):
+        raise ValueError(f"unknown ivfpq encoding {encoding!r}")
     if shards is not None:
         from vector_search_go_spark.serve.sharded import (
             check_shard_population,
@@ -552,16 +668,21 @@ def ivfpq_save(
             for k in range(shards):
                 ivfpq_save(
                     spark, corpus.filter(sh == k), coarse_cents, codebook,
-                    f"{path}/shard={k}", metric=metric,
+                    f"{path}/shard={k}", metric=metric, encoding=encoding,
                 )
             write_shards_meta(spark, path, "ivfpq", shards, metric=metric)
         finally:
             if not was_cached:
                 corpus.unpersist()
         return
-    cells = assign_cells(corpus, coarse_cents, metric=metric).select(
-        "cell", "id", pq_codes_udf(codebook)(F.col("vec")).alias("codes")
-    )
+    assigned = assign_cells(corpus, coarse_cents, metric=metric)
+    if encoding == "residual":
+        codes_col = pq_codes_residual_udf(codebook, coarse_cents)(
+            F.col("vec"), F.col("cell")
+        )
+    else:
+        codes_col = pq_codes_udf(codebook)(F.col("vec"))
+    cells = assigned.select("cell", "id", codes_col.alias("codes"))
     (
         cells.repartitionByRange(8, "cell")
         .sortWithinPartitions("cell", "id")
@@ -595,7 +716,11 @@ def ivfpq_save(
     import json as _json
 
     spark.createDataFrame(
-        [(_json.dumps({"family": "ivfpq", "metric": metric}),)],
+        [(
+            _json.dumps(
+                {"family": "ivfpq", "metric": metric, "encoding": encoding}
+            ),
+        )],
         "meta_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
     spark.catalog.refreshByPath(f"{path}/cells")
@@ -621,6 +746,40 @@ _SHORTLIST_MEMO: dict[str, tuple[tuple, int | None]] = {}
 
 def invalidate_stored_shortlist(path: str) -> None:
     _SHORTLIST_MEMO.pop(path, None)
+    _ENCODING_MEMO.pop(path, None)
+
+
+# (path) -> (freshness_key, 'residual' | 'raw'). Same serving-path memo
+# contract as _SHORTLIST_MEMO: local entries key on the meta files'
+# mtimes, remote entries are dropped by invalidate_stored_shortlist
+# after a rebuild rewrites store_meta.
+_ENCODING_MEMO: dict[str, tuple[tuple, str]] = {}
+
+
+def store_encoding(spark, path: str) -> str:
+    """'residual' | 'raw' for the IVFADC store at ``path``. Sharded
+    layouts resolve from shard=0's store_meta (each per-shard save
+    carries the tag; the layout root holds only shards_meta until a
+    retune merges one in). Stores that predate the tag are 'raw' —
+    absence maps to the old semantics, never a guess."""
+    import os as _os
+
+    key: tuple = ()
+    if "://" not in path:
+        from vector_search_go_spark.serve.local_reader import meta_files
+
+        files = meta_files(path) + meta_files(f"{path}/shard=0")
+        key = tuple((f, _os.stat(f).st_mtime_ns) for f in files)
+    hit = _ENCODING_MEMO.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    meta = read_store_meta_any(spark, path)
+    enc = meta.get("encoding")
+    if enc is None:
+        enc = read_store_meta_any(spark, f"{path}/shard=0").get("encoding")
+    enc = str(enc) if enc is not None else "raw"
+    _ENCODING_MEMO[path] = (key, enc)
+    return enc
 
 
 def read_store_meta_any(spark, path: str) -> dict:
@@ -771,6 +930,7 @@ def adc_shortlist_probe(
         )
         cells_df = union_shard_component(spark, path, n_sh, "cells")
         codebook_df = spark.read.parquet(f"{path}/shard=0/codebook")
+        cents_path = f"{path}/shard=0/centroids"
     else:
         from vector_search_go_spark.streaming.delete import mask_tombstones
 
@@ -779,6 +939,8 @@ def adc_shortlist_probe(
         ).select("id", "vec")
         cells_df = mask_tombstones(spark, path, spark.read.parquet(f"{path}/cells"))
         codebook_df = spark.read.parquet(f"{path}/codebook")
+        cents_path = f"{path}/centroids"
+    enc = store_encoding(spark, path)
     n_store = vectors.count()
     # thin down to AT MOST 4x the target with id-hash passes (each pass
     # divides by >= 2), then collect and trim to sample_rows by keeping
@@ -824,11 +986,11 @@ def adc_shortlist_probe(
     code_rows = (
         cells_df
         .join(F.broadcast(ids_df), "id")
-        .select("id", "codes")
+        .select("id", "cell", "codes")
         .dropDuplicates(["id"])
         .collect()
     )
-    code_map = {r["id"]: r["codes"] for r in code_rows}
+    code_map = {r["id"]: (r["cell"], r["codes"]) for r in code_rows}
     missing = [int(i) for i in ids if int(i) not in code_map]
     if missing:
         raise ValueError(
@@ -836,22 +998,47 @@ def adc_shortlist_probe(
             f"{path}/cells (e.g. {missing[:3]}) — store components are "
             "out of sync; re-save before probing"
         )
-    codes = np.array([code_map[int(i)] for i in ids], dtype=np.int64)
+    codes = np.array([code_map[int(i)][1] for i in ids], dtype=np.int64)
     cb_ids, cb_mats = _codebook_mats(codebook_df.select("sub", "code", "cvec"))
     n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
+    if enc == "residual":
+        # residual ADC ranks score each sampled row under ITS OWN
+        # cell's LUT — exactly what serving's per-(query, cell) tables
+        # compute. One vectorized LUT build over the sample's distinct
+        # cells per query (_seq_sq_l2 is row-independent, so each
+        # cell's row equals the serving-side residual_lut)
+        cellarr = np.array(
+            [int(code_map[int(i)][0]) for i in ids], dtype=np.int64
+        )
+        dcells = np.unique(cellarr)
+        cell_idx = np.searchsorted(dcells, cellarr)
+        from vector_search_go_spark.operators.ann_ivf import load_ivf_model
+
+        cids_all, C_all = load_ivf_model(spark, cents_path)
+        cpos_all = {int(c): i for i, c in enumerate(cids_all)}
+        Cd = C_all[[cpos_all[int(c)] for c in dcells]]
 
     ranks_needed = []
     for qi in qpos:
         q = X[qi]
         exact = sq - 2.0 * (X @ q) + (q @ q)
         truth = np.lexsort((ids, exact))[:k]
-        lut = np.zeros((M_SUB, n_codes))
-        for sub in range(M_SUB):
-            sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
-            lut[sub, cb_ids[sub]] = _seq_sq_l2(sl, cb_mats[sub])[0]
         adc = np.zeros(m)
-        for sub in range(M_SUB):
-            adc = adc + lut[sub][codes[:, sub]]
+        if enc == "residual":
+            R = q[None, :] - Cd
+            for sub in range(M_SUB):
+                lut_sub = np.zeros((len(dcells), n_codes))
+                lut_sub[:, cb_ids[sub]] = _seq_sq_l2(
+                    R[:, sub * D_SUB : (sub + 1) * D_SUB], cb_mats[sub]
+                )
+                adc = adc + lut_sub[cell_idx, codes[:, sub]]
+        else:
+            lut = np.zeros((M_SUB, n_codes))
+            for sub in range(M_SUB):
+                sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+                lut[sub, cb_ids[sub]] = _seq_sq_l2(sl, cb_mats[sub])[0]
+            for sub in range(M_SUB):
+                adc = adc + lut[sub][codes[:, sub]]
         order = np.lexsort((ids, adc))
         pos = np.empty(m, dtype=np.int64)
         pos[order] = np.arange(m)
@@ -930,30 +1117,66 @@ def ivfpq_point_search(
         # one (maintain_ivfpq + adc_shortlist_probe); the pq_shortlist
         # floor still applies so a larger k keeps its 4k margin
         shortlist = max(_stored_shortlist(spark, path) or 0, pq_shortlist(k))
+    enc = store_encoding(spark, path)
     coarse_model, cb_model = models if models is not None else (None, None)
+    if enc == "residual" and coarse_model is None:
+        # residual LUTs need the probed cells' centroid rows — load the
+        # (model-sized) coarse table once instead of letting the probe
+        # collect and discard it
+        from vector_search_go_spark.operators.ann_ivf import load_ivf_model
+
+        coarse_model = load_ivf_model(spark, f"{path}/centroids")
     probe_cells = probe_cells_for(
         spark, f"{path}/centroids", qvec, metric, nprobe, model=coarse_model
     )
 
-    # ADC lookup table: LUT[sub][code] = squared L2 from the query's
-    # sub-th subvector to that codeword (same sequential adds as sq_l2)
+    # ADC lookup table(s): raw stores build ONE global LUT[sub][code] =
+    # squared L2 from the query's sub-th subvector to that codeword;
+    # residual stores build one per probed cell over q - centroid(cell)
+    # (same sequential adds as sq_l2 either way)
     ids, mats = cb_model if cb_model is not None else _codebook_mats(
         spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
     )
     q = np.asarray(list(qvec), dtype=np.float64)
     n_codes = max(int(ids[s].max()) for s in ids) + 1
-    lut = np.zeros((M_SUB, n_codes))
-    for sub in range(M_SUB):
-        sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
-        lut[sub, ids[sub]] = _seq_sq_l2(sl, mats[sub])[0]
+    if enc == "residual":
+        C, cpos = _coarse_pos(coarse_model)
+        luts = {
+            int(c): residual_lut(q, C[cpos[int(c)]], ids, mats, n_codes)
+            for c in probe_cells
+        }
 
-    @pandas_udf("double")
-    def adc(codes: pd.Series) -> pd.Series:
-        C = np.array(codes.tolist(), dtype=np.int64)
-        acc = np.zeros(len(C))
+        @pandas_udf("double")
+        def adc_res(cells: pd.Series, codes: pd.Series) -> pd.Series:
+            Cd = np.array(codes.tolist(), dtype=np.int64)
+            cellv = cells.to_numpy()
+            acc = np.empty(len(Cd))
+            for cell in np.unique(cellv):
+                m = cellv == cell
+                lut = luts[int(cell)]
+                a = np.zeros(int(m.sum()))
+                Cm = Cd[m]
+                for sub in range(M_SUB):
+                    a = a + lut[sub][Cm[:, sub]]
+                acc[m] = a
+            return pd.Series(np.sqrt(acc))
+
+        adc_col = adc_res(F.col("cell"), F.col("codes"))
+    else:
+        lut = np.zeros((M_SUB, n_codes))
         for sub in range(M_SUB):
-            acc = acc + lut[sub][C[:, sub]]
-        return pd.Series(np.sqrt(acc))
+            sl = q[sub * D_SUB : (sub + 1) * D_SUB][None, :]
+            lut[sub, ids[sub]] = _seq_sq_l2(sl, mats[sub])[0]
+
+        @pandas_udf("double")
+        def adc(codes: pd.Series) -> pd.Series:
+            C = np.array(codes.tolist(), dtype=np.int64)
+            acc = np.zeros(len(C))
+            for sub in range(M_SUB):
+                acc = acc + lut[sub][C[:, sub]]
+            return pd.Series(np.sqrt(acc))
+
+        adc_col = adc(F.col("codes"))
 
     from vector_search_go_spark.streaming.delete import mask_tombstones
 
@@ -963,7 +1186,7 @@ def ivfpq_point_search(
         .select(
             F.lit(0).cast("bigint").alias("query_id"),
             "id",
-            adc(F.col("codes")).alias("adc_dist"),
+            adc_col.alias("adc_dist"),
         )
     )
     short = topk_per_group(
@@ -1039,7 +1262,12 @@ def ivfpq_point_search_batch(
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate query_id in batch")
     Q = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    enc = store_encoding(spark, path)
     coarse_model, cb_model = models if models is not None else (None, None)
+    if enc == "residual" and coarse_model is None:
+        from vector_search_go_spark.operators.ann_ivf import load_ivf_model
+
+        coarse_model = load_ivf_model(spark, f"{path}/centroids")
     probed = probe_cells_batch(
         spark, f"{path}/centroids", Q, metric, nprobe, model=coarse_model
     )
@@ -1048,16 +1276,44 @@ def ivfpq_point_search_batch(
         spark.read.parquet(f"{path}/codebook").select("sub", "code", "cvec")
     )
     n_codes = max(int(ids[s].max()) for s in ids) + 1
-    lut = np.zeros((len(qids), M_SUB, n_codes))
-    for sub in range(M_SUB):
-        sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
-        lut[:, sub, :][:, ids[sub]] = _seq_sq_l2(sl, mats[sub])
 
     cell_qpos: dict[int, list[int]] = {}
     for pos, cells_q in enumerate(probed):
         for c in cells_q:
             cell_qpos.setdefault(int(c), []).append(pos)
     qid_arr = np.asarray(qids, dtype=np.int64)
+
+    if enc == "residual":
+        # ship the (model-sized) probed-cell centroid rows + codebook
+        # and build each (query, cell) LUT lazily in the kernel — a
+        # batch x nprobe LUT blob would be MBs of closure for nothing
+        C_mat, cpos = _coarse_pos(coarse_model)
+        cent_rows = {c: C_mat[cpos[c]] for c in cell_qpos}
+
+        def make_lut_for():
+            memo: dict = {}
+
+            def lut_for(pos: int, cell: int) -> np.ndarray:
+                lut = memo.get((pos, cell))
+                if lut is None:
+                    lut = residual_lut(
+                        Q[pos], cent_rows[cell], ids, mats, n_codes
+                    )
+                    memo[(pos, cell)] = lut
+                return lut
+
+            return lut_for
+    else:
+        lut_all = np.zeros((len(qids), M_SUB, n_codes))
+        for sub in range(M_SUB):
+            sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
+            lut_all[:, sub, :][:, ids[sub]] = _seq_sq_l2(sl, mats[sub])
+
+        def make_lut_for():
+            def lut_for(pos: int, cell: int) -> np.ndarray:
+                return lut_all[pos]
+
+            return lut_for
 
     from vector_search_go_spark.streaming.delete import mask_tombstones
 
@@ -1068,7 +1324,9 @@ def ivfpq_point_search_batch(
 
     def adc_score(batches):
         # one LUT-add pass per (cell group, probing query): identical
-        # per-row op order to the single-query adc udf
+        # per-row op order to the single-query adc udf (raw: global
+        # LUT per query; residual: per-(query, cell) LUT)
+        lut_for = make_lut_for()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1080,9 +1338,10 @@ def ivfpq_point_search_batch(
                 m = cells_col == cell
                 Cm, idm = C[m], ids_col[m]
                 for pos in cell_qpos[int(cell)]:
+                    lut = lut_for(pos, int(cell))
                     acc = np.zeros(len(Cm))
                     for sub in range(M_SUB):
-                        acc = acc + lut[pos, sub][Cm[:, sub]]
+                        acc = acc + lut[sub][Cm[:, sub]]
                     d = np.sqrt(acc)
                     out_ids = idm
                     # exact local top-shortlist per (cell, query) chunk:

@@ -298,6 +298,54 @@ def serving_batch_advisor(
     return out
 
 
+def frontier_pick(
+    rows: list,
+    target_recall: float = 0.9,
+    target_ms: float | None = None,
+) -> dict:
+    """The frontier advisor's DECISION PROCEDURE, factored pure so the
+    driver-checked verdict entry can gate it on measured rows without
+    re-measuring. ``rows`` = [(nprobe, shortlist, recall, ms_q), ...].
+
+    Recall-target mode (``target_ms=None``): cheapest point whose
+    recall >= target_recall; none qualifying -> the max-recall point
+    (ties to cheaper).
+
+    Latency-budget mode (``target_ms`` set; VERDICT r9 item 4 — the
+    production inverse "best recall under X ms/q"): max-recall point
+    among those with ms_q <= target_ms (ties: lower latency, then
+    smaller knobs); none within budget -> the min-latency point (ties:
+    higher recall, then smaller knobs), reported with
+    ``latency_met=False``. ``target_met`` still reports whether the
+    picked point clears target_recall — a budget so tight it forces
+    low recall should be visible, not silent."""
+    if target_ms is not None:
+        within = [r for r in rows if r[3] <= float(target_ms)]
+        if within:
+            best = max(within, key=lambda r: (r[2], -r[3], -r[0], -r[1]))
+            latency_met = True
+        else:
+            best = min(rows, key=lambda r: (r[3], -r[2], r[0], r[1]))
+            latency_met = False
+    else:
+        meeting = [r for r in rows if r[2] >= target_recall]
+        if meeting:
+            best = min(meeting, key=lambda r: (r[3], r[0], r[1]))
+        else:
+            best = max(rows, key=lambda r: (r[2], -r[3], -r[0], -r[1]))
+        latency_met = True
+    return {
+        "recommended_nprobe": int(best[0]),
+        "recommended_shortlist": int(best[1]),
+        "recall_at_recommended": float(best[2]),
+        "ms_at_recommended": float(best[3]),
+        "target_recall": float(target_recall),
+        "target_met": bool(best[2] >= target_recall),
+        "latency_met": bool(latency_met),
+        **({"target_ms": float(target_ms)} if target_ms is not None else {}),
+    }
+
+
 def recall_frontier_advisor(
     spark,
     path: str,
@@ -306,6 +354,7 @@ def recall_frontier_advisor(
     nprobes: tuple = (4, 8, 16),
     shortlists: tuple = (20, 100),
     target_recall: float = 0.9,
+    target_ms: float | None = None,
     seed: int = 7,
     persist: bool = False,
     reader_kwargs: dict | None = None,
@@ -324,9 +373,12 @@ def recall_frontier_advisor(
     n_queries, distributed over the corpus); each grid point then runs
     the store's own serving reader (open_reader — local or sharded)
     and reports mean recall@k (id-set intersection / k) and median
-    ms/q. Recommendation: cheapest (nprobe, shortlist) whose recall
-    >= target; if none qualifies, the max-recall point (ties to
-    cheaper). ``persist=True`` merges ``recommended_nprobe`` /
+    ms/q. Recommendation (frontier_pick): cheapest (nprobe, shortlist)
+    whose recall >= target; if none qualifies, the max-recall point
+    (ties to cheaper). ``target_ms`` flips to the latency-budget
+    inverse — best recall among points with ms/q <= target_ms (r9
+    item 4; ``latency_met=False`` marks a budget no grid point fits).
+    ``persist=True`` merges ``recommended_nprobe`` /
     ``recommended_shortlist`` and the frontier table into store_meta —
     shortlist=None serving then runs at the measured point, exactly
     like the maintain_ivfpq retune.
@@ -426,18 +478,9 @@ def recall_frontier_advisor(
         if close is not None:
             close()
 
-    meeting = [r for r in rows if r[2] >= target_recall]
-    if meeting:
-        best = min(meeting, key=lambda r: (r[3], r[0], r[1]))
-    else:
-        best = max(rows, key=lambda r: (r[2], -r[3], -r[0], -r[1]))
     out = {
         "rows": rows,
-        "recommended_nprobe": int(best[0]),
-        "recommended_shortlist": int(best[1]),
-        "recall_at_recommended": float(best[2]),
-        "target_recall": float(target_recall),
-        "target_met": bool(best[2] >= target_recall),
+        **frontier_pick(rows, target_recall=target_recall, target_ms=target_ms),
     }
     if persist:
         import json as _json

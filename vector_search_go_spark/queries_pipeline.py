@@ -1014,6 +1014,11 @@ _IVFPQ_SHORT = 200
 
 
 def _ivf_pq_oracle() -> str:
+    """The full RESIDUAL IVFADC pipeline in DuckDB SQL (VERDICT r9 item
+    1): coarse k-means ("ck" CTEs), nearest-cell assignment, residuals
+    x - centroid(cell), a grouped k-means codebook TRAINED ON RESIDUAL
+    subvectors ("k" CTEs), residual PQ encode, per-(query, probed cell)
+    ADC tables over q - centroid(cell), shortlist, exact rerank."""
     from vector_search_go_spark.oracle.vector_sql import (
         sql_kmeans,
         sql_l2_dist,
@@ -1022,46 +1027,79 @@ def _ivf_pq_oracle() -> str:
 
     l2_assign = sql_l2_dist("c.vec", "cent.cvec")
     l2_probe = sql_l2_dist("q.qvec", "cent.cvec")
+    enc_d = sql_sq_l2(
+        f"r.rvec[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
+    )
     adc_d = sql_sq_l2(
-        f"q.qvec[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
+        f"r.rq[cb.sub * {_PQ_D} + 1 : cb.sub * {_PQ_D} + {_PQ_D}]", "cb.cvec"
     )
     # coarse k-means CTEs take the "ck" prefix so they can't collide
-    # with the trained-codebook chain's grouped k-means ("k" prefix)
-    km_block, km_final = sql_kmeans("c", _IVFPQ_K, _IVFPQ_ITERS, prefix="ck")
+    # with the residual-codebook chain's grouped k-means ("k" prefix)
+    ck_block, ck_final = sql_kmeans("c", _IVFPQ_K, _IVFPQ_ITERS, prefix="ck")
+    cb_block, cb_final = sql_kmeans(
+        "subv", _PQ_C, _IVFPQ_ITERS, dim=_PQ_D, group="sub"
+    )
     return f"""
-WITH {_pq_trained_cb_sql()},
-q AS (
+WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
 ), c AS (
   SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 <> 0
 ),
-{km_block},
-cent AS (SELECT cid, cvec FROM {km_final}),
-codes AS ({_sql_pq_encode('c')}),
-assign AS (
+{ck_block},
+cent AS MATERIALIZED (SELECT cid, cvec FROM {ck_final}),
+assign AS MATERIALIZED (
   SELECT id, cid AS cell FROM (
     SELECT c.id, cent.cid,
            row_number() OVER (PARTITION BY c.id
                               ORDER BY {l2_assign}, cent.cid) AS _r
     FROM c CROSS JOIN cent) WHERE _r = 1
 ),
-probes AS (
+cres AS MATERIALIZED (
+  SELECT c.id, a.cell,
+         list_transform(range(1, {_PQ_M * _PQ_D + 1}),
+           _i -> CAST(c.vec[_i] AS DOUBLE) - cent.cvec[_i]) AS rvec
+  FROM c JOIN assign a ON c.id = a.id JOIN cent ON a.cell = cent.cid
+),
+subv AS (
+  SELECT CAST(t.sub AS INT) AS sub, r0.id,
+         r0.rvec[t.sub * {_PQ_D} + 1 : t.sub * {_PQ_D} + {_PQ_D}] AS vec
+  FROM cres r0, range(0, {_PQ_M}) t(sub)
+),
+{cb_block},
+cb AS MATERIALIZED (SELECT sub, cid AS code, cvec FROM {cb_final}),
+codes AS MATERIALIZED (
+  SELECT id, sub, code FROM (
+    SELECT r.id, cb.sub, cb.code,
+           row_number() OVER (PARTITION BY r.id, cb.sub
+                              ORDER BY {enc_d}, cb.code) AS _r
+    FROM cres r CROSS JOIN cb) WHERE _r = 1
+),
+probes AS MATERIALIZED (
   SELECT query_id, cid AS cell FROM (
     SELECT q.query_id, cent.cid,
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY {l2_probe}, cent.cid) AS _r
     FROM q CROSS JOIN cent) WHERE _r <= {_IVFPQ_NPROBE}
 ),
-cand AS (
-  SELECT p.query_id, a.id FROM probes p JOIN assign a ON p.cell = a.cell
+cand AS MATERIALIZED (
+  SELECT p.query_id, p.cell, a.id FROM probes p JOIN assign a ON p.cell = a.cell
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {_PQ_M * _PQ_D + 1}),
+           _i -> CAST(q.qvec[_i] AS DOUBLE) - cent.cvec[_i]) AS rq
+  FROM probes p JOIN q ON p.query_id = q.query_id
+                JOIN cent ON p.cell = cent.cid
 ),
 adc AS (
-  SELECT q.query_id, cb.sub, cb.code, {adc_d} AS d FROM q CROSS JOIN cb
+  SELECT r.query_id, r.cell, cb.sub, cb.code, {adc_d} AS d
+  FROM qres r CROSS JOIN cb
 ),
-adc_tab AS (
-  SELECT query_id, list(d ORDER BY sub, code) AS adc FROM adc GROUP BY query_id
+adc_tab AS MATERIALIZED (
+  SELECT query_id, cell, list(d ORDER BY sub, code) AS adc
+  FROM adc GROUP BY query_id, cell
 ),
-codes_arr AS (
+codes_arr AS MATERIALIZED (
   SELECT id, list(code ORDER BY sub) AS codes_l FROM codes GROUP BY id
 ),
 pairs AS (
@@ -1072,6 +1110,7 @@ pairs AS (
               (_a, _b) -> _a + _b)) AS approx_dist
   FROM cand cd JOIN codes_arr ca ON cd.id = ca.id
                JOIN adc_tab a ON cd.query_id = a.query_id
+                             AND cd.cell = a.cell
 ),
 short AS (
   SELECT query_id, id FROM (
@@ -1091,45 +1130,56 @@ SELECT query_id, id, dist, CAST(rn AS INT) AS rn FROM (
 """
 
 
+def _res_cb_key() -> str:
+    """Model-store key for the RESIDUAL-trained PQ codebook — depends
+    on both the codebook shape and the coarse model it residualizes
+    against, so neither a constants change nor a coarse retrain can
+    serve a stale codebook to the hash check."""
+    return (
+        f"ivfpq_res_codebook_i3_m{_PQ_M}d{_PQ_D}n{_PQ_C}"
+        f"_ck{_IVFPQ_K}i{_IVFPQ_ITERS}"
+    )
+
+
 @register("ivf_pq_search", oracle=_ivf_pq_oracle())
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed IVF+PQ index (the FAISS IVFADC shape — coarse cells
-    prune the corpus, PQ codes carry the in-cell scan, raw vectors only
-    for the rerank): queries probe the nprobe nearest L2 cells, ADC runs
-    only over codes of vectors in probed cells, and a small shortlist is
-    reranked exactly. At 100 TB this is the canonical layout: cells =
-    partition pruning, codes = 16x-compressed scan, rerank = point
-    lookups.
+    """Composed RESIDUAL IVF+PQ index (the canonical FAISS IVFADC
+    construction, Jegou et al. 2011 §IV.A — coarse cells prune the
+    corpus, PQ codes of the RESIDUAL x - centroid(cell) carry the
+    in-cell scan, raw vectors only for the rerank): queries probe the
+    nprobe nearest L2 cells, ADC runs per probed cell with a lookup
+    table over the residual query q - centroid(cell), and a small
+    shortlist is reranked exactly. At 100 TB this is the canonical
+    layout: cells = partition pruning, codes = 16x-compressed scan,
+    rerank = point lookups.
 
-    Coarse centroids AND the PQ codebook are k-means-trained
-    (operators.kmeans, exact fold path so the whole composition stays
-    hash-checkable against the DuckDB oracle; both load from the model
-    store after the first call). On this isotropic synthetic corpus
-    recall is ceilinged by coarse-probe COVERAGE (random vectors spread
-    almost uniformly across Voronoi cells — the known worst case for
-    coarse quantization). At a fixed ~50% scan fraction, finer cells
-    raise that ceiling: k=32/nprobe=16 covers 0.790 of true neighbors
-    at sf0.1 while k=128/nprobe=64 covers 0.925; with the trained
-    16x4 codebook and a fixed 200-row rerank, end recall measures
-    0.93 at sf0.1 (gate ivf_pq_recall_vs_exact, band >= 0.85).
-    Clustered real embeddings push the same plan toward 1-10% probe
-    fractions; the composition and its plan shape are what carry over."""
+    Residual encoding (r10, VERDICT r9 item 1) concentrates the
+    codebook on within-cell variance instead of the corpus's global
+    spread — the standard public-knowledge fix for ADC rank error
+    burying near-tie neighbors, which SCALE.md's 100M sweep measured as
+    the binding constraint (recall 0.213 at the production budget on
+    raw-vector codes). Coarse centroids AND the residual codebook are
+    k-means-trained (operators.kmeans, exact fold path so the whole
+    composition stays hash-checkable against the DuckDB oracle; both
+    load from the model store after the first call). Same coverage
+    arithmetic as before on this isotropic corpus: k=128/nprobe=64
+    covers 0.925 of true neighbors at sf0.1 — the residual gain lands
+    on the ADC-rank half of the loss (gate ivf_pq_recall_vs_exact,
+    band >= 0.85)."""
     from vector_search_go_spark.functions.metrics import metric_dist
     from vector_search_go_spark.operators.ann_ivf import assign_cells
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.model_store import cached_df
     from vector_search_go_spark.operators.pq import (
-        pq_adc_candidates,
+        ivfpq_adc_candidates_res,
         pq_codebook_trained,
-        pq_encode,
+        pq_codes_residual_udf,
         pq_rerank,
+        residual_vec_udf,
     )
     from vector_search_go_spark.operators.topk import topk_per_group
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    allv = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1144,14 +1194,29 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: kmeans_fit(corpus, k=_IVFPQ_K, iters=_IVFPQ_ITERS, exact=True),
     )
-    cells = assign_cells(corpus, centroids, metric="l2").select("id", "cell")
+    assigned = assign_cells(corpus, centroids, metric="l2")
     cb = cached_df(
         spark,
-        _trained_cb_key(),
+        _res_cb_key(),
         sf_dir,
-        lambda: pq_codebook_trained(allv, iters=3, exact=True),
+        lambda: pq_codebook_trained(
+            assigned.select(
+                "id",
+                residual_vec_udf(centroids)(
+                    F.col("vec"), F.col("cell")
+                ).alias("vec"),
+            ),
+            iters=_IVFPQ_ITERS,
+            exact=True,
+        ),
     )
-    codes = pq_encode(corpus, cb)
+    codes = assigned.select(
+        "cell",
+        "id",
+        pq_codes_residual_udf(cb, centroids)(
+            F.col("vec"), F.col("cell")
+        ).alias("codes"),
+    )
     qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
         "cdist", metric_dist("l2", F.col("qvec"), F.col("cvec"))
     )
@@ -1159,12 +1224,11 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         qprobe, ["query_id"], "cdist", _IVFPQ_NPROBE, tiebreak_cols=["cid"],
         rank_name="_r",
     ).select("query_id", F.col("cid").alias("cell"))
-    cand_ids = F.broadcast(probes).join(cells, on="cell").select("query_id", "id")
-    # the candidate list is |queries| x nprobe-cells rows — always the
-    # small side against the corpus-wide code table
-    cand_codes = F.broadcast(cand_ids).join(codes, on="id")
-    approx = pq_adc_candidates(
-        queries, cand_codes, cb, local_topk=_IVFPQ_SHORT
+    # the probe list is |queries| x nprobe rows — always the broadcast
+    # side against the corpus-wide code table
+    cand_codes = F.broadcast(probes).join(codes, on="cell")
+    approx = ivfpq_adc_candidates_res(
+        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
     )
     return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
 
@@ -1220,13 +1284,10 @@ def _ensure_ivfpq_sharded_store(spark: SparkSession, sf_dir: str) -> str:
     )
     from vector_search_go_spark.operators.pq import (
         ivfpq_save,
-        pq_codebook_trained,
+        pq_codebook_residual,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    allv = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    )
     corpus = ensure_parallelism(
         emb.filter(F.col("vec_id") % 50 != 0).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1234,9 +1295,10 @@ def _ensure_ivfpq_sharded_store(spark: SparkSession, sf_dir: str) -> str:
     )
     # every model-shaping parameter rides in the key (the
     # queries_lsh.py:263 convention): a constant change can never serve
-    # a store trained under the old parameters to the hash check
+    # a store trained under the old parameters to the hash check —
+    # including the r10 residual encoding switch
     path = store_path(
-        f"ivfpq_sharded3_k{_IVFPQ_K}_i{_IVFPQ_ITERS}_{_trained_cb_key()}", sf_dir
+        f"ivfpq_sharded3_k{_IVFPQ_K}_i{_IVFPQ_ITERS}_{_res_cb_key()}", sf_dir
     )
     if not os.path.exists(os.path.join(path, "shards_meta")):
         centroids = cached_df(
@@ -1247,11 +1309,16 @@ def _ensure_ivfpq_sharded_store(spark: SparkSession, sf_dir: str) -> str:
         )
         cb = cached_df(
             spark,
-            _trained_cb_key(),
+            _res_cb_key(),
             sf_dir,
-            lambda: pq_codebook_trained(allv, iters=3, exact=True),
+            lambda: pq_codebook_residual(
+                corpus, centroids, iters=_IVFPQ_ITERS, exact=True
+            ),
         )
-        ivfpq_save(spark, corpus, centroids, cb, path, metric="l2", shards=3)
+        ivfpq_save(
+            spark, corpus, centroids, cb, path, metric="l2", shards=3,
+            encoding="residual",
+        )
     return path
 
 
@@ -1307,7 +1374,9 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS recalls_valid,
            TRUE AS latencies_valid,
            TRUE AS gate_ok,
-           TRUE AS shortlist_monotone
+           TRUE AS shortlist_monotone,
+           TRUE AS latency_gate_ok,
+           TRUE AS latency_pick_in_grid
     """,
 )
 def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,8 +1393,18 @@ def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
     and any id closer than a true top-k member is itself in the true
     top-k under the shared (dist, id) tie-break). Frontier VALUES vary
     with the box (latency), so the driver pins the decision procedure,
-    not the milliseconds."""
-    from vector_search_go_spark.operators.tune import recall_frontier_advisor
+    not the milliseconds.
+
+    r10 gates (VERDICT r9 item 4): the latency-budget mode's decision
+    procedure (frontier_pick(target_ms=...)) is checked on the SAME
+    measured rows, no re-measurement — a budget admitting every point
+    must pick the max-recall one with latency_met=True, and a budget
+    admitting none must fall back to the min-latency point with
+    latency_met=False."""
+    from vector_search_go_spark.operators.tune import (
+        frontier_pick,
+        recall_frontier_advisor,
+    )
 
     path = _ensure_ivfpq_sharded_store(spark, sf_dir)
     rep = recall_frontier_advisor(
@@ -1342,6 +1421,18 @@ def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
     rec = (rep["recommended_nprobe"], rep["recommended_shortlist"])
     by_cfg = {(np_, sl): r for np_, sl, r, _ in rows}
     meeting = [r for r in rows if r[2] >= rep["target_recall"]]
+    roomy = frontier_pick(rows, target_ms=max(r[3] for r in rows))
+    tight = frontier_pick(rows, target_ms=0.0)
+    latency_gate_ok = (
+        roomy["latency_met"]
+        and roomy["recall_at_recommended"] == max(r[2] for r in rows)
+        and not tight["latency_met"]
+        and tight["ms_at_recommended"] == min(r[3] for r in rows)
+    )
+    latency_pick_in_grid = all(
+        (p["recommended_nprobe"], p["recommended_shortlist"]) in by_cfg
+        for p in (roomy, tight)
+    )
     return spark.createDataFrame(
         [
             (
@@ -1354,10 +1445,13 @@ def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
                     by_cfg[(np_, _IVFPQ_SHORT)] >= by_cfg[(np_, 20)]
                     for np_ in (2, _IVFPQ_NPROBE)
                 ),
+                latency_gate_ok,
+                latency_pick_in_grid,
             )
         ],
         "n_points bigint, recommended_in_grid boolean, recalls_valid boolean, "
-        "latencies_valid boolean, gate_ok boolean, shortlist_monotone boolean",
+        "latencies_valid boolean, gate_ok boolean, shortlist_monotone boolean, "
+        "latency_gate_ok boolean, latency_pick_in_grid boolean",
     )
 
 

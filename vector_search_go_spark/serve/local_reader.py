@@ -776,18 +776,23 @@ class LocalIvfPqReader:
             self.cb_ids[sub] = np.array([r[1] for r in sr], dtype=np.int64)
             self.cb_mats[sub] = np.array([r[2] for r in sr], dtype=np.float64)
         self.dims = self.coarse[1].shape[1]
+        self._cpos = {int(c): i for i, c in enumerate(self.coarse[0])}
         self._cells = HivePartIndex(os.path.join(path, "cells"), "cell")
         self._vectors = RowGroupIndex(
             glob.glob(os.path.join(path, "vectors", "*.parquet")), "id"
         )
         self._mem_codes = None
+        meta = _read_store_meta(path)
         # rebuild-time measured rerank budget (maintain_ivfpq +
         # adc_shortlist_probe); 0 = none recorded. Read once here so
         # lookups pay nothing; default-shortlist resolution must match
         # ivfpq_point_search's (parity pins in tests/test_serve_local.py).
-        self._rec_shortlist = int(
-            _read_store_meta(path).get("recommended_shortlist", 0)
-        )
+        self._rec_shortlist = int(meta.get("recommended_shortlist", 0))
+        # 'residual' stores score each candidate under its CELL's LUT
+        # (q - centroid(cell)); stores predating the tag are 'raw'
+        # (one global LUT per query) — same resolution as
+        # pq.store_encoding
+        self.encoding = str(meta.get("encoding", "raw"))
         if preload_codes:
             from vector_search_go_spark.operators.pq import M_SUB
 
@@ -830,40 +835,52 @@ class LocalIvfPqReader:
         return lut
 
     def _gather_codes(self, probed):
-        """(ids, codes matrix) of the probed cells — preloaded arrays or
-        a parallel parquet decode; (None, None) when nothing is hit."""
-        import pyarrow as pa
-
+        """(ids, codes matrix, cell per row) of the probed cells —
+        preloaded arrays or a parallel parquet decode; (None, None,
+        None) when nothing is hit. The per-row cell array is what the
+        residual scorer keys its per-cell LUTs on (raw stores ignore
+        it)."""
         from vector_search_go_spark.operators.pq import M_SUB
 
         if self._mem_codes is not None:
             hits = [
-                self._mem_codes[int(c)]
+                (int(c), *self._mem_codes[int(c)])
                 for c in probed
                 if int(c) in self._mem_codes
             ]
             if not hits:
-                return None, None
-            ids, C = drop_tombstoned(
+                return None, None, None
+            ids, C, cells = drop_tombstoned(
                 self._tomb,
-                np.concatenate([h[0] for h in hits]),
                 np.concatenate([h[1] for h in hits]),
+                np.concatenate([h[2] for h in hits]),
+                np.concatenate(
+                    [np.full(len(h[1]), h[0], dtype=np.int64) for h in hits]
+                ),
             )
-            return (ids, C) if len(ids) else (None, None)
+            return (ids, C, cells) if len(ids) else (None, None, None)
         tbls = [
-            t for t in
-            self._cells.read_values_parallel(probed, ["id", "codes"]).values()
+            (int(v), t)
+            for v, t in self._cells.read_values_parallel(
+                probed, ["id", "codes"]
+            ).items()
             if t is not None and t.num_rows
         ]
         if not tbls:
-            return None, None
-        tbl = pa.concat_tables(tbls, promote_options="permissive")
-        ids, C = drop_tombstoned(
+            return None, None, None
+        ids, C, cells = drop_tombstoned(
             self._tomb,
-            tbl.column("id").to_numpy(zero_copy_only=False),
-            list_column_int_matrix(tbl, "codes", M_SUB),
+            np.concatenate(
+                [t.column("id").to_numpy(zero_copy_only=False) for _, t in tbls]
+            ),
+            np.concatenate(
+                [list_column_int_matrix(t, "codes", M_SUB) for _, t in tbls]
+            ),
+            np.concatenate(
+                [np.full(t.num_rows, v, dtype=np.int64) for v, t in tbls]
+            ),
         )
-        return (ids, C) if len(ids) else (None, None)
+        return (ids, C, cells) if len(ids) else (None, None, None)
 
     def _rerank_rows(self, short_ids):
         """(ids, V) of every vectors row whose id is in ``short_ids``,
@@ -907,6 +924,35 @@ class LocalIvfPqReader:
         acc = np.zeros(len(C))
         for sub in range(M_SUB):
             acc = acc + lut[sub][C[:, sub]]
+        return np.sqrt(acc)
+
+    def _adc_dists(self, q: np.ndarray, C: np.ndarray,
+                   cells: np.ndarray) -> np.ndarray:
+        """ADC score of every candidate row under the store's own
+        encoding — THE scoring entry point all four search paths call.
+        Raw: one global LUT per query (_query_lut + _adc_of). Residual:
+        one LUT per (query, candidate cell) over q - centroid(cell)
+        (pq.residual_lut — the same sequential-IEEE construction the
+        Spark point paths and the shortlist probe use, so sharded /
+        unsharded / Spark stay bit-identical)."""
+        from vector_search_go_spark.operators.pq import M_SUB, residual_lut
+
+        n_codes = self._n_codes()
+        if self.encoding != "residual":
+            return self._adc_of(self._query_lut(q, n_codes), C)
+        Cmat = self.coarse[1]
+        acc = np.empty(len(C))
+        for cell in np.unique(cells):
+            m = cells == cell
+            lut = residual_lut(
+                q, Cmat[self._cpos[int(cell)]], self.cb_ids, self.cb_mats,
+                n_codes,
+            )
+            a = np.zeros(int(m.sum()))
+            Cm = C[m]
+            for sub in range(M_SUB):
+                a = a + lut[sub][Cm[:, sub]]
+            acc[m] = a
         return np.sqrt(acc)
 
     @staticmethod
@@ -958,10 +1004,10 @@ class LocalIvfPqReader:
         # the bit-parity-critical ADC pipeline lives ONCE in the shared
         # helpers — search, search_many, and the shard_candidates legs
         # all call the same gather/LUT/fold/tie-break code
-        ids, C = self._gather_codes(probed)
+        ids, C, cells = self._gather_codes(probed)
         if ids is None:
             return _result_frame([], [], k, query_id)
-        adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
+        adc = self._adc_dists(q, C, cells)
         short = self._adc_topl(ids, adc, shortlist)
         rids, V = self._rerank_rows(ids[i] for i in short)
         if rids is None:
@@ -1007,23 +1053,27 @@ class LocalIvfPqReader:
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
 
-        n_codes = self._n_codes()
         per_query = []  # (qid, qvec, short_ids) -- scored after one union read
         union_ids: set = set()
         for i, qid in enumerate(query_ids):
             hits = [
-                cell_map[int(c)] for c in probes[i] if int(c) in cell_map
+                (int(c), *cell_map[int(c)])
+                for c in probes[i]
+                if int(c) in cell_map
             ]
             if not hits:
                 per_query.append((int(qid), Q[i], None))
                 continue
-            ids = np.concatenate([h[0] for h in hits])
-            C = np.concatenate([h[1] for h in hits])
-            ids, C = drop_tombstoned(self._tomb, ids, C)
+            ids = np.concatenate([h[1] for h in hits])
+            C = np.concatenate([h[2] for h in hits])
+            cells = np.concatenate(
+                [np.full(len(h[1]), h[0], dtype=np.int64) for h in hits]
+            )
+            ids, C, cells = drop_tombstoned(self._tomb, ids, C, cells)
             if len(ids) == 0:
                 per_query.append((int(qid), Q[i], None))
                 continue
-            adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
+            adc = self._adc_dists(Q[i], C, cells)
             short = self._adc_topl(ids, adc, shortlist)
             short_ids = sorted(ids[j] for j in short)
             union_ids.update(short_ids)
@@ -1078,12 +1128,12 @@ class LocalIvfPqReader:
 
         q = np.asarray(list(qvec), dtype=np.float64)
         probed = probe_cells_for(None, None, q, "l2", nprobe, model=self.coarse)
-        ids, C = self._gather_codes(probed)
+        ids, C, cells = self._gather_codes(probed)
         if ids is None:
             return self._cand_frame(
                 query_id, np.empty(0, dtype=np.int64), [], [], []
             )
-        adc = self._adc_of(self._query_lut(q, self._n_codes()), C)
+        adc = self._adc_dists(q, C, cells)
         short = self._adc_topl(ids, adc, shortlist)
         sids, sadc = ids[short], adc[short]
         dmap, vcount = self._rerank_maps(q, sorted(sids.tolist()))
@@ -1137,23 +1187,27 @@ class LocalIvfPqReader:
                 self._cells, _union_values(probes), "codes",
                 lambda t: list_column_int_matrix(t, "codes", M_SUB),
             )
-        n_codes = self._n_codes()
         per_query = []  # (qid, qvec, sids, sadc) scored after one union read
         union_ids: set = set()
         for i, qid in enumerate(query_ids):
             hits = [
-                cell_map[int(c)] for c in probes[i] if int(c) in cell_map
+                (int(c), *cell_map[int(c)])
+                for c in probes[i]
+                if int(c) in cell_map
             ]
             if not hits:
                 per_query.append((int(qid), Q[i], None, None))
                 continue
-            ids = np.concatenate([h[0] for h in hits])
-            C = np.concatenate([h[1] for h in hits])
-            ids, C = drop_tombstoned(self._tomb, ids, C)
+            ids = np.concatenate([h[1] for h in hits])
+            C = np.concatenate([h[2] for h in hits])
+            cells = np.concatenate(
+                [np.full(len(h[1]), h[0], dtype=np.int64) for h in hits]
+            )
+            ids, C, cells = drop_tombstoned(self._tomb, ids, C, cells)
             if len(ids) == 0:
                 per_query.append((int(qid), Q[i], None, None))
                 continue
-            adc = self._adc_of(self._query_lut(Q[i], n_codes), C)
+            adc = self._adc_dists(Q[i], C, cells)
             short = self._adc_topl(ids, adc, shortlist)
             sids, sadc = ids[short], adc[short]
             union_ids.update(sids.tolist())

@@ -304,7 +304,7 @@ def stream_media_duplicate_hits(
     n_bands: int = 4,
     band_bits: int = 15,
     state_ttl_ms: int | None = None,
-    n_probes: int = 0,
+    n_probes: int | str = 0,
 ) -> DataFrame:
     """Streaming (kind, frame, band, id_a, id_b, hamming) near-dup hits over
     a mixed-modality media stream: one row per band bucket a pair
@@ -314,8 +314,13 @@ def stream_media_duplicate_hits(
     infinite stream by evicting idle buckets (the dedup horizon);
     None = compare against everything ever seen. ``n_probes`` enables
     multiprobe banding with the same bit set as the batch join
-    (hamming_near_dup_pairs) — the scale config 2x30 + full probing
-    keeps the 4x15 pigeonhole guarantee at ~100x less candidate mass."""
+    (hamming_near_dup_pairs; 'auto' resolves by the same pigeonhole
+    rule, multimodal.auto_n_probes) — the scale config 2x30 + full
+    probing keeps the 4x15 pigeonhole guarantee at ~100x less
+    candidate mass."""
+    from vector_search_go_spark.operators.multimodal import resolve_n_probes
+
+    n_probes = resolve_n_probes(n_probes, n_bands, band_bits, tau)
     timeout_conf = (
         GroupStateTimeout.NoTimeout
         if state_ttl_ms is None

@@ -122,27 +122,44 @@ def ingest_to_ivfpq_store(
     vectors. Same at-least-once, per-batch-coherent contract as
     ingest_to_lsh_store."""
     from vector_search_go_spark.operators.argmin import argmin_id_arrow
-    from vector_search_go_spark.operators.pq import pq_codes_udf
+    from vector_search_go_spark.operators.pq import (
+        pq_codes_residual_udf,
+        pq_codes_udf,
+        store_encoding,
+    )
 
     _check_no_sink_log(f"{path}/cells")
     _check_no_sink_log(f"{path}/vectors")
     # build both frozen-model UDFs ONCE outside the batch loop — each
     # collects its model at construction (argmin_id_arrow /
     # pq_codes_udf), so per-batch work is a pure projection, the same
-    # hoisting ingest_to_ivf_store does
-    nearest = argmin_id_arrow(
-        spark.read.parquet(f"{path}/centroids"), metric="l2"
-    )
-    codes_udf = pq_codes_udf(spark.read.parquet(f"{path}/codebook"))
+    # hoisting ingest_to_ivf_store does. The store's OWN encoding tag
+    # picks the code kernel: appending raw codes into a residual store
+    # (or vice versa) would serve wrong ADC ranks for streamed rows.
+    centroids_df = spark.read.parquet(f"{path}/centroids")
+    codebook_df = spark.read.parquet(f"{path}/codebook")
+    nearest = argmin_id_arrow(centroids_df, metric="l2")
+    if store_encoding(spark, path) == "residual":
+        codes_res = pq_codes_residual_udf(codebook_df, centroids_df)
 
-    def append(batch_df: DataFrame, _epoch: int) -> None:
-        batch_df = batch_df.select("id", "vec").persist()
-        (
-            batch_df.select(
+        def codes_rows(d: DataFrame) -> DataFrame:
+            return d.withColumn("cell", nearest(F.col("vec"))).select(
+                "cell", "id", codes_res(F.col("vec"), F.col("cell")).alias("codes")
+            )
+    else:
+        codes_udf = pq_codes_udf(codebook_df)
+
+        def codes_rows(d: DataFrame) -> DataFrame:
+            return d.select(
                 nearest(F.col("vec")).alias("cell"),
                 "id",
                 codes_udf(F.col("vec")).alias("codes"),
             )
+
+    def append(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = batch_df.select("id", "vec").persist()
+        (
+            codes_rows(batch_df)
             .write.mode("append")
             .partitionBy("cell")
             .parquet(f"{path}/cells")
@@ -235,23 +252,37 @@ def ingest_to_sharded_store(
         ]
     elif family == "ivfpq":
         from vector_search_go_spark.operators.argmin import argmin_id_arrow
-        from vector_search_go_spark.operators.pq import pq_codes_udf
-
-        nearest = argmin_id_arrow(
-            spark.read.parquet(f"{shard0}/centroids"), metric="l2"
+        from vector_search_go_spark.operators.pq import (
+            pq_codes_residual_udf,
+            pq_codes_udf,
+            store_encoding,
         )
-        codes_udf = pq_codes_udf(spark.read.parquet(f"{shard0}/codebook"))
-        writers = [
-            (
-                "cells",
-                lambda d: d.select(
+
+        centroids_df = spark.read.parquet(f"{shard0}/centroids")
+        codebook_df = spark.read.parquet(f"{shard0}/codebook")
+        nearest = argmin_id_arrow(centroids_df, metric="l2")
+        # encoding from shard=0's store_meta (the per-shard saves carry
+        # the tag) — streamed codes must match what the shard serves
+        if store_encoding(spark, path) == "residual":
+            codes_res = pq_codes_residual_udf(codebook_df, centroids_df)
+
+            def _ivfpq_rows(d: DataFrame) -> DataFrame:
+                return d.withColumn("cell", nearest(F.col("vec"))).select(
+                    "cell", "id",
+                    codes_res(F.col("vec"), F.col("cell")).alias("codes"),
+                )
+        else:
+            codes_udf = pq_codes_udf(codebook_df)
+
+            def _ivfpq_rows(d: DataFrame) -> DataFrame:
+                return d.select(
                     nearest(F.col("vec")).alias("cell"),
                     "id",
                     codes_udf(F.col("vec")).alias("codes"),
-                ),
-                "cell",
-                None,
-            ),
+                )
+
+        writers = [
+            ("cells", _ivfpq_rows, "cell", None),
             ("vectors", lambda d: d, None, 64 << 10),
         ]
     elif family == "scan":

@@ -460,18 +460,40 @@ def maintain_ivfpq(
         save_kwargs = {}
         refresh = [f"{path}/{sub}" for sub in subs]
     k = spark.read.parquet(f"{model_src}/centroids").count()
+    # the rebuild preserves the store's encoding (pq.store_encoding —
+    # shard=0 / own store_meta; pre-tag stores rebuild as raw): a
+    # residual store's codebook retrains on residuals wrt the NEW
+    # coarse centroids, and re-encoding goes through the matching
+    # kernel inside ivfpq_save
+    from vector_search_go_spark.operators.pq import store_encoding
+
+    encoding = store_encoding(spark, path)
     if dedup_ids:
         vectors = vectors.dropDuplicates(["id"])
     dim = len(vectors.select("vec").first()["vec"])
     vectors = vectors.localCheckpoint(eager=True)
     cents = kmeans_fit(vectors, k, iters=kmeans_iters, dim=dim, spread_init=True)
-    if retrain_codebook:
-        codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
-    else:
-        codebook = spark.read.parquet(f"{model_src}/codebook")
     cents = spark.createDataFrame(cents.collect(), cents.schema)
+    if retrain_codebook:
+        if encoding == "residual":
+            from vector_search_go_spark.operators.pq import (
+                pq_codebook_residual,
+            )
+
+            codebook = pq_codebook_residual(vectors, cents, iters=kmeans_iters)
+        else:
+            codebook = pq_codebook_trained(vectors, iters=kmeans_iters)
+    else:
+        # reusing a saved codebook under NEW centroids is only sound
+        # when codeword drift is known negligible (docstring); for a
+        # residual store the old codebook still quantizes residual
+        # space, so the composition stays valid, just less tuned
+        codebook = spark.read.parquet(f"{model_src}/codebook")
     codebook = spark.createDataFrame(codebook.collect(), codebook.schema)
-    ivfpq_save(spark, vectors, cents, codebook, path, metric="l2", **save_kwargs)
+    ivfpq_save(
+        spark, vectors, cents, codebook, path, metric="l2",
+        encoding=encoding, **save_kwargs,
+    )
     for p in refresh:
         spark.catalog.refreshByPath(p)
     report = {"action": "rebuilt", **st}
