@@ -263,15 +263,20 @@ def test_ivfpq_cycle_drift_rebuilds_from_own_vectors(spark, tmp_path):
     assert st["n_build"] == 800
 
     # the rebuild also re-picked the serving config by measurement
-    # (VERDICT r5 item 4): retrained models still bury true neighbors
-    # ~340 deep in ADC order on this low-contrast corpus (recall
-    # stalled at 0.67 with the fixed 100-row shortlist even though
-    # nprobe=8 probes every cell), so maintain_ivfpq's ADC probe must
-    # have persisted a larger measured budget that shortlist=None
-    # searches pick up
+    # (VERDICT r5 item 4). History of this assertion: with RAW-vector
+    # codes the retrained models still buried true neighbors ~340 deep
+    # in ADC order on this low-contrast corpus (recall stalled at 0.67
+    # at the 100-row floor even with every cell probed), so the probe
+    # HAD to persist a larger budget. With r10 residual encoding the
+    # retrained codebook quantizes within-cell variance and the SAME
+    # probe now measures the floor — the pathology this machinery was
+    # built for is gone on this fixture, which is the residual change
+    # working as designed. The retune contract is "persist the
+    # measured budget", not "persist a big one": assert the floor is
+    # respected and the measured budget actually serves the band.
     from vector_search_go_spark.operators.pq import pq_shortlist
 
-    assert res["recommended_shortlist"] > pq_shortlist(10)
+    assert res["recommended_shortlist"] >= pq_shortlist(10)
     post = recall_on_b()
     assert post > pre  # 0.47 -> 1.0 measured at this seed/shape
     assert post >= 0.85  # the band every other family gates at

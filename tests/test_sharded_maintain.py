@@ -277,12 +277,15 @@ def test_sharded_ivfpq_maintain_rebuilds_and_retunes(spark, tmp_path):
         metric="l2",
     )
     # give the twin the same measured budget so shortlist=None resolves
-    # identically on both sides
+    # identically on both sides — MERGED into the twin's own saved meta
+    # (overwriting from scratch would drop the encoding tag and flip
+    # the twin reader to raw-LUT scoring; the maintain-merge contract)
     import json
 
+    twin_meta = dict(_read_store_meta(twin))
+    twin_meta["recommended_shortlist"] = int(rec)
     spark.createDataFrame(
-        [(json.dumps({"family": "ivfpq", "metric": "l2",
-                      "recommended_shortlist": int(rec)}),)],
+        [(json.dumps(twin_meta),)],
         "meta_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{twin}/store_meta")
     single = LocalIvfPqReader(twin)

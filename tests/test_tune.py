@@ -193,7 +193,15 @@ def test_recall_frontier_advisor_measures_and_persists(spark, tmp_path):
         F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
     )
     path = str(tmp_path / "ivfpq")
-    ivfpq_save(spark, corpus, cents, pq_codebook(emb_like), path, metric="l2")
+    # raw encoding: this test pins ADVISOR mechanics against a store
+    # whose codebook (pq_codebook — raw-sampled) matches its encoding;
+    # under the residual default a raw-sampled codebook would quantize
+    # residual space badly and the exhaustive-probe exactness below
+    # would not hold at shortlist 60
+    ivfpq_save(
+        spark, corpus, cents, pq_codebook(emb_like), path, metric="l2",
+        encoding="raw",
+    )
 
     rep = recall_frontier_advisor(
         spark, path, k=5, n_queries=6, nprobes=(2, 10),

@@ -40,22 +40,42 @@ BLOCK = 65536
 SEED = 7
 DEFAULT_PATH = "/tmp/ivfpq100m/store"
 
+# Corpus geometry knobs (VERDICT r9 item 2): the default 64-center /
+# sigma=1.0 mix is the historical low-contrast worst case (within a
+# ~1.5M-member cluster every neighbor sits at ~sqrt(2*dims) with tiny
+# variance — no contrast for ANY ANN method). --centers/--sigma plant
+# more, tighter clusters so true neighbors have contrast — the
+# geometry real embedding corpora actually have. Both knobs flow into
+# every regeneration site (gen_corpus, vec_of, ground truth) and into
+# the gt cache key, so a sweep can never mix geometries.
+N_CENTERS = 64
+SIGMA = 1.0
 
-def _centers(dims: int) -> np.ndarray:
+
+def _centers(dims: int, n_centers: int | None = None) -> np.ndarray:
     rng = np.random.default_rng(SEED)
-    return rng.normal(size=(64, dims)) * 2.0
+    return rng.normal(size=(n_centers or N_CENTERS, dims)) * 2.0
 
 
-def block_rows(block: int, n: int, dims: int) -> np.ndarray:
+def block_rows(
+    block: int, n: int, dims: int,
+    n_centers: int | None = None, sigma: float | None = None,
+) -> np.ndarray:
     """Rows [block*BLOCK, min(n, (block+1)*BLOCK)) of the corpus —
-    deterministic per (SEED, block), so workers and the driver derive
-    identical vectors without any materialized table."""
+    deterministic per (SEED, block, n_centers, sigma), so workers and
+    the driver derive identical vectors without any materialized
+    table. Geometry params default to the module globals, but every
+    EXECUTOR-side closure passes them explicitly — the function is
+    pickled by reference, so a re-imported module would otherwise
+    silently reset CLI-set globals to the defaults."""
+    n_centers = N_CENTERS if n_centers is None else int(n_centers)
+    sigma = SIGMA if sigma is None else float(sigma)
     lo = block * BLOCK
     hi = min(n, lo + BLOCK)
     rng = np.random.default_rng((SEED, block))
-    centers = _centers(dims)
+    centers = _centers(dims, n_centers)
     assign = rng.integers(0, len(centers), size=hi - lo)
-    return centers[assign] + rng.normal(size=(hi - lo, dims))
+    return centers[assign] + sigma * rng.normal(size=(hi - lo, dims))
 
 
 def vec_of(i: int, n: int, dims: int) -> np.ndarray:
@@ -71,11 +91,12 @@ def gen_corpus(spark, n: int, dims: int):
     import pandas as pd
 
     n_blocks = (n + BLOCK - 1) // BLOCK
+    nc, sg = N_CENTERS, SIGMA  # capture for the executor-side closure
 
     def emit(batches):
         for pdf in batches:
             for b in pdf["id"].tolist():
-                X = block_rows(int(b), n, dims)
+                X = block_rows(int(b), n, dims, nc, sg)
                 lo = int(b) * BLOCK
                 yield pd.DataFrame(
                     {
@@ -93,10 +114,20 @@ def build(
     n: int = 100_000_000,
     dims: int = 64,
     shards: int = 10,
-    k_cells: int = 1024,
+    k_cells: int | None = None,
     path: str = DEFAULT_PATH,
 ) -> None:
+    """``k_cells=None`` sizes the coarse model by the documented rule
+    (pq.default_k_cells: ~sqrt(n) rounded to a power of two, clamped to
+    [256, 65536]) — ~10k cells at 100M instead of the pre-r10 frozen
+    1024. Pass it explicitly to probe other points (the SCALE.md r10
+    k_cells sweep measures 1k/4k/16k at 10M)."""
     from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.pq import default_k_cells
+
+    if k_cells is None:
+        k_cells = default_k_cells(n)
 
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.pq import (
@@ -337,7 +368,10 @@ def _ground_truth(
     parameters), regenerating on mismatch."""
     import os as _os
 
-    key = np.array([n, dims, k, SEED], dtype=np.int64)
+    key = np.array(
+        [n, dims, k, SEED, N_CENTERS, int(round(SIGMA * 1e6))],
+        dtype=np.int64,
+    )
     if _os.path.exists(cache_path):
         z = np.load(cache_path)
         if "__key__" in z.files and np.array_equal(z["__key__"], key) and all(
@@ -350,13 +384,14 @@ def _ground_truth(
     n_blocks = (n + BLOCK - 1) // BLOCK
     Qn = (Q * Q).sum(axis=1)
     nq = len(qids)
+    nc, sg = N_CENTERS, SIGMA  # capture for the executor-side closure
 
     def local_topk(batches):
         best_d = np.full((nq, k), np.inf)
         best_i = np.full((nq, k), -1, dtype=np.int64)
         for pdf in batches:
             for b in pdf["id"].tolist():
-                X = block_rows(int(b), n, dims)
+                X = block_rows(int(b), n, dims, nc, sg)
                 lo = int(b) * BLOCK
                 # ||x-q||^2 = ||x||^2 - 2 x.q + ||q||^2, GEMM-backed
                 d2 = (
@@ -518,21 +553,34 @@ def maintain(path: str = DEFAULT_PATH) -> None:
 
 
 if __name__ == "__main__":
-    if sys.argv[1:2] == ["--build"]:
-        a = [s if not s.lstrip("-").isdigit() else int(s) for s in sys.argv[2:]]
+    argv = sys.argv[1:]
+    # geometry flags apply to every phase and must be IDENTICAL across
+    # a store's build / serve / recall runs (the corpus is regenerated
+    # per phase) — e.g. --centers 4096 --sigma 0.25 plants a
+    # contrastive clustered corpus (VERDICT r9 item 2)
+    for flag, cast, gname in (
+        ("--centers", int, "N_CENTERS"),
+        ("--sigma", float, "SIGMA"),
+    ):
+        while flag in argv:
+            i = argv.index(flag)
+            globals()[gname] = cast(argv[i + 1])
+            del argv[i : i + 2]
+    if argv[:1] == ["--build"]:
+        a = [s if not s.lstrip("-").isdigit() else int(s) for s in argv[1:]]
         build(*a)
-    elif sys.argv[1:2] == ["--resume-build"]:
-        a = [s if not s.lstrip("-").isdigit() else int(s) for s in sys.argv[2:]]
+    elif argv[:1] == ["--resume-build"]:
+        a = [s if not s.lstrip("-").isdigit() else int(s) for s in argv[1:]]
         resume_build(*a)
-    elif sys.argv[1:2] == ["--serve"]:
-        p = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
-        a = [int(s) for s in sys.argv[3:]]
+    elif argv[:1] == ["--serve"]:
+        p = argv[1] if len(argv) > 1 else DEFAULT_PATH
+        a = [int(s) for s in argv[2:]]
         serve(p, *a)
-    elif sys.argv[1:2] == ["--maintain"]:
-        maintain(*sys.argv[2:3])
-    elif sys.argv[1:2] == ["--recall"]:
-        p = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
-        a = [int(s) for s in sys.argv[3:]]
+    elif argv[:1] == ["--maintain"]:
+        maintain(*argv[1:2])
+    elif argv[:1] == ["--recall"]:
+        p = argv[1] if len(argv) > 1 else DEFAULT_PATH
+        a = [int(s) for s in argv[2:]]
         recall(p, *a)
     else:
         print(__doc__)

@@ -39,6 +39,28 @@ N_CODES = 128  # codewords per subspace
 PQ_SHORTLIST = 100  # ADC shortlist reranked exactly (floor; see pq_shortlist)
 
 
+def default_k_cells(n: int) -> int:
+    """Coarse-cell count for an IVFADC store over ``n`` vectors:
+    ~sqrt(n) rounded to a power of two, clamped to [256, 65536] — the
+    standard sizing rule (cells ~ sqrt(n) balances the query's two
+    scan terms: nprobe-proportional centroid scoring vs cell-member
+    ADC scans). The r10 10M sweep (SCALE.md "Coarse-cell count
+    scaling") measures the rule's terms: at MATCHED probed mass
+    (nprobe = k_cells/128), finer cells cost build time roughly
+    linearly in k_cells while recall at a fixed shortlist moves little
+    on low-contrast data — the cell count is a BUILD-TIME knob the
+    serving-time advisor (tune.recall_frontier_advisor) cannot tune,
+    so size it by this rule up front.
+
+    Pure arithmetic; callers that need a different trade pass k_cells
+    explicitly (tools/probe_100m.py --build takes it positionally)."""
+    import math
+
+    target = max(1.0, math.sqrt(max(1, int(n))))
+    k = 1 << int(round(math.log2(target)))
+    return max(256, min(65536, k))
+
+
 def pq_shortlist(k: int = 10) -> int:
     """Fixed rerank budget, independent of corpus size: max(100, 4k).
 

@@ -386,7 +386,14 @@ def recall_frontier_advisor(
     Scale shape: the ground-truth job is O(n_store * dims * n_queries)
     once per advisory run (maintenance cadence, not query path); the
     frontier measurement is |grid| * n_queries reader calls against
-    model-sized state. Nothing corpus-sized reaches the driver."""
+    model-sized state. Nothing corpus-sized reaches the driver.
+
+    Knob boundary: the advisor tunes the two SERVING-time knobs only.
+    The coarse CELL COUNT is frozen at build time (it shapes the
+    store's partition layout and every shard's codes) — size it up
+    front with pq.default_k_cells (~sqrt(n) clamped; measured in
+    SCALE.md's r10 k_cells sweep); changing it means a rebuild
+    (maintain_ivfpq), not a retune."""
     import time as _time
 
     import numpy as np

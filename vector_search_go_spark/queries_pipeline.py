@@ -1163,9 +1163,12 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition stays hash-checkable against the DuckDB oracle; both
     load from the model store after the first call). Same coverage
     arithmetic as before on this isotropic corpus: k=128/nprobe=64
-    covers 0.925 of true neighbors at sf0.1 — the residual gain lands
-    on the ADC-rank half of the loss (gate ivf_pq_recall_vs_exact,
-    band >= 0.85)."""
+    covers 0.925 of true neighbors at sf0.1, and with residual codes
+    the measured end recall IS that coverage ceiling — 0.925 at sf0.1
+    (gate ivf_pq_recall_vs_exact, band >= 0.85): ADC rank error no
+    longer loses anything inside probed cells. The dramatic version of
+    the same effect at tight budgets: SCALE.md r10 2M sweep, floor
+    recall 0.43 (raw) -> 0.90 (residual) at unchanged ms/q."""
     from vector_search_go_spark.functions.metrics import metric_dist
     from vector_search_go_spark.operators.ann_ivf import assign_cells
     from vector_search_go_spark.operators.kmeans import kmeans_fit
