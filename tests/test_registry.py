@@ -30,7 +30,11 @@ def test_priority_window_covers_flagship_operators():
         "lsh_recall_l2_band", "lsh_recall_cosine_band",
         "lsh_bucket_profile_verdict", "lsh_model_hashes",
         "ann_ivf_cosine", "ivf_recall_vs_exact", "kmeans_train_centroids",
-        "pq_encode_codes", "pq_search_adc", "pq_recall_vs_exact",
+        # r10: pq_search_adc rotated below the window for the residual
+        # ADC-value pin — the raw-PQ ADC chain stays represented by its
+        # trained sibling
+        "pq_encode_codes", "ivfpq_residual_adc_verdict",
+        "pq_recall_vs_exact",
         "pq_search_adc_trained", "pq_trained_recall_vs_exact",
         "ivf_pq_search", "ivf_pq_recall_vs_exact",
         "sq8_encode_codes", "sq8_search_rerank", "sq8_recall_vs_exact",

@@ -52,9 +52,19 @@ N_CENTERS = 64
 SIGMA = 1.0
 
 
+_CENTERS_MEMO: dict[tuple, np.ndarray] = {}
+
+
 def _centers(dims: int, n_centers: int | None = None) -> np.ndarray:
-    rng = np.random.default_rng(SEED)
-    return rng.normal(size=(n_centers or N_CENTERS, dims)) * 2.0
+    # memoized: at --centers 131072 the matrix is ~67 MB and every
+    # block regeneration would otherwise redraw it
+    key = (int(dims), int(n_centers or N_CENTERS))
+    hit = _CENTERS_MEMO.get(key)
+    if hit is None:
+        rng = np.random.default_rng(SEED)
+        hit = rng.normal(size=(key[1], key[0])) * 2.0
+        _CENTERS_MEMO[key] = hit
+    return hit
 
 
 def block_rows(

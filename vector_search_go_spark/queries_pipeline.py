@@ -1169,15 +1169,32 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer loses anything inside probed cells. The dramatic version of
     the same effect at tight budgets: SCALE.md r10 2M sweep, floor
     recall 0.43 (raw) -> 0.90 (residual) at unchanged ms/q."""
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_adc_candidates_res,
+        pq_rerank,
+    )
+
+    queries, corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+        spark, sf_dir
+    )
+    approx = ivfpq_adc_candidates_res(
+        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
+    )
+    return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
+
+
+def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
+    """The shared residual-IVFADC pipeline pieces: (queries, corpus,
+    coarse centroids, residual codebook, probed candidate codes) —
+    used by ivf_pq_search and the ADC-value pin below so the two can
+    never drift apart."""
     from vector_search_go_spark.functions.metrics import metric_dist
     from vector_search_go_spark.operators.ann_ivf import assign_cells
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.model_store import cached_df
     from vector_search_go_spark.operators.pq import (
-        ivfpq_adc_candidates_res,
         pq_codebook_trained,
         pq_codes_residual_udf,
-        pq_rerank,
         residual_vec_udf,
     )
     from vector_search_go_spark.operators.topk import topk_per_group
@@ -1230,10 +1247,55 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe list is |queries| x nprobe rows — always the broadcast
     # side against the corpus-wide code table
     cand_codes = F.broadcast(probes).join(codes, on="cell")
-    approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
+    return queries, corpus, centroids, cb, cand_codes
+
+
+def _ivfpq_adc_oracle() -> str:
+    """The residual oracle truncated at the ADC scores themselves:
+    per-query top-5 (approx_dist, id) — the pin that makes the r10
+    residual ADC math hash-visible at sf0.01, where the final-top-k
+    entries' shortlist covers every probed candidate and the exact
+    rerank hides ADC ranks entirely."""
+    base = _ivf_pq_oracle()
+    head = base.split("short AS (")[0]
+    return head + """adc_top AS (
+  SELECT query_id, id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist, id) AS rn
+  FROM pairs
+)
+SELECT query_id, id, approx_dist, CAST(rn AS INT) AS rn
+FROM adc_top WHERE rn <= 5
+"""
+
+
+@register("ivfpq_residual_adc_verdict", oracle=_ivfpq_adc_oracle())
+def ivfpq_residual_adc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-5 of the RESIDUAL ADC ranking with the approximate
+    distances EXPOSED — hash-compared against DuckDB computing the
+    same per-(query, cell) lookup tables from the residual query
+    q - centroid(cell). A hash match pins every float in the residual
+    ADC chain bit-for-bit: residual extraction, residual-codebook
+    Lloyd training, residual encode argmin, LUT construction
+    (sequential-IEEE), and the subspace-ordered fold. This is the
+    driver-visible pin the final-top-k entries cannot provide at
+    sf0.01 (their shortlist covers every probed candidate there, so
+    exact rerank hides ADC order). Rotated into the window over the
+    r2-green, unchanged pq_search_adc slot (its trained sibling
+    pq_search_adc_trained keeps the raw-PQ ADC chain in-window)."""
+    from vector_search_go_spark.operators.pq import ivfpq_adc_candidates_res
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    queries, _corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+        spark, sf_dir
     )
-    return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
+    approx = ivfpq_adc_candidates_res(
+        queries, cand_codes, cb, centroids, local_topk=5
+    )
+    top = topk_per_group(
+        approx, ["query_id"], "approx_dist", 5, tiebreak_cols=["id"]
+    )
+    return top.select("query_id", "id", "approx_dist", F.col("rn").cast("int").alias("rn"))
 
 
 @register(

@@ -65,7 +65,14 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_train_centroids",
     # Product quantization
     "pq_encode_codes",
-    "pq_search_adc",
+    # r10: the residual-ADC float pin (per-query top-5 approx_dist of
+    # the residual IVFADC chain, hashed against DuckDB's per-(query,
+    # cell) residual lookup tables); took the slot of r2-r9-green,
+    # unchanged pq_search_adc — its trained sibling
+    # pq_search_adc_trained keeps the raw-PQ ADC chain in-window, and
+    # the final-top-k IVFADC entries cannot see ADC order at sf0.01
+    # (their shortlist covers every probed candidate there)
+    "ivfpq_residual_adc_verdict",
     "pq_recall_vs_exact",
     "pq_search_adc_trained",
     "pq_trained_recall_vs_exact",
