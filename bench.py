@@ -68,6 +68,9 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_framehash",
+    # added in round 10 (headline grew by 1 — subtract for a
+    # like-for-like r9 comparison): the residual ADC-value pin
+    "ivfpq_residual_adc_verdict",
 ]
 
 

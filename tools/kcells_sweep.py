@@ -79,11 +79,11 @@ def _measure(path: str, n: int, dims: int, configs, truth, qids, Q, k=10):
     return rows
 
 
-def kcells(n: int = 10_000_000, dims: int = 64) -> None:
+def kcells(n: int = 10_000_000, dims: int = 64, *grid: int) -> None:
     from vector_search_go_spark.session import get_spark
 
     os.makedirs(BASE, exist_ok=True)
-    grid = (1024, 4096, 16384)
+    grid = tuple(int(g) for g in grid) or (1024, 4096, 16384)
     build_s: dict[int, float] = {}
     for kc in grid:
         path = f"{BASE}/k{kc}"
@@ -189,8 +189,11 @@ if __name__ == "__main__":
         clustered(*[int(s) for s in sys.argv[2:]])
     elif sys.argv[1:2] == ["--clustered-fine"]:
         # the cluster-size <= shortlist regime: 131072 centers (~76
-        # members each at 10M), k_cells by the default rule (4096)
-        clustered(10_000_000, 64, 131072, 4096, tag="clustered_fine")
+        # members each at 10M). k_cells=1024 rather than the 4096 rule
+        # value: the knob under test is cluster size vs shortlist, and
+        # the k=4096 Lloyd costs ~51 min on this box (measured in the
+        # r10 kcells sweep) for no bearing on that question.
+        clustered(10_000_000, 64, 131072, 1024, tag="clustered_fine")
     else:
         print(__doc__)
         sys.exit(2)

@@ -540,18 +540,22 @@ def ivfpq_adc_candidates_res(
             q_arr = pdf["query_id"].to_numpy()
             cells = pdf["cell"].to_numpy()
             ids_arr = pdf["id"].to_numpy()
-            d = np.empty(len(Cd))
-            # one LUT-fold per (query, cell) group; per-row op order is
-            # the plain per-sub sequential add either way
-            for qv in np.unique(q_arr):
-                for cell in np.unique(cells[q_arr == qv]):
-                    m = (q_arr == qv) & (cells == cell)
-                    lut = lut_for(qpos[int(qv)], int(cell))
-                    acc = np.zeros(int(m.sum()))
-                    Cm = Cd[m]
-                    for sub in range(M_SUB):
-                        acc = acc + lut[sub][Cm[:, sub]]
-                    d[m] = np.sqrt(acc)
+            # one gather per subspace over a stacked LUT tensor instead
+            # of a Python loop per (query, cell) group — per-row float
+            # op order is the same per-sub sequential add either way
+            # (adds are elementwise; grouping cannot change them), and
+            # a batch with hundreds of (query, cell) groups was paying
+            # ~2x the kernel time in group masking alone
+            uq, pair_idx = np.unique(
+                np.column_stack([q_arr, cells]), axis=0, return_inverse=True
+            )
+            lut3 = np.stack(
+                [lut_for(qpos[int(q)], int(c)) for q, c in uq]
+            )
+            acc = np.zeros(len(Cd))
+            for sub in range(M_SUB):
+                acc = acc + lut3[pair_idx, sub, Cd[:, sub]]
+            d = np.sqrt(acc)
             if local_topk is not None and len(d) > local_topk:
                 keep = local_topk_flat(q_arr, ids_arr, d, local_topk)
                 q_arr, ids_arr, d = q_arr[keep], ids_arr[keep], d[keep]
