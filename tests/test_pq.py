@@ -316,3 +316,70 @@ def test_residual_encoding_beats_raw_on_clustered_corpus(spark, tmp_path):
     # boundary queries), not ADC rank error — 0.85 with a >0.1 margin
     # over raw is the encoding claim
     assert rec_res >= 0.85, rec_res
+
+
+def test_store_meta_encoding_guard_and_merge(spark, tmp_path):
+    """VERDICT r10 item 5: a store_meta rewritten from scratch (the two
+    in-round r10 test bugs) drops the 'encoding' tag and silently flips
+    readers to raw-LUT scoring of residual codes — store_encoding must
+    WARN when an ivfpq store lacks the tag, and merge_store_meta is the
+    rewrite path that can't lose it."""
+    import json
+    import warnings
+
+    from vector_search_go_spark.operators.pq import (
+        ivfpq_save,
+        merge_store_meta,
+        pq_codebook_residual,
+        read_store_meta_any,
+        store_encoding,
+    )
+    from vector_search_go_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.limit(200).selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as vec"
+    )
+    cents = kmeans_fit(corpus, k=4, iters=1)
+    cb = pq_codebook_residual(corpus, cents, iters=1)
+    path = str(tmp_path / "store")
+    ivfpq_save(spark, corpus, cents, cb, path, metric="l2")
+
+    # fresh save carries the tag: no warning, residual
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert store_encoding(spark, path) == "residual"
+
+    # merge preserves unknown keys (the tag survives a shortlist persist)
+    merged = merge_store_meta(spark, path, {"recommended_shortlist": 64})
+    assert merged["encoding"] == "residual" and merged["family"] == "ivfpq"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert store_encoding(spark, path) == "residual"
+    assert read_store_meta_any(spark, path)["recommended_shortlist"] == 64
+
+    # the bug: a from-scratch rewrite losing the tag -> warn, assume raw
+    spark.createDataFrame(
+        [(json.dumps({"family": "ivfpq", "metric": "l2"}),)],
+        "meta_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert store_encoding(spark, path) == "raw"
+    assert any("no 'encoding' tag" in str(x.message) for x in w)
+
+
+def test_auto_n_probes_warns_beyond_guarantee():
+    """ADVICE r10: tau beyond 2*n_bands-1 has no radius-1 guarantee —
+    'auto' must warn instead of silently going probabilistic."""
+    import warnings
+
+    from vector_search_go_spark.operators.multimodal import auto_n_probes
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert auto_n_probes(4, 15, 7) == 15  # tau <= 2*4-1: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert auto_n_probes(4, 15, 8) == 15  # beyond: warn, keep widest
+    assert any("probabilistic" in str(x.message) for x in w)

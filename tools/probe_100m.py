@@ -20,6 +20,10 @@ driver build cost must be O(sample), never O(corpus).
 
 Phases:
   --build  [n dims shards k_cells]   train models, save shard=0..N-1
+  --reencode [path shards]           swap an existing store's codes to
+                                     residual encoding in place
+                                     (vectors untouched — minutes, not
+                                     hours)
   --serve  [path n dims shards]      ms/q single + batch via the router
   --maintain [path]                  staleness verdict + shortlist probe
 
@@ -210,6 +214,145 @@ def build(
         f"x{shards} shards | kmeans {t_kmeans:.0f} s + codebook "
         f"{t_cb:.0f} s + saves {sum(t_shards):.0f} s = {total / 60:.0f} min "
         f"| {du} on disk |",
+        flush=True,
+    )
+
+
+def reencode(
+    path: str = DEFAULT_PATH,
+    shards: int = 10,
+    encoding: str = "residual",
+    sample_rows: int = 1_000_000,
+) -> None:
+    """Re-encode an existing sharded IVFADC store's CODES in place
+    (VERDICT r10 item 1) — the vectors table is the expensive part of
+    the store (51 GB at 100M x 64; a full --build spends hours on its
+    sorted range-partitioned writes) and it is encoding-INDEPENDENT:
+    switching raw -> residual changes only the PQ codebook and the
+    per-row codes (~0.8 GB total). So instead of a multi-hour rebuild:
+
+      1. coarse centroids: reused from shard 0 (all shards share them
+         by the sharded-save contract; cell assignment is unchanged,
+         so build_stats' cell masses stay valid).
+      2. residual codebook: trained once on a ~1M strided sample READ
+         FROM THE STORE'S OWN vectors tables (no dependence on the
+         corpus generator or its geometry knobs — works on any store).
+      3. per shard: read vectors, re-assign cells (pure map, same
+         centroids => identical assignment), residual-encode, write
+         cells to a staging dir, atomic-swap over the old codes; then
+         swap in the new codebook and MERGE encoding into the shard's
+         own store_meta (never rewrite from scratch — the r10 lesson:
+         dropping existing keys silently flips readers).
+
+    Any stale layout-root recommended_shortlist is dropped (the ADC
+    rank-error geometry it measured belongs to the old encoding);
+    --maintain re-probes under the new codes. Interrupt-safe per
+    shard: the swap is two renames, and a shard whose swap completed
+    reads back as the target encoding while untouched shards keep
+    serving the old one CONSISTENTLY per shard (each shard's LUTs come
+    from its own meta via the router) — rerunning skips them."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_search_go_spark.operators.ann_ivf import assign_cells
+    from vector_search_go_spark.operators.pq import (
+        merge_store_meta,
+        pq_codebook_residual,
+        pq_codes_residual_udf,
+        read_store_meta_any,
+        store_encoding,
+    )
+    from vector_search_go_spark.session import get_spark
+
+    if encoding != "residual":
+        raise SystemExit("--reencode currently targets encoding='residual'")
+    spark = get_spark(
+        "probe-100m-reencode", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    todo = [
+        k for k in range(shards)
+        if store_encoding(spark, f"{path}/shard={k}") != encoding
+    ]
+    if not todo:
+        print(f"# all {shards} shards already encoding={encoding}", flush=True)
+        return
+    print(f"# re-encoding shards {todo} -> {encoding}", flush=True)
+
+    cents = spark.read.parquet(f"{path}/shard={todo[0]}/centroids")
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    # ~1M strided sample from the store's own vectors (ids are the
+    # corpus ids, uniform across shards by the pmod split)
+    t0 = time.time()
+    vec_paths = [f"{path}/shard={k}/vectors" for k in range(shards)]
+    all_vecs = spark.read.parquet(*vec_paths)
+    n = all_vecs.count()
+    stride = max(1, n // sample_rows)
+    sample = all_vecs.filter(F.col("id") % stride == 0).cache()
+    n_sample = sample.count()
+    print(f"# sample {n_sample:,} of {n:,} rows (stride {stride}): "
+          f"{time.time() - t0:.0f} s", flush=True)
+
+    t0 = time.time()
+    cb = pq_codebook_residual(sample, cents)
+    cb = spark.createDataFrame(cb.collect(), cb.schema)
+    sample.unpersist()
+    t_cb = time.time() - t0
+    print(f"# residual codebook trained: {t_cb:.0f} s", flush=True)
+
+    def swap(live: str, staged: str) -> None:
+        old = live + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old)
+
+    t_shards = []
+    for k in todo:
+        t0 = time.time()
+        base = f"{path}/shard={k}"
+        vecs = spark.read.parquet(f"{base}/vectors")
+        assigned = assign_cells(vecs, cents, metric="l2")
+        codes_col = pq_codes_residual_udf(cb, cents)(
+            F.col("vec"), F.col("cell")
+        )
+        staged = f"{base}/cells__new"
+        if os.path.exists(staged):
+            shutil.rmtree(staged)
+        (
+            assigned.select("cell", "id", codes_col.alias("codes"))
+            .repartitionByRange(8, "cell")
+            .sortWithinPartitions("cell", "id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staged)
+        )
+        cb.write.mode("overwrite").parquet(f"{base}/codebook__new")
+        swap(f"{base}/cells", staged)
+        swap(f"{base}/codebook", f"{base}/codebook__new")
+        # merge — never rewrite — the shard's own meta (last: the tag
+        # flip is what tells readers the swapped codes are residual)
+        merge_store_meta(spark, base, {"encoding": encoding})
+        t_shards.append(time.time() - t0)
+        print(f"# shard {k} re-encoded: {t_shards[-1]:.0f} s", flush=True)
+
+    # a stale layout-root shortlist recommendation measured the OLD
+    # encoding's rank error — drop it; --maintain re-probes
+    root_meta = read_store_meta_any(spark, path)
+    if "recommended_shortlist" in root_meta:
+        root_meta.pop("recommended_shortlist", None)
+        spark.createDataFrame(
+            [(_json.dumps(root_meta),)], "meta_json string"
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+    print(
+        f"| ivfpq reencode -> {encoding} | {n:,} rows x{shards} shards | "
+        f"codebook {t_cb:.0f} s + shards {sum(t_shards):.0f} s = "
+        f"{(t_cb + sum(t_shards)) / 60:.0f} min |",
         flush=True,
     )
 
@@ -579,6 +722,10 @@ if __name__ == "__main__":
     if argv[:1] == ["--build"]:
         a = [s if not s.lstrip("-").isdigit() else int(s) for s in argv[1:]]
         build(*a)
+    elif argv[:1] == ["--reencode"]:
+        p = argv[1] if len(argv) > 1 else DEFAULT_PATH
+        a = [int(s) if s.lstrip("-").isdigit() else s for s in argv[2:]]
+        reencode(p, *a)
     elif argv[:1] == ["--resume-build"]:
         a = [s if not s.lstrip("-").isdigit() else int(s) for s in argv[1:]]
         resume_build(*a)

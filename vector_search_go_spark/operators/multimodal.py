@@ -541,11 +541,24 @@ def auto_n_probes(n_bands: int, band_bits: int, tau: int) -> int:
     Hence band_bits probes, never a partial count (a partial MSB
     prefix adds candidate mass without adding any guarantee). Above
     2 * n_bands - 1, radius-1 probing cannot guarantee anything more;
-    returns band_bits so the caller keeps the widest guarantee
-    available — detection beyond it stays probabilistic, which the
-    band split already serves well for spread-out divergence."""
+    returns band_bits (the widest guarantee available) but WARNS —
+    an 'auto' caller in that regime is getting probabilistic
+    detection while the name suggests a derived guarantee (ADVICE
+    r10), and must either accept that explicitly (pass an int) or
+    re-split into more/narrower bands so tau is back in range."""
     if int(tau) <= int(n_bands) - 1:
         return 0
+    if int(tau) > 2 * int(n_bands) - 1:
+        import warnings
+
+        warnings.warn(
+            f"auto_n_probes: tau={tau} exceeds the radius-1 probing "
+            f"guarantee bound 2*n_bands-1={2 * int(n_bands) - 1}; "
+            "returning band_bits, but detection beyond the bound is "
+            "probabilistic — pass an explicit n_probes to acknowledge, "
+            "or use more bands",
+            stacklevel=2,
+        )
     return int(band_bits)
 
 

@@ -521,6 +521,13 @@ def ivfpq_adc_candidates_res(
     C, cpos = _coarse_pos(coarse_cents)
 
     def gen(batches):
+        # bounded cross-batch LUT cache (ADVICE r10): each table is
+        # M_SUB x n_codes doubles (~32 KB at 16x256); unbounded growth
+        # is queries x probed-cells per executor — fine at bench scale,
+        # not for large query batches. Within-batch reuse is via the
+        # uq/np.stack gather regardless, so a full clear on overflow
+        # only costs recomputing tables that span the boundary.
+        LUT_MEMO_CAP = 1024
         lut_memo: dict = {}
 
         def lut_for(qp: int, cell: int) -> np.ndarray:
@@ -530,6 +537,8 @@ def ivfpq_adc_candidates_res(
                 lut = residual_lut(
                     Q[qp], C[cpos[cell]], cb_ids, cb_mats, n_codes
                 )
+                if len(lut_memo) >= LUT_MEMO_CAP:
+                    lut_memo.clear()
                 lut_memo[key] = lut
             return lut
 
@@ -801,11 +810,53 @@ def store_encoding(spark, path: str) -> str:
         return hit[1]
     meta = read_store_meta_any(spark, path)
     enc = meta.get("encoding")
+    family = meta.get("family")
     if enc is None:
-        enc = read_store_meta_any(spark, f"{path}/shard=0").get("encoding")
+        shard_meta = read_store_meta_any(spark, f"{path}/shard=0")
+        enc = shard_meta.get("encoding")
+        family = family or shard_meta.get("family")
+    if enc is None and family == "ivfpq":
+        # VERDICT r10 item 5: every ivfpq_save since the residual
+        # encoding landed writes the tag, so an ivfpq store_meta
+        # WITHOUT one is either a pre-residual store (legitimately
+        # raw) or — the bug class this guards — a meta rewritten from
+        # scratch instead of merged (merge_store_meta), which silently
+        # flips readers to raw-LUT scoring of residual codes. Assume
+        # raw, but say so.
+        import warnings
+
+        warnings.warn(
+            f"ivfpq store at {path!r} has no 'encoding' tag in "
+            "store_meta — assuming 'raw'. If this store was saved with "
+            "residual encoding, its meta was rewritten without merging "
+            "(use merge_store_meta); raw-LUT scoring of residual codes "
+            "returns wrong distances.",
+            stacklevel=2,
+        )
     enc = str(enc) if enc is not None else "raw"
     _ENCODING_MEMO[path] = (key, enc)
     return enc
+
+
+def merge_store_meta(spark, path: str, updates: dict) -> dict:
+    """Merge ``updates`` into ``{path}/store_meta`` and rewrite it —
+    THE way to persist meta changes (VERDICT r10 item 5). A rewrite
+    built from scratch drops whatever keys it didn't know about; the
+    round-10 in-round bugs were exactly that: tests rewriting
+    family/metric meta lost the 'encoding' tag and readers silently
+    fell back to raw-LUT scoring. Reads through read_store_meta_any so
+    local and remote ('://') stores both merge. Returns the merged
+    payload."""
+    import json as _json
+
+    meta = read_store_meta_any(spark, path)
+    meta.update(updates)
+    spark.createDataFrame(
+        [(_json.dumps(meta),)], "meta_json string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/store_meta")
+    spark.catalog.refreshByPath(f"{path}/store_meta")
+    invalidate_stored_shortlist(path)
+    return meta
 
 
 def read_store_meta_any(spark, path: str) -> dict:

@@ -1257,7 +1257,17 @@ def _ivfpq_adc_oracle() -> str:
     entries' shortlist covers every probed candidate and the exact
     rerank hides ADC ranks entirely."""
     base = _ivf_pq_oracle()
-    head = base.split("short AS (")[0]
+    parts = base.split("short AS (")
+    if len(parts) != 2:
+        # ADVICE r10: the truncation is string surgery on a shared CTE
+        # chain — fail loudly if _ivf_pq_oracle's shape drifts (a
+        # rename, or an earlier CTE containing the marker) instead of
+        # silently pinning a corrupted oracle
+        raise ValueError(
+            "_ivf_pq_oracle no longer contains exactly one 'short AS (' "
+            f"marker ({len(parts) - 1} found) — update _ivfpq_adc_oracle"
+        )
+    head = parts[0]
     return head + """adc_top AS (
   SELECT query_id, id, approx_dist,
          row_number() OVER (PARTITION BY query_id
@@ -1487,7 +1497,11 @@ def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
     by_cfg = {(np_, sl): r for np_, sl, r, _ in rows}
     meeting = [r for r in rows if r[2] >= rep["target_recall"]]
     roomy = frontier_pick(rows, target_ms=max(r[3] for r in rows))
-    tight = frontier_pick(rows, target_ms=0.0)
+    # ADVICE r10: the unmeetable budget must be strictly below ANY
+    # measurable latency — target_ms=0.0 flips latency_met if a coarse
+    # timer measures an exact 0.0 ms point, failing the verdict with
+    # no real regression; a negative budget is unmeetable always.
+    tight = frontier_pick(rows, target_ms=-1.0)
     latency_gate_ok = (
         roomy["latency_met"]
         and roomy["recall_at_recommended"] == max(r[2] for r in rows)
@@ -1504,7 +1518,9 @@ def ivfpq_recall_frontier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
                 len(rows),
                 rec in by_cfg,
                 all(0.0 <= r[2] <= 1.0 for r in rows),
-                all(r[3] > 0.0 for r in rows),
+                # >= 0: an exact 0.0 ms from a coarse timer is not a
+                # regression (same flake class as the tight gate above)
+                all(r[3] >= 0.0 for r in rows),
                 (not meeting) or rep["target_met"],
                 all(
                     by_cfg[(np_, _IVFPQ_SHORT)] >= by_cfg[(np_, 20)]
