@@ -37,7 +37,10 @@ def test_priority_window_covers_flagship_operators():
         "pq_recall_vs_exact",
         "pq_search_adc_trained", "pq_trained_recall_vs_exact",
         "ivf_pq_search", "ivf_pq_recall_vs_exact",
-        "sq8_encode_codes", "sq8_search_rerank", "sq8_recall_vs_exact",
+        # r11: sq8_encode_codes rotated below the window — its
+        # stats/encode math runs verbatim inside the in-window
+        # SQ8-rerank-tier entry's oracle
+        "ivfpq_sq8_rerank_knn", "sq8_search_rerank", "sq8_recall_vs_exact",
         "asof_click_before_purchase", "range_join_click_purchase",
         # r8: split_train_val_test rotated below the window — its
         # hash-split CASE runs inside both in-window funnels

@@ -559,3 +559,127 @@ def test_sharded_ivfpq_survives_shard_compaction_swap(spark, ivfpq_sharded_store
         assert [tuple(r) for r in reader.search(queries[0], k=10).itertuples(index=False)] == [
             tuple(r) for r in before.itertuples(index=False)
         ]
+
+
+# ---- SQ8 rerank tier (VERDICT r10 item 4) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_sq8_stores(spark, tmp_path_factory):
+    """Unsharded + 3-shard IVFADC stores WITH the SQ8 tier
+    (ivfpq_save(sq8=True)) over one corpus, plus a tier-less single
+    store for the augment/raise paths."""
+    from vector_search_go_spark.operators.pq import ivfpq_save, pq_codebook
+
+    base = tmp_path_factory.mktemp("ivfpq_sq8")
+    rng = np.random.default_rng(131)
+    X = rng.standard_normal((N, PQ_DIMS))
+    X[1200:] = X[1200]  # duplicate block -> exact ties through both tiers
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(N)], "id bigint, vec array<double>"
+    )
+    cents = corpus.filter(F.col("id") % 150 == 0).select(
+        (F.col("id") / 150).cast("int").alias("cid"), F.col("vec").alias("cvec")
+    )
+    cb = pq_codebook(
+        corpus.select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    )
+    ivfpq_save(spark, corpus, cents, cb, str(base / "single"), metric="l2", sq8=True)
+    ivfpq_save(
+        spark, corpus, cents, cb, str(base / "sharded"), metric="l2",
+        shards=3, sq8=True,
+    )
+    ivfpq_save(spark, corpus, cents, cb, str(base / "bare"), metric="l2")
+    queries = [X[42], X[999], X[1200], X[5] + 0.05 * rng.standard_normal(PQ_DIMS)]
+    return base, queries, corpus
+
+
+def test_sq8_rerank_parity_at_full_keep(ivfpq_sq8_stores):
+    """With sq8_keep >= shortlist the sq8 stage keeps every shortlist
+    id, so rerank='sq8' is bit-identical to rerank='exact' — the
+    correctness pin of the two-stage refinement, single and batch."""
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries, _ = ivfpq_sq8_stores
+    rd = LocalIvfPqReader(str(base / "single"))
+    for q in queries:
+        exact = rd.search(q, k=10, nprobe=3, shortlist=40)
+        sq8 = rd.search(q, k=10, nprobe=3, shortlist=40, rerank="sq8", sq8_keep=40)
+        assert _frame_rows(exact) == _frame_rows(sq8)
+    be = rd.search_many(queries, k=10, nprobe=3, shortlist=40)
+    b8 = rd.search_many(
+        queries, k=10, nprobe=3, shortlist=40, rerank="sq8", sq8_keep=40
+    )
+    assert _frame_rows(be) == _frame_rows(b8)
+
+
+def test_sq8_rerank_small_keep_recall(ivfpq_sq8_stores):
+    """keep << shortlist: the refinement still recovers (nearly) the
+    exact-rerank top-k — SQ8 midpoint error is tiny at 8 bits — while
+    fetching 8x-cheaper rows for the bulk of the shortlist."""
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries, _ = ivfpq_sq8_stores
+    rd = LocalIvfPqReader(str(base / "single"))
+    for q in queries:
+        exact = rd.search(q, k=10, nprobe=3, shortlist=200)
+        sq8 = rd.search(
+            q, k=10, nprobe=3, shortlist=200, rerank="sq8", sq8_keep=30
+        )
+        inter = set(map(int, exact["id"])) & set(map(int, sq8["id"]))
+        assert len(inter) >= 9, (len(inter), sorted(map(int, exact["id"])))
+
+
+def test_sharded_sq8_matches_unsharded(ivfpq_sq8_stores):
+    """The two-phase router (phase-1 ADC+SQ8 slots, global keep, phase-2
+    exact fetch) is bit-identical to the unsharded rerank='sq8' path —
+    incl. the duplicate block spanning shards, preloaded sq8, single
+    and batch."""
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+    from vector_search_go_spark.serve.sharded import ShardedReader
+
+    base, queries, _ = ivfpq_sq8_stores
+    single = LocalIvfPqReader(str(base / "single"), preload_sq8=True)
+    sharded = ShardedReader(str(base / "sharded"), preload_sq8=True)
+    try:
+        for q in queries:
+            for kw in (
+                {"shortlist": 40, "sq8_keep": 40},
+                {"shortlist": 200, "sq8_keep": 25},
+                {"nprobe": 2, "shortlist": 60, "sq8_keep": 15},
+            ):
+                got = sharded.search(q, k=10, rerank="sq8", **kw)
+                want = single.search(q, k=10, rerank="sq8", **kw)
+                assert _frame_rows(got) == _frame_rows(want), kw
+        got = sharded.search_many(
+            queries, k=10, shortlist=200, rerank="sq8", sq8_keep=25
+        )
+        want = single.search_many(
+            queries, k=10, shortlist=200, rerank="sq8", sq8_keep=25
+        )
+        assert _frame_rows(got) == _frame_rows(want)
+    finally:
+        sharded.close()
+
+
+def test_sq8_augment_existing_store(spark, ivfpq_sq8_stores):
+    """A tier-less store raises a clear error on rerank='sq8';
+    sq8_augment_store adds the tier in place, after which results are
+    bit-identical to a store built with sq8=True (same exact global
+    stats, same encode kernel)."""
+    from vector_search_go_spark.operators.pq import sq8_augment_store
+    from vector_search_go_spark.serve.local_reader import LocalIvfPqReader
+
+    base, queries, _ = ivfpq_sq8_stores
+    bare = LocalIvfPqReader(str(base / "bare"))
+    with pytest.raises(ValueError, match="no SQ8 rerank tier"):
+        bare.search(queries[0], k=10, rerank="sq8")
+    sq8_augment_store(spark, str(base / "bare"))
+    aug = LocalIvfPqReader(str(base / "bare"))
+    built = LocalIvfPqReader(str(base / "single"))
+    for q in queries:
+        got = aug.search(q, k=10, nprobe=3, shortlist=200, rerank="sq8", sq8_keep=25)
+        want = built.search(
+            q, k=10, nprobe=3, shortlist=200, rerank="sq8", sq8_keep=25
+        )
+        assert _frame_rows(got) == _frame_rows(want)

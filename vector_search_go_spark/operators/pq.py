@@ -625,6 +625,8 @@ def ivfpq_save(
     metric: str = "l2",
     shards: int | None = None,
     encoding: str = "residual",
+    sq8: bool = False,
+    _sq8_stats=None,
 ) -> None:
     """Persist a composed IVF+PQ index (the FAISS IVFADC layout) as a
     serving store:
@@ -667,7 +669,18 @@ def ivfpq_save(
     ``encoding='raw'`` keeps the pre-r10 raw-vector codes + one global
     LUT per query. The choice rides in store_meta; every reader and
     probe resolves it from there — sharded merges stay exact either way
-    (identical models => identical per-(query, cell) LUTs per shard)."""
+    (identical models => identical per-(query, cell) LUTs per shard).
+
+    ``sq8=True`` (VERDICT r10 item 4) additionally writes the SQ8
+    rerank tier: ``{path}/vectors_sq8`` (id, packed uint8 codes as
+    binary — 8x smaller rows than the float vectors) and
+    ``{path}/sq8_stats`` (per-dim mins/scales). Stats are exact global
+    min/max over the WHOLE corpus — in the sharded layout they are
+    computed once and shared, like the centroids and codebook, so
+    sq8 distances are comparable across shards and the two-phase
+    sharded merge stays exact. Readers opt in per search with
+    ``rerank='sq8'``; existing stores gain the tier via
+    sq8_augment_store."""
     from vector_search_go_spark.operators.ann_ivf import assign_cells
 
     if metric != "l2":
@@ -699,11 +712,14 @@ def ivfpq_save(
             corpus.count()
         try:
             check_shard_population(corpus, shards, "ivfpq corpus")
+            if sq8 and _sq8_stats is None:
+                _sq8_stats = _sq8_global_stats(corpus)
             sh = shard_expr(shards)
             for k in range(shards):
                 ivfpq_save(
                     spark, corpus.filter(sh == k), coarse_cents, codebook,
                     f"{path}/shard={k}", metric=metric, encoding=encoding,
+                    sq8=sq8, _sq8_stats=_sq8_stats,
                 )
             write_shards_meta(spark, path, "ivfpq", shards, metric=metric)
         finally:
@@ -743,6 +759,10 @@ def ivfpq_save(
     )
     coarse_cents.write.mode("overwrite").parquet(f"{path}/centroids")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    if sq8:
+        if _sq8_stats is None:
+            _sq8_stats = _sq8_global_stats(corpus)
+        write_sq8_tier(spark, corpus.select("id", "vec"), _sq8_stats, path)
     # family/metric metadata + the build-time cell-mass baseline —
     # streaming ingest (ingest_to_ivfpq_store) appends through the
     # frozen models, and drift maintenance (maintain_ivfpq) compares
@@ -836,6 +856,82 @@ def store_encoding(spark, path: str) -> str:
     enc = str(enc) if enc is not None else "raw"
     _ENCODING_MEMO[path] = (key, enc)
     return enc
+
+
+def _sq8_global_stats(corpus: DataFrame):
+    """(mins, scales) float64 arrays of exact per-dimension min/max over
+    ``corpus`` — one map-side-combinable aggregation (sq8_stats), the
+    same stats contract as the standalone sq8 family. Returned as numpy
+    so the sharded save can broadcast one copy into every shard's
+    writer closure."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.sq8 import sq8_stats
+
+    dim = len(corpus.select("vec").first()["vec"])
+    row = sq8_stats(corpus.select("id", "vec"), dim).collect()[0]
+    return (
+        np.array(list(row["mins"]), dtype=np.float64),
+        np.array(list(row["scales"]), dtype=np.float64),
+    )
+
+
+def write_sq8_tier(spark, vectors: DataFrame, stats, path: str) -> None:
+    """Write the SQ8 rerank tier next to an IVFADC store's tables:
+    ``{path}/vectors_sq8`` (id, codes binary — one uint8 per dimension,
+    id-sorted small row groups so the shortlist fetch prunes row groups
+    exactly like the float rerank fetch) and ``{path}/sq8_stats`` (one
+    row: mins, scales). ``stats`` is the (mins, scales) numpy pair from
+    _sq8_global_stats — REQUIRED to be corpus-global in sharded
+    layouts."""
+    from vector_search_go_spark.operators.sq8 import sq8_encode_bytes_udf
+
+    mins, scales = stats
+    enc = sq8_encode_bytes_udf(mins, scales)
+    (
+        vectors.select("id", enc(F.col("vec")).alias("codes"))
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        # same small-row-group rationale as the vectors table: the
+        # fetch reads ~shortlist scattered ids; codes rows are 8x
+        # smaller so ~120-row groups stay well under the 64 KiB target
+        .option("parquet.block.size", 16 << 10)
+        .parquet(f"{path}/vectors_sq8")
+    )
+    spark.createDataFrame(
+        [(mins.tolist(), scales.tolist())],
+        "mins array<double>, scales array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8_stats")
+
+
+def sq8_augment_store(spark, path: str, shards: int | None = None) -> None:
+    """Add the SQ8 rerank tier to an EXISTING IVFADC store (built
+    before ``ivfpq_save(sq8=True)`` existed, or deliberately without
+    it): reads the store's own vectors tables, computes one exact
+    global stats row, and writes vectors_sq8 + sq8_stats per shard.
+    ``shards=None`` autodetects the sharded layout from shards_meta.
+    Idempotent — rerunning overwrites the tier in place; the float
+    vectors and codes tables are never touched."""
+    import os as _os
+
+    if shards is None:
+        from vector_search_go_spark.serve.sharded import read_shards_meta
+
+        sm = read_shards_meta(path) if "://" in path or _os.path.exists(
+            path
+        ) else None
+        shards = int(sm["n_shards"]) if sm else 0
+    bases = (
+        [f"{path}/shard={k}" for k in range(shards)] if shards else [path]
+    )
+    all_vecs = spark.read.parquet(*[f"{b}/vectors" for b in bases])
+    stats = _sq8_global_stats(all_vecs)
+    for b in bases:
+        write_sq8_tier(
+            spark, spark.read.parquet(f"{b}/vectors").select("id", "vec"),
+            stats, b,
+        )
 
 
 def merge_store_meta(spark, path: str, updates: dict) -> dict:

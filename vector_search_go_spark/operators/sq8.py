@@ -20,6 +20,8 @@ k-sized results.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -198,3 +200,83 @@ def _sq8_finish(
     )
     top = topk_per_group(rer, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")
+
+
+# ---- SQ8 rerank tier for IVFADC stores (VERDICT r10 item 4) ----
+#
+# At 100M rows the exact rerank reads full float vectors for every
+# shortlist row — at the measured exact-set budgets (SCALE.md: frac
+# ~0.01 of the corpus) that IO is the whole latency. The standard
+# two-stage refinement (FAISS IndexRefine / SQ8 tier): score the ADC
+# shortlist against 8-bit scalar-quantized vectors first (8x smaller
+# rows, pinnable at scales where floats are not), keep a small top-K'
+# by (sq8_dist, id), and exact-rerank only those. The numpy kernels
+# below are fold-order-identical to sq8_search's arrow path, so the
+# serving tier, the Spark DataFrame path, and the DuckDB oracle agree
+# bit-for-bit.
+
+
+def sq8_encode_np(V, mins, scales):
+    """float64 rows -> uint8 codes: floor((x - min) / scale) clamped to
+    [0, 255]; scale == 0 dims encode 0. Same IEEE sub/div/floor as the
+    sq8_encode Catalyst expression (pinned by parity tests)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C = np.floor((V - mins[None, :]) / scales[None, :])
+    C = np.where(scales[None, :] == 0.0, 0.0, C)
+    return np.clip(C, 0, SQ_LEVELS - 1).astype(np.uint8)
+
+
+def sq8_dists_np(q, mins, scales, C):
+    """uint8 codes -> L2 distance to ``q`` of the midpoint
+    reconstruction min + (code + 0.5) * scale — identical float ops
+    and per-dimension fold order as sq8_search's arrow kernel."""
+    from vector_search_go_spark.operators.argmin import _seq_sq_l2
+
+    xhat = mins[None, :] + (C.astype(np.float64) + 0.5) * scales[None, :]
+    return np.sqrt(_seq_sq_l2(xhat, q[None, :])[:, 0])
+
+
+def sq8_encode_bytes_udf(mins, scales):
+    """Arrow kernel: vec -> packed uint8 codes as BINARY (one byte per
+    dimension on disk — the tier's 8x size argument; array<int> parquet
+    would spend several bytes per code). Stats ride the closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    mins = np.asarray(mins, dtype=np.float64)
+    scales = np.asarray(scales, dtype=np.float64)
+
+    @pandas_udf("binary")
+    def enc(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        C = sq8_encode_np(V, mins, scales)
+        return pd.Series([c.tobytes() for c in C])
+
+    return enc
+
+
+def sq8_refine(
+    cands: DataFrame,
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    dim: int,
+    keep: int,
+) -> DataFrame:
+    """(query_id, id) ADC-shortlist pairs -> the top-``keep`` per query
+    by (sq8_dist, id): the compressed-domain refinement between ADC
+    shortlist and exact rerank. ``cands`` is |queries| x shortlist rows
+    (the broadcast side by contract); ``codes`` is the corpus-wide
+    (id, codes array<int>) table, so the join prunes to shortlist ids
+    before any dequantization happens."""
+    scored = (
+        F.broadcast(cands.select("query_id", "id"))
+        .join(codes, on="id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("xhat", sq8_dequant(F.col("codes"), dim))
+        .join(F.broadcast(queries.select("query_id", "qvec")), on="query_id")
+        .withColumn("sq8_dist", l2_dist(F.col("qvec"), F.col("xhat")))
+    )
+    return topk_per_group(
+        scored, ["query_id"], "sq8_dist", keep, tiebreak_cols=["id"],
+        rank_name="_s8",
+    ).select("query_id", "id", "sq8_dist")

@@ -1693,6 +1693,123 @@ def sq8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return precision_recall(pred, truth)
 
 
+_IVFPQ_SQ8_KEEP = 50
+
+
+def _ivfpq_sq8_oracle() -> str:
+    """IVFADC + SQ8 two-stage rerank in DuckDB SQL (VERDICT r10 item
+    4): the residual IVFADC chain truncated at its ADC ``short`` CTE,
+    then an SQ8 refinement — per-dim min/max stats, 8-bit encode of the
+    shortlist ids, midpoint-dequantized L2, keep top-K' by
+    (sq8_dist, id) — then the exact rerank of only the kept ids. The
+    sq8_dist floats ride into the final rows so the tier's math is
+    hash-pinned, not just its selection."""
+    from vector_search_go_spark.oracle.vector_sql import sql_l2_dist
+
+    base = _ivf_pq_oracle()
+    parts = base.split("rer AS (")
+    if len(parts) != 2:
+        raise ValueError(
+            "_ivf_pq_oracle no longer contains exactly one 'rer AS ( ' "
+            f"marker ({len(parts) - 1} found) — update _ivfpq_sq8_oracle"
+        )
+    head = parts[0]
+    diff = _sql_sq8_dequant_diff("q.qvec", "_i")
+    return head + f"""s8stats AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list((mx - mn) / CAST(256 AS DOUBLE) ORDER BY pos) AS scales
+  FROM (
+    SELECT _i.pos AS pos,
+           CAST(min(vec[_i.pos]) AS DOUBLE) AS mn,
+           CAST(max(vec[_i.pos]) AS DOUBLE) AS mx
+    FROM c, range(1, {_SQ_DIM + 1}) _i(pos) GROUP BY _i.pos)
+),
+s8codes AS MATERIALIZED (
+  SELECT c.id, list_transform(range(1, {_SQ_DIM + 1}),
+    _i -> CAST(CASE WHEN scales[_i] = 0 THEN 0
+               ELSE least(greatest(CAST(floor(
+                      (CAST(vec[_i] AS DOUBLE) - mins[_i]) / scales[_i])
+                    AS INT), 0), 255) END AS INT)) AS codes
+  FROM c JOIN (SELECT DISTINCT id FROM short) si ON c.id = si.id
+         CROSS JOIN s8stats
+),
+refine AS MATERIALIZED (
+  SELECT query_id, id, sq8_dist FROM (
+    SELECT query_id, id, sq8_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sq8_dist, id) AS _s8
+    FROM (
+      SELECT sh.query_id, sh.id,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, {_SQ_DIM + 1}),
+                      _i -> {diff})),
+                  (_a, _b) -> _a + _b)) AS sq8_dist
+      FROM short sh JOIN s8codes cd ON sh.id = cd.id
+                    CROSS JOIN s8stats s
+                    JOIN q ON sh.query_id = q.query_id)
+  ) WHERE _s8 <= {_IVFPQ_SQ8_KEEP}
+),
+rer AS (
+  SELECT rf.query_id, rf.id, rf.sq8_dist,
+         {sql_l2_dist('q.qvec', 'c.vec')} AS dist
+  FROM refine rf JOIN c ON rf.id = c.id JOIN q ON rf.query_id = q.query_id
+)
+SELECT query_id, id, dist, sq8_dist, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, id, dist, sq8_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+  FROM rer) WHERE rn <= 10
+"""
+
+
+@register("ivfpq_sq8_rerank_knn", oracle=_ivfpq_sq8_oracle())
+def ivfpq_sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8-compressed rerank tier over the residual IVFADC chain
+    (VERDICT r10 item 4, the standard two-stage refinement): ADC
+    shortlist (top-{_IVFPQ_SHORT} by residual ADC) -> SQ8 refine (8-bit
+    midpoint-dequantized L2, keep top-{_IVFPQ_SQ8_KEEP} per query) ->
+    exact rerank of only the kept ids. At 100M the exact stage is the
+    IO bottleneck (full float rows per shortlist member); the tier cuts
+    it to K' rows while the bulk of the shortlist reads 8x-smaller
+    codes — serving twins live in LocalIvfPqReader.search(rerank='sq8')
+    and the two-phase ShardedReader protocol, parity-pinned in
+    tests/test_sharded.py. The final rows carry sq8_dist so the tier's
+    floats are hash-checked against DuckDB's reconstruction, not just
+    its selection. Reference anchor: the rerank stage this composes
+    under (lsh/lsh.go:137-197 reranks bucket candidates exactly)."""
+    from vector_search_go_spark.functions.metrics import l2_dist
+    from vector_search_go_spark.operators.pq import ivfpq_adc_candidates_res
+    from vector_search_go_spark.operators.sq8 import (
+        sq8_encode,
+        sq8_refine,
+        sq8_stats,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    queries, corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+        spark, sf_dir
+    )
+    approx = ivfpq_adc_candidates_res(
+        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
+    )
+    short = topk_per_group(
+        approx, ["query_id"], "approx_dist", _IVFPQ_SHORT,
+        tiebreak_cols=["id"], rank_name="_s",
+    ).select("query_id", "id")
+    stats = sq8_stats(corpus, _SQ_DIM)
+    codes = sq8_encode(corpus, stats, _SQ_DIM)
+    kept = sq8_refine(
+        short, queries, codes, stats, _SQ_DIM, keep=_IVFPQ_SQ8_KEEP
+    )
+    rer = (
+        F.broadcast(kept)
+        .join(corpus, on="id")
+        .join(F.broadcast(queries), on="query_id")
+        .withColumn("dist", l2_dist(F.col("qvec"), F.col("vec")))
+    )
+    top = topk_per_group(rer, ["query_id"], "dist", 10, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "sq8_dist", "rn")
+
+
 @register(
     "asof_click_before_purchase",
     oracle="""

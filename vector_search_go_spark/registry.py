@@ -85,7 +85,12 @@ _PRIORITY: tuple[str, ...] = (
     # the slot of r2-r6-green, unchanged doc_embedding_join
     "serving_sharded_ivfpq_knn",
     # Scalar quantization
-    "sq8_encode_codes",
+    # r11: the SQ8-compressed rerank tier over residual IVFADC (ADC
+    # shortlist -> 8-bit refine keep-K' with sq8_dist exposed -> exact
+    # rerank of only the kept ids — VERDICT r10 item 4); took the slot
+    # of r2-r10-green, unchanged sq8_encode_codes, whose stats/encode
+    # math this entry contains verbatim (same CTEs in its oracle)
+    "ivfpq_sq8_rerank_knn",
     "sq8_search_rerank",
     "sq8_recall_vs_exact",
     # Temporal

@@ -43,6 +43,30 @@ def list_column_matrix(tbl, col: str, dims: int) -> np.ndarray:
     return flat.reshape(len(arr), dims)
 
 
+def binary_column_u8_matrix(tbl, col: str, dims: int) -> np.ndarray:
+    """binary column of fixed ``dims``-byte payloads -> (n, dims) uint8
+    matrix via the Arrow value buffer (one memcpy, no per-row Python) —
+    the SQ8 codes decode path. Ragged payloads fall back exactly."""
+    arr = tbl.column(col)
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    try:
+        buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        lo = int(offs[arr.offset])
+        hi = int(offs[arr.offset + len(arr)])
+        if hi - lo == len(arr) * dims and np.all(
+            np.diff(offs[arr.offset : arr.offset + len(arr) + 1]) == dims
+        ):
+            return buf[lo:hi].reshape(len(arr), dims)
+    except (TypeError, IndexError, ValueError):
+        pass
+    return np.asarray(
+        [np.frombuffer(b, dtype=np.uint8) for b in arr.to_pylist()],
+        dtype=np.uint8,
+    )
+
+
 def list_column_int_matrix(tbl, col: str, dims: int) -> np.ndarray:
     arr = tbl.column(col)
     if hasattr(arr, "combine_chunks"):

@@ -108,6 +108,27 @@ def _shard_worker_ivfpq_cand_many(args):
     )
 
 
+def _shard_worker_ivfpq_sq8_cand(args):
+    qvec, shortlist, nprobe, query_id = args
+    return _WORKER_READER.shard_candidates_sq8(
+        qvec, shortlist=shortlist, nprobe=nprobe, query_id=query_id
+    )
+
+
+def _shard_worker_ivfpq_sq8_cand_many(args):
+    Q, shortlist, nprobe, query_ids = args
+    return _WORKER_READER.shard_candidates_sq8_many(
+        Q, shortlist=shortlist, nprobe=nprobe, query_ids=query_ids
+    )
+
+
+def _shard_worker_fetch_dists_many(args):
+    Q, ids_per_query, query_ids = args
+    return _WORKER_READER.fetch_dists_many(
+        Q, ids_per_query, query_ids=query_ids
+    )
+
+
 def shard_expr(n_shards: int):
     """The builders' shard assignment column: pmod(xxhash64(id), n) —
     deterministic, balanced, and re-derivable from the id alone (the
@@ -493,15 +514,130 @@ class ShardedReader:
             return _result_frame([], [], k, int(order[0]) if len(order) else 0)
         return pd.concat(out, ignore_index=True)
 
+    @staticmethod
+    def _sq8_keep_ids(
+        frames: list[pd.DataFrame], shortlist: int, keep: int, order
+    ) -> dict[int, list[int]]:
+        """Router half of the SQ8 protocol's phase 1: union of per-shard
+        (query_id, id, adc, sq8) slot rows -> per query the global ADC
+        top-``shortlist`` slots by (adc, id), deduped to unique ids,
+        NaN-sq8 ids dropped (no SQ8 row — the same place the unsharded
+        _sq8_select drops them), then the top-``keep`` ids by
+        (sq8, id). Bit-identical to the unsharded selection because
+        every global ADC top-L slot is in its own shard's top-L
+        (selection monotone) and sq8 floats are comparable across
+        shards (one global stats row by the save contract)."""
+        allf = pd.concat(frames, ignore_index=True)
+        groups = {int(q): sub for q, sub in allf.groupby("query_id", sort=False)}
+        kept: dict[int, list[int]] = {}
+        for qid in order:
+            sub = groups.get(int(qid))
+            if sub is None or len(sub) == 0:
+                kept[int(qid)] = []
+                continue
+            ids = sub["id"].to_numpy()
+            adc = sub["adc"].to_numpy()
+            s8 = sub["sq8"].to_numpy()
+            sel = LocalIvfPqReader._adc_topl(ids, adc, shortlist)
+            seen: set = set()
+            u_ids: list = []
+            u_s8: list = []
+            for j in sel:
+                i = int(ids[j])
+                if i in seen:
+                    continue
+                seen.add(i)
+                if np.isnan(s8[j]):
+                    continue
+                u_ids.append(i)
+                u_s8.append(float(s8[j]))
+            if not u_ids:
+                kept[int(qid)] = []
+                continue
+            ua = np.asarray(u_ids, dtype=np.int64)
+            sa = np.asarray(u_s8, dtype=np.float64)
+            ksel = np.lexsort((ua, sa))[:keep]
+            kept[int(qid)] = sorted(int(x) for x in ua[ksel])
+        return kept
+
+    def _finish_sq8(self, kept: dict, Q, qids, k: int) -> pd.DataFrame:
+        """Phase 2: exact distances for each query's kept ids from every
+        shard (ids are disjoint across shards — each contributes only
+        its own rows, with vectors-table multiplicity), then top-k by
+        (dist, id) per query in caller order."""
+        ids_per_query = [kept[int(q)] for q in qids]
+        if self._procs is not None:
+            qmat = [[float(x) for x in q] for q in np.asarray(Q, dtype=np.float64)]
+            futs = [
+                p.submit(
+                    _shard_worker_fetch_dists_many,
+                    (qmat, ids_per_query, [int(q) for q in qids]),
+                )
+                for p in self._procs
+            ]
+            frames = [f.result() for f in futs]
+        else:
+            frames = list(
+                self._pool.map(
+                    lambda r: r.fetch_dists_many(
+                        Q, ids_per_query, query_ids=[int(q) for q in qids]
+                    ),
+                    self.readers,
+                )
+            )
+        allf = pd.concat(frames, ignore_index=True)
+        out = []
+        for qid in qids:
+            sub = allf[allf["query_id"] == int(qid)]
+            out.append(
+                _result_frame(
+                    sub["id"].tolist(), sub["dist"].tolist(), k, int(qid)
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def _resolve_sq8_keep(self, k: int, sq8_keep) -> int:
+        from vector_search_go_spark.operators.pq import pq_shortlist
+
+        return pq_shortlist(k) if sq8_keep is None else int(sq8_keep)
+
     def search(self, qvec, k: int = 10, query_id: int = 0, **kwargs) -> pd.DataFrame:
         self._check_open()
         if self.family == "ivfpq":
             nprobe = int(kwargs.pop("nprobe", 4))
             shortlist = self._resolve_shortlist(k, kwargs.pop("shortlist", None))
+            rerank = str(kwargs.pop("rerank", "exact"))
+            sq8_keep = kwargs.pop("sq8_keep", None)
             if kwargs:
                 raise TypeError(
                     f"unexpected ivfpq search kwargs {sorted(kwargs)}"
                 )
+            if rerank == "sq8":
+                keep = self._resolve_sq8_keep(k, sq8_keep)
+                if self._procs is not None:
+                    qlist = [float(x) for x in qvec]
+                    futs = [
+                        p.submit(
+                            _shard_worker_ivfpq_sq8_cand,
+                            (qlist, shortlist, nprobe, query_id),
+                        )
+                        for p in self._procs
+                    ]
+                    frames = [f.result() for f in futs]
+                else:
+                    frames = list(
+                        self._pool.map(
+                            lambda r: r.shard_candidates_sq8(
+                                qvec, shortlist=shortlist, nprobe=nprobe,
+                                query_id=query_id,
+                            ),
+                            self.readers,
+                        )
+                    )
+                kept = self._sq8_keep_ids(frames, shortlist, keep, [query_id])
+                return self._finish_sq8(kept, [list(qvec)], [query_id], k)
+            if rerank != "exact":
+                raise ValueError(f"unknown rerank mode {rerank!r}")
             if self._procs is not None:
                 qlist = [float(x) for x in qvec]
                 futs = [
@@ -558,11 +694,43 @@ class ShardedReader:
         if self.family == "ivfpq":
             nprobe = int(kwargs.pop("nprobe", 4))
             shortlist = self._resolve_shortlist(k, kwargs.pop("shortlist", None))
+            rerank = str(kwargs.pop("rerank", "exact"))
+            sq8_keep = kwargs.pop("sq8_keep", None)
             if kwargs:
                 raise TypeError(
                     f"unexpected ivfpq search kwargs {sorted(kwargs)}"
                 )
             sent_ids = [int(q) for q in qids]
+            if rerank == "sq8":
+                keep = self._resolve_sq8_keep(k, sq8_keep)
+                if self._procs is not None:
+                    qmat = [
+                        [float(x) for x in q]
+                        for q in np.asarray(Q, dtype=np.float64)
+                    ]
+                    futs = [
+                        p.submit(
+                            _shard_worker_ivfpq_sq8_cand_many,
+                            (qmat, shortlist, nprobe, sent_ids),
+                        )
+                        for p in self._procs
+                    ]
+                    frames = [f.result() for f in futs]
+                else:
+                    frames = list(
+                        self._pool.map(
+                            lambda r: r.shard_candidates_sq8_many(
+                                Q, shortlist=shortlist, nprobe=nprobe,
+                                query_ids=query_ids,
+                            ),
+                            self.readers,
+                        )
+                    )
+                kept = self._sq8_keep_ids(frames, shortlist, keep, sent_ids)
+                Qn, _ = _batch_queries(Q, query_ids)
+                return self._finish_sq8(kept, Qn, sent_ids, k)
+            if rerank != "exact":
+                raise ValueError(f"unknown rerank mode {rerank!r}")
             if self._procs is not None:
                 qmat = [
                     [float(x) for x in q]
