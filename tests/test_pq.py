@@ -383,3 +383,55 @@ def test_auto_n_probes_warns_beyond_guarantee():
         warnings.simplefilter("always")
         assert auto_n_probes(4, 15, 8) == 15  # beyond: warn, keep widest
     assert any("probabilistic" in str(x.message) for x in w)
+
+
+def test_adc_probe_cell_sampling_on_clustered_corpus(spark, tmp_path):
+    """VERDICT r10 item 2: on a clustered corpus a sparse UNIFORM
+    sample holds ~2 rows/cluster, so sampled 'neighbors' are
+    cross-cluster and the measured budget overshoots the knee; the
+    default cell-local sample takes whole coarse cells (true local
+    density) and its two-rate extrapolation lands on the exact-measure
+    fraction."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.pq import (
+        adc_shortlist_probe,
+        ivfpq_save,
+        pq_codebook_residual,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cl, per, dims = 200, 50, 64
+    centers = rng.normal(size=(n_cl, dims)) * 2.0
+    X = np.repeat(centers, per, axis=0) + 0.02 * rng.normal(
+        size=(n_cl * per, dims)
+    )
+    n = len(X)
+    corpus = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)],
+        "id bigint, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(int(c), centers[c].tolist()) for c in range(n_cl)],
+        "cid int, cvec array<double>",
+    )
+    cb = pq_codebook_residual(corpus, cents, iters=2)
+    cb = spark.createDataFrame(cb.collect(), cb.schema)
+    path = str(tmp_path / "store")
+    ivfpq_save(spark, corpus, cents, cb, path, metric="l2")
+
+    # exact measure: the whole store as the sample (either mode is
+    # exact there) — the knee the probe should land near
+    full = adc_shortlist_probe(spark, path, sample_rows=n, sample_mode="uniform")
+    uni = adc_shortlist_probe(spark, path, sample_rows=400, sample_mode="uniform")
+    cel = adc_shortlist_probe(spark, path, sample_rows=400)  # default: cells
+    assert cel["sample_mode"] == "cells" and cel["n_sample"] <= 2 * 400
+    # the r10 pathology: sparse uniform overshoots the exact fraction
+    assert uni["shortlist_frac"] > 4 * full["shortlist_frac"]
+    # the fix: cell-local lands within 2x of the exact measure
+    assert cel["shortlist_frac"] <= 2 * full["shortlist_frac"]
+    assert cel["shortlist_frac"] >= full["shortlist_frac"] / 2
+    # and never under-recommends vs the measured knee's budget
+    assert cel["recommended_shortlist"] >= full["recommended_shortlist"]
+    # determinism: a pure function of the store (re-run identical)
+    assert adc_shortlist_probe(spark, path, sample_rows=400) == cel

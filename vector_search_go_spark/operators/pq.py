@@ -1045,6 +1045,7 @@ def adc_shortlist_probe(
     quantile: float = 0.9,
     safety: float = 1.25,
     seed: int = 7,
+    sample_mode: str = "cells",
 ) -> dict:
     """Measure, on a saved IVFADC store's OWN vectors, how deep the ADC
     ranking buries true neighbors — and recommend the rerank budget
@@ -1084,7 +1085,26 @@ def adc_shortlist_probe(
     of the ids, layout-independent. A SHARDED layout (shards_meta)
     probes the union of shard tables against the shared shard=0
     codebook — the recommendation must reflect the GLOBAL geometry the
-    router's global shortlist serves."""
+    router's global shortlist serves.
+
+    ``sample_mode='cells'`` (default; VERDICT r10 item 2): CELL-LOCAL
+    sampling + a two-rate extrapolation. The r10 receipts showed the
+    uniform sample is blind to clustered geometry — at 4,096 clusters
+    a 5,000-row sample holds ~1.2 rows/cluster, so every sampled
+    "neighbor" is cross-cluster, rank error looks corpus-proportional,
+    and the recommendation overshoots the measured knee by orders of
+    magnitude (recall 1.0 at 277,500 rows where the floor already
+    serves it). Cell-local sampling takes WHOLE coarse cells
+    (hash-ordered, until the row budget; id-hash-thinned only past 2x
+    budget), so each query's sampled neighborhood has the store's TRUE
+    local density. Extrapolation then splits the measured rank mass:
+    rows in the query's own cell are counted at their realized
+    sampling rate (~1 for a complete cell — local mass does NOT grow
+    with the corpus), rows outside extrapolate at the rest-of-store
+    rate exactly like the uniform rule. With uniform rates the two-rate
+    formula reduces to the old needed/m * n_store, so well-mixed
+    corpora keep their r5-r10 behavior while clustered corpora land
+    near the knee. ``sample_mode='uniform'`` keeps the pre-r11 path."""
     import numpy as np
 
     from vector_search_go_spark.operators.argmin import _seq_sq_l2
@@ -1115,74 +1135,133 @@ def adc_shortlist_probe(
         cents_path = f"{path}/centroids"
     enc = store_encoding(spark, path)
     n_store = vectors.count()
-    # thin down to AT MOST 4x the target with id-hash passes (each pass
-    # divides by >= 2), then collect and trim to sample_rows by keeping
-    # the smallest driver-side id hashes — still a pure function of the
-    # ids (layout-independent). The result is AT MOST sample_rows: the
-    # thinning passes target ~2x the budget but carry hash variance, so
-    # a pass can land under it and the trim then keeps what survived
-    # (never an issue for the quantile — the rank fraction normalizes
-    # by the realized m, and m stays within ~2x of the budget)
-    sample, m_est, salt = vectors, n_store, int(seed)
-    for _ in range(12):  # each pass halves at least; 12 covers 4000x
-        if m_est <= 4 * sample_rows:
-            break
-        mod = max(2, m_est // (2 * sample_rows))
-        sample = sample.filter(
-            F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(mod)) == 0
-        )
-        salt += 1
-        m_est = sample.count()
-    rows = sample.collect()
-    if len(rows) > sample_rows:
+    if sample_mode not in ("cells", "uniform"):
+        raise ValueError(f"unknown sample_mode {sample_mode!r}")
+    cell_masses: dict | None = None
+    if sample_mode == "cells":
         from vector_search_go_spark.serve.xxh64 import SEED, hash_long
 
-        # the trim hash folds the caller's seed (ADVICE r7: with the
-        # fixed module SEED alone, seed= had no effect at all whenever
-        # n_store <= 4*sample_rows skipped the thinning passes)
-        rows.sort(
-            key=lambda r: (hash_long(int(r["id"]), SEED ^ int(seed)), r["id"])
+        # CURRENT per-cell masses from the codes table itself (one
+        # bounded aggregation over 16-byte rows — the maintain
+        # staleness pass does the same at 100M in ~37 s); they drive
+        # both the cell choice and the two-rate extrapolation
+        mass_rows = (
+            cells_df.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .collect()
         )
-        rows = rows[:sample_rows]
-    rows.sort(key=lambda r: r["id"])
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    X = np.array([r["vec"] for r in rows], dtype=np.float64)
+        cell_masses = {int(r["cell"]): int(r["sz"]) for r in mass_rows}
+        ordered = sorted(
+            cell_masses,
+            key=lambda c: (hash_long(int(c), SEED ^ int(seed)), c),
+        )
+        chosen, tot = [], 0
+        for c in ordered:
+            chosen.append(int(c))
+            tot += cell_masses[c]
+            if tot >= min(sample_rows, n_store):
+                break
+        sub = cells_df.filter(F.col("cell").isin(chosen))
+        if tot > 2 * sample_rows:
+            # one id-hash thinning pass keeps the per-cell rate uniform
+            # and deterministic; the realized rate feeds r_own below
+            mod = int(np.ceil(tot / (2 * sample_rows)))
+            sub = sub.filter(
+                F.pmod(F.xxhash64("id", F.lit(int(seed))), F.lit(mod)) == 0
+            )
+        code_rows = sub.select("id", "cell", "codes").dropDuplicates(
+            ["id"]
+        ).collect()
+        code_map = {r["id"]: (r["cell"], r["codes"]) for r in code_rows}
+        ids = np.array(sorted(int(i) for i in code_map), dtype=np.int64)
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+        vrows = (
+            vectors.join(F.broadcast(ids_df), "id")
+            .dropDuplicates(["id"])
+            .collect()
+        )
+        vmap = {r["id"]: r["vec"] for r in vrows}
+        missing = [int(i) for i in ids if int(i) not in vmap]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} sampled codes ids have no vectors row "
+                f"in {path}/vectors (e.g. {missing[:3]}) — store "
+                "components are out of sync; re-save before probing"
+            )
+        X = np.array([vmap[int(i)] for i in ids], dtype=np.float64)
+    else:
+        # thin down to AT MOST 4x the target with id-hash passes (each
+        # pass divides by >= 2), then collect and trim to sample_rows by
+        # keeping the smallest driver-side id hashes — still a pure
+        # function of the ids (layout-independent). The result is AT
+        # MOST sample_rows: the thinning passes target ~2x the budget
+        # but carry hash variance, so a pass can land under it and the
+        # trim then keeps what survived (never an issue for the
+        # quantile — the rank fraction normalizes by the realized m,
+        # and m stays within ~2x of the budget)
+        sample, m_est, salt = vectors, n_store, int(seed)
+        for _ in range(12):  # each pass halves at least; 12 covers 4000x
+            if m_est <= 4 * sample_rows:
+                break
+            mod = max(2, m_est // (2 * sample_rows))
+            sample = sample.filter(
+                F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(mod)) == 0
+            )
+            salt += 1
+            m_est = sample.count()
+        rows = sample.collect()
+        if len(rows) > sample_rows:
+            from vector_search_go_spark.serve.xxh64 import SEED, hash_long
+
+            # the trim hash folds the caller's seed (ADVICE r7: with the
+            # fixed module SEED alone, seed= had no effect at all whenever
+            # n_store <= 4*sample_rows skipped the thinning passes)
+            rows.sort(
+                key=lambda r: (hash_long(int(r["id"]), SEED ^ int(seed)), r["id"])
+            )
+            rows = rows[:sample_rows]
+        rows.sort(key=lambda r: r["id"])
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        X = np.array([r["vec"] for r in rows], dtype=np.float64)
+        # the STORE's codes for the sampled ids — broadcast-joined, so
+        # the cells scan stays one bounded read (dup ids from
+        # at-least-once streaming drains collapse; codes are identical
+        # replays)
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+        code_rows = (
+            cells_df
+            .join(F.broadcast(ids_df), "id")
+            .select("id", "cell", "codes")
+            .dropDuplicates(["id"])
+            .collect()
+        )
+        code_map = {r["id"]: (r["cell"], r["codes"]) for r in code_rows}
+        missing = [int(i) for i in ids if int(i) not in code_map]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} sampled vector ids have no codes row in "
+                f"{path}/cells (e.g. {missing[:3]}) — store components are "
+                "out of sync; re-save before probing"
+            )
     m = len(ids)
     qpos = np.unique(np.linspace(0, m - 1, min(n_queries, m)).round().astype(int))
 
     # exact squared-L2 ranking (ranks only — BLAS form is fine here)
     sq = (X * X).sum(axis=1)
-    # the STORE's codes for the sampled ids — broadcast-joined, so the
-    # cells scan stays one bounded read (dup ids from at-least-once
-    # streaming drains collapse; codes are identical replays)
-    ids_df = spark.createDataFrame([(int(i),) for i in ids], "id bigint")
-    code_rows = (
-        cells_df
-        .join(F.broadcast(ids_df), "id")
-        .select("id", "cell", "codes")
-        .dropDuplicates(["id"])
-        .collect()
-    )
-    code_map = {r["id"]: (r["cell"], r["codes"]) for r in code_rows}
-    missing = [int(i) for i in ids if int(i) not in code_map]
-    if missing:
-        raise ValueError(
-            f"{len(missing)} sampled vector ids have no codes row in "
-            f"{path}/cells (e.g. {missing[:3]}) — store components are "
-            "out of sync; re-save before probing"
-        )
     codes = np.array([code_map[int(i)][1] for i in ids], dtype=np.int64)
     cb_ids, cb_mats = _codebook_mats(codebook_df.select("sub", "code", "cvec"))
     n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
+    # per-row cell labels: the residual scorer keys its LUTs on them,
+    # and the cells-mode extrapolation splits rank mass by them
+    cellarr = np.array(
+        [int(code_map[int(i)][0]) for i in ids], dtype=np.int64
+    )
     if enc == "residual":
         # residual ADC ranks score each sampled row under ITS OWN
         # cell's LUT — exactly what serving's per-(query, cell) tables
         # compute. One vectorized LUT build over the sample's distinct
         # cells per query (_seq_sq_l2 is row-independent, so each
         # cell's row equals the serving-side residual_lut)
-        cellarr = np.array(
-            [int(code_map[int(i)][0]) for i in ids], dtype=np.int64
-        )
         dcells = np.unique(cellarr)
         cell_idx = np.searchsorted(dcells, cellarr)
         from vector_search_go_spark.operators.ann_ivf import load_ivf_model
@@ -1192,6 +1271,7 @@ def adc_shortlist_probe(
         Cd = C_all[[cpos_all[int(c)] for c in dcells]]
 
     ranks_needed = []
+    needed_global = []
     for qi in qpos:
         q = X[qi]
         exact = sq - 2.0 * (X @ q) + (q @ q)
@@ -1215,22 +1295,53 @@ def adc_shortlist_probe(
         order = np.lexsort((ids, adc))
         pos = np.empty(m, dtype=np.int64)
         pos[order] = np.arange(m)
-        ranks_needed.append(int(pos[truth].max()) + 1)
+        rank_q = int(pos[truth].max()) + 1
+        ranks_needed.append(rank_q)
+        if sample_mode == "cells":
+            # two-rate extrapolation: the rank mass S (everything at or
+            # before the worst true neighbor in ADC order) splits into
+            # a = own-cell rows, scaled by the cell's REALIZED sampling
+            # rate (local mass — does not grow with the corpus), and
+            # b = cross-cell rows, scaled by the rest-of-store rate
+            # (the uniform rule, applied only to the mass it is true of)
+            S = order[:rank_q]
+            cq = int(cellarr[qi])
+            a = int((cellarr[S] == cq).sum())
+            b = rank_q - a
+            n_c = max(1, int(cell_masses.get(cq, 1)))
+            m_c = int((cellarr == cq).sum())
+            r_own = m_c / n_c
+            rest_m = m - m_c
+            rest_n = max(1, n_store - n_c)
+            g = a / max(r_own, 1e-12)
+            if b:
+                g += b / max(rest_m / rest_n, 1e-12)
+            needed_global.append(g)
 
     ranks_needed.sort()
-    needed = ranks_needed[
-        min(len(ranks_needed) - 1, int(np.ceil(quantile * (len(ranks_needed) - 1))))
-    ]
-    frac = needed / m
-    recommended = int(
-        max(pq_shortlist(k), min(n_store, int(np.ceil(safety * frac * n_store))))
+    qidx = min(
+        len(ranks_needed) - 1, int(np.ceil(quantile * (len(ranks_needed) - 1)))
     )
+    needed = ranks_needed[qidx]
+    if sample_mode == "cells":
+        needed_global.sort()
+        g = needed_global[qidx]
+        frac = g / n_store
+        recommended = int(
+            max(pq_shortlist(k), min(n_store, int(np.ceil(safety * g))))
+        )
+    else:
+        frac = needed / m
+        recommended = int(
+            max(pq_shortlist(k), min(n_store, int(np.ceil(safety * frac * n_store))))
+        )
     return {
         "recommended_shortlist": recommended,
         "shortlist_frac": round(float(frac), 6),
         "rank_needed": int(needed),
         "n_sample": int(m),
         "n_store": int(n_store),
+        "sample_mode": sample_mode,
     }
 
 
