@@ -71,6 +71,9 @@ HEADLINE = [
     # added in round 10 (headline grew by 1 — subtract for a
     # like-for-like r9 comparison): the residual ADC-value pin
     "ivfpq_residual_adc_verdict",
+    # added in round 11 (headline grew by 1 — subtract for a
+    # like-for-like r10 comparison): the SQ8-compressed rerank tier
+    "ivfpq_sq8_rerank_knn",
 ]
 
 

@@ -1159,7 +1159,14 @@ def adc_shortlist_probe(
         for c in ordered:
             chosen.append(int(c))
             tot += cell_masses[c]
-            if tot >= min(sample_rows, n_store):
+            # at least 8 cells (when the store has them) so the probe
+            # never judges the whole store from one cell's geometry —
+            # on a 100M x 1024-cell store one cell already exceeds the
+            # row budget; the id-hash thinning below restores it while
+            # keeping per-cell density ~1000x the uniform sample's
+            if tot >= min(sample_rows, n_store) and len(chosen) >= min(
+                8, len(ordered)
+            ):
                 break
         sub = cells_df.filter(F.col("cell").isin(chosen))
         if tot > 2 * sample_rows:

@@ -1002,6 +1002,7 @@ class LocalIvfPqReader:
         sel = np.lexsort((uid, d8))[:keep]
         return uid[sel]
 
+    @_swap_retry
     def fetch_dists(self, qvec, ids, query_id: int = 0) -> pd.DataFrame:
         """(query_id, id, dist) of THIS store's vectors rows whose id is
         in ``ids`` — exact L2, one row per vectors row (multiplicity
