@@ -678,6 +678,110 @@ def recall(
         reader.close()
 
 
+def recall_sq8(
+    path: str = DEFAULT_PATH,
+    n: int = 100_000_000,
+    dims: int = 64,
+    k: int = 10,
+) -> None:
+    """The SQ8 rerank tier at the flagship scale (VERDICT r10 item 4):
+    exact-vs-sq8 rerank at the floor budget AND at the measured
+    (exact-set) shortlist, same protocol as --recall. The tier's claim
+    is that the big measured shortlist becomes servable: the exact
+    rerank reads shortlist-many float rows per query, the sq8 path
+    reads 8x-smaller codes for them and floats for only sq8_keep.
+    Requires the tier (run pq.sq8_augment_store first — see
+    sq8_augment() below)."""
+    import time as _time
+
+    from vector_search_go_spark.serve.local_reader import _read_store_meta
+    from vector_search_go_spark.serve.sharded import ShardedReader
+    from vector_search_go_spark.session import get_spark
+
+    rng = np.random.default_rng(SEED + 1)
+    picks = rng.choice(n, size=120, replace=False)
+    qids = [int(i) for i in picks[20:]]
+    Q = np.stack([vec_of(i, n, dims) for i in qids])
+
+    spark = get_spark(
+        "probe-100m-recall-sq8",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    truth = _ground_truth(
+        spark, n, dims, Q, qids, k, os.path.join(path, "..", "gt100.npz")
+    )
+    measured = _read_store_meta(path).get("recommended_shortlist")
+    if measured is None:
+        from vector_search_go_spark.operators.pq import adc_shortlist_probe
+
+        measured = adc_shortlist_probe(spark, path, k=k)[
+            "recommended_shortlist"
+        ]
+    spark.stop()
+
+    reader = ShardedReader(
+        path, processes=True, preload_codes=True, preload_sq8=True,
+        stagger_init=True,
+    )
+    try:
+        configs = [
+            (8, 100, "exact", None, len(qids)),
+            (8, 100, "sq8", 100, len(qids)),
+            (8, int(measured), "exact", None, 10),
+            (8, int(measured), "sq8", 100, 10),
+            (8, int(measured), "sq8", 400, 10),
+        ]
+        for nprobe, shortlist, mode, keep, nq in configs:
+            lats, recs = [], []
+            for qid in qids[:nq]:
+                qv = Q[qids.index(qid)]
+                kw = dict(k=k, nprobe=nprobe, shortlist=shortlist)
+                if mode == "sq8":
+                    kw.update(rerank="sq8", sq8_keep=keep)
+                t0 = _time.time()
+                top = reader.search(qv, **kw)
+                lats.append((_time.time() - t0) * 1000)
+                got = set(int(i) for i in top["id"][:k])
+                recs.append(len(got & set(truth[qid])) / k)
+            lats.sort()
+            tag = f"{mode}" + (f" keep={keep}" if mode == "sq8" else "")
+            print(
+                f"| ivfpq 100M sq8-tier | nprobe={nprobe} "
+                f"shortlist={shortlist} rerank={tag} | recall@{k} "
+                f"{float(np.mean(recs)):.4f} | {lats[len(lats) // 2]:.1f} "
+                f"ms/q median ({nq} q) |",
+                flush=True,
+            )
+    finally:
+        reader.close()
+
+
+def sq8_augment(path: str = DEFAULT_PATH, shards: int = 10) -> None:
+    """Write the SQ8 tier onto the existing store (one 51 GB vectors
+    pass for the global stats + one per shard for the encode)."""
+    from vector_search_go_spark.operators.pq import sq8_augment_store
+    from vector_search_go_spark.session import get_spark
+
+    spark = get_spark(
+        "probe-100m-sq8aug", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    sq8_augment_store(spark, path, shards=shards)
+    import subprocess
+
+    du = subprocess.run(
+        ["du", "-shc"] + [f"{path}/shard={k}/vectors_sq8" for k in range(shards)],
+        capture_output=True, text=True,
+    ).stdout.splitlines()[-1].split()[0]
+    print(
+        f"| ivfpq 100M sq8 tier written | {du} codes on disk | "
+        f"{(time.time() - t0) / 60:.0f} min |",
+        flush=True,
+    )
+
+
 def maintain(path: str = DEFAULT_PATH) -> None:
     """Whole-store staleness on the sharded layout (union of per-shard
     masses — must say FRESH right after the build) + the bounded
@@ -739,6 +843,14 @@ if __name__ == "__main__":
         p = argv[1] if len(argv) > 1 else DEFAULT_PATH
         a = [int(s) for s in argv[2:]]
         recall(p, *a)
+    elif argv[:1] == ["--recall-sq8"]:
+        p = argv[1] if len(argv) > 1 else DEFAULT_PATH
+        a = [int(s) for s in argv[2:]]
+        recall_sq8(p, *a)
+    elif argv[:1] == ["--sq8-augment"]:
+        p = argv[1] if len(argv) > 1 else DEFAULT_PATH
+        a = [int(s) for s in argv[2:]]
+        sq8_augment(p, *a)
     else:
         print(__doc__)
         sys.exit(2)

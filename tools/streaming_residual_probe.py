@@ -218,6 +218,89 @@ def main(n_base: int = 800_000, n_stream: int = 200_000, dims: int = 64):
         finally:
             reader.close()
 
+    # -- 5. heavy drift: the gate must fire and the rebuild must heal -
+    # A second tail that is 100% out-of-distribution (clusters the
+    # frozen models never saw) and big enough to cross the growth
+    # threshold (total appended > 50% of the build-time baseline).
+    # maintain_ivfpq then clears-and-rebuilds (retrain coarse +
+    # codebook on the store's own vectors, re-encode, re-save, retune
+    # the shortlist via the cell-aware probe) — recall on the new
+    # clusters should rise to the retrained level.
+    n2 = max(50_000, int(0.55 * n_base) - n_stream)  # 240k at defaults:
+    # total appended (200k + 240k) / 800k = 0.55 > growth_threshold 0.5
+    rng2 = np.random.default_rng(SEED + 7)
+    new_centers2 = rng2.normal(size=(64, dims)) * 2.0
+    a2 = rng2.integers(0, len(new_centers2), size=n2)
+    X2 = new_centers2[a2] + 0.25 * rng2.normal(size=(n2, dims))
+    land2 = f"{BASE_DIR}/landing2"
+    os.makedirs(land2)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, n + n2), type=pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(X2.reshape(-1)), dims
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    papq.write_table(tbl, f"{land2}/part0.parquet")
+    spark = get_spark(
+        "stream-res-probe2", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stream2 = spark.readStream.schema("id bigint, vec array<double>").parquet(
+        land2
+    )
+    t0 = time.time()
+    ingest_to_sharded_store(
+        spark, stream2, path, f"{BASE_DIR}/ckpt2", timeout=600
+    )
+    print(f"# heavy tail drained: {n2:,} all-new-cluster rows in "
+          f"{time.time() - t0:.0f} s", flush=True)
+    t0 = time.time()
+    rep2 = maintain_ivfpq(spark, path)
+    print(
+        f"| heavy-drift gate | action={rep2.get('action')} "
+        f"tv_drift={rep2.get('tv_drift')} growth={rep2.get('growth')} "
+        f"retuned_shortlist={rep2.get('recommended_shortlist')} | "
+        f"{time.time() - t0:.0f} s |",
+        flush=True,
+    )
+    spark.stop()
+
+    X_all2 = np.concatenate([X_all, X2])
+    q2 = n + rng2.choice(n2, size=20, replace=False)
+    sq_all2 = (X_all2 * X_all2).sum(axis=1)
+    truth2 = {}
+    for gids in (q_new.tolist(), q2.tolist()):
+        qb = X_all2[np.asarray(gids, dtype=np.int64)]
+        D = (
+            sq_all2[None, :]
+            - 2.0 * (qb @ X_all2.T)
+            + (qb * qb).sum(axis=1)[:, None]
+        )
+        for j, qid in enumerate(gids):
+            truth2[int(qid)] = set(
+                np.lexsort((np.arange(len(X_all2)), D[j]))[:k].tolist()
+            )
+    reader = ShardedReader(path, processes=True, preload_codes=True)
+    try:
+        for gname, gids in (
+            ("tail1-new (post-rebuild)", q_new.tolist()),
+            ("tail2-new (post-rebuild)", q2.tolist()),
+        ):
+            recs = []
+            for qid in gids:
+                top = reader.search(X_all2[int(qid)], k=k, nprobe=8)
+                got = set(int(i) for i in top["id"][:k])
+                recs.append(len(got & truth2[int(qid)]) / k)
+            print(
+                f"| residual stream recall | {gname} | "
+                f"recall@10 {float(np.mean(recs)):.4f} ({len(gids)} q) |",
+                flush=True,
+            )
+    finally:
+        reader.close()
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]
