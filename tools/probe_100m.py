@@ -285,24 +285,35 @@ def reencode(
     cents = spark.read.parquet(f"{path}/shard={todo[0]}/centroids")
     cents = spark.createDataFrame(cents.collect(), cents.schema)
 
-    # ~1M strided sample from the store's own vectors (ids are the
-    # corpus ids, uniform across shards by the pmod split)
-    t0 = time.time()
     vec_paths = [f"{path}/shard={k}/vectors" for k in range(shards)]
     all_vecs = spark.read.parquet(*vec_paths)
     n = all_vecs.count()
-    stride = max(1, n // sample_rows)
-    sample = all_vecs.filter(F.col("id") % stride == 0).cache()
-    n_sample = sample.count()
-    print(f"# sample {n_sample:,} of {n:,} rows (stride {stride}): "
-          f"{time.time() - t0:.0f} s", flush=True)
-
-    t0 = time.time()
-    cb = pq_codebook_residual(sample, cents)
-    cb = spark.createDataFrame(cb.collect(), cb.schema)
-    sample.unpersist()
-    t_cb = time.time() - t0
-    print(f"# residual codebook trained: {t_cb:.0f} s", flush=True)
+    done = [k for k in range(shards) if k not in set(todo)]
+    if done:
+        # resuming an interrupted re-encode: the sharded-merge
+        # exactness contract needs ONE codebook across all shards, and
+        # a Lloyd retrain is not bit-stable across aggregation orders —
+        # take the codebook the completed shards were encoded with
+        cb = spark.read.parquet(f"{path}/shard={done[0]}/codebook")
+        cb = spark.createDataFrame(cb.collect(), cb.schema)
+        t_cb = 0.0
+        print(f"# resuming: codebook reused from shard {done[0]}",
+              flush=True)
+    else:
+        # ~1M strided sample from the store's own vectors (ids are the
+        # corpus ids, uniform across shards by the pmod split)
+        t0 = time.time()
+        stride = max(1, n // sample_rows)
+        sample = all_vecs.filter(F.col("id") % stride == 0).cache()
+        n_sample = sample.count()
+        print(f"# sample {n_sample:,} of {n:,} rows (stride {stride}): "
+              f"{time.time() - t0:.0f} s", flush=True)
+        t0 = time.time()
+        cb = pq_codebook_residual(sample, cents)
+        cb = spark.createDataFrame(cb.collect(), cb.schema)
+        sample.unpersist()
+        t_cb = time.time() - t0
+        print(f"# residual codebook trained: {t_cb:.0f} s", flush=True)
 
     def swap(live: str, staged: str) -> None:
         old = live + "__old"
