@@ -72,6 +72,11 @@ AUDITS = {
     "sq8_encode_codes": (True, False, False, True),
     "sq8_search_rerank": (True, False, True, True),
     "ivf_pq_search": (True, False, True, True),
+    # r11: the SQ8 rerank tier composition — broadcasts for the probe
+    # join, the ADC candidates kernel is the allowed Python, the sq8
+    # refine + exact rerank join against broadcast shortlists (never a
+    # corpus SMJ)
+    "ivfpq_sq8_rerank_knn": (True, False, True, True),
     "kmeans_train_centroids": (True, False, True, True),
     # r8: image near-dup dedup — the decode+dHash kernel is the allowed
     # Python (mapInPandas); the banded self-join is an equi-join on
