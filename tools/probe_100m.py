@@ -731,30 +731,49 @@ def recall_sq8(
         ]
     spark.stop()
 
-    reader = ShardedReader(
-        path, processes=True, preload_codes=True, preload_sq8=True,
-        stagger_init=True,
-    )
+    def open_reader():
+        return ShardedReader(
+            path, processes=True, preload_codes=True, preload_sq8=True,
+            stagger_init=True,
+        )
+
+    reader = open_reader()
     try:
+        # the exact rerank at the measured budget is LAST and
+        # failure-isolated: 227k scattered ids decompress most of each
+        # shard's 4.9 GB vectors table concurrently in ten workers —
+        # the measured OOM (SCALE.md r11) the sq8 tier exists to avoid
         configs = [
             (8, 100, "exact", None, len(qids)),
             (8, 100, "sq8", 100, len(qids)),
-            (8, int(measured), "exact", None, 10),
+            (32, 1600, "sq8", 100, len(qids)),
             (8, int(measured), "sq8", 100, 10),
             (8, int(measured), "sq8", 400, 10),
+            (8, int(measured), "exact", None, 10),
         ]
         for nprobe, shortlist, mode, keep, nq in configs:
             lats, recs = [], []
-            for qid in qids[:nq]:
-                qv = Q[qids.index(qid)]
-                kw = dict(k=k, nprobe=nprobe, shortlist=shortlist)
-                if mode == "sq8":
-                    kw.update(rerank="sq8", sq8_keep=keep)
-                t0 = _time.time()
-                top = reader.search(qv, **kw)
-                lats.append((_time.time() - t0) * 1000)
-                got = set(int(i) for i in top["id"][:k])
-                recs.append(len(got & set(truth[qid])) / k)
+            try:
+                for qid in qids[:nq]:
+                    qv = Q[qids.index(qid)]
+                    kw = dict(k=k, nprobe=nprobe, shortlist=shortlist)
+                    if mode == "sq8":
+                        kw.update(rerank="sq8", sq8_keep=keep)
+                    t0 = _time.time()
+                    top = reader.search(qv, **kw)
+                    lats.append((_time.time() - t0) * 1000)
+                    got = set(int(i) for i in top["id"][:k])
+                    recs.append(len(got & set(truth[qid])) / k)
+            except Exception as e:
+                print(
+                    f"| ivfpq 100M sq8-tier | nprobe={nprobe} "
+                    f"shortlist={shortlist} rerank={mode} | FAILED "
+                    f"{type(e).__name__} after {len(lats)} q |",
+                    flush=True,
+                )
+                reader.close()
+                reader = open_reader()
+                continue
             lats.sort()
             tag = f"{mode}" + (f" keep={keep}" if mode == "sq8" else "")
             print(
