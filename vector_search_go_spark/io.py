@@ -29,6 +29,45 @@ TABLES = (
 )
 
 
+# Reader-plan memo: ``spark.read.parquet`` costs ~170 ms of driver-side
+# py4j + schema/file-listing work per call on this harness, and a query
+# invocation touches 1-4 tables — a fixed tax the cluster never sees.
+# The memo stores the LAZY DataFrame (an unexecuted plan): every action
+# still scans the parquet files, so no rows or results are ever reused —
+# this is the session-scoped analog of Spark's own
+# filesourcePartitionFileCacheSize listing cache (guide §6). Keyed by
+# (session, path, mtime): a rewritten file (model stores, test fixtures)
+# or a new session re-reads; entries are plans, KBs each.
+_READ_MEMO: dict[str, tuple] = {}
+
+
+def _path_stamp(path: str) -> float:
+    """Cheap change detector for a parquet file/dir: mtime of the dir
+    entry itself plus _SUCCESS when present (directory writes touch
+    both)."""
+    st = os.path.getmtime(path)
+    succ = os.path.join(path, "_SUCCESS")
+    if os.path.exists(succ):
+        st = max(st, os.path.getmtime(succ))
+    return st
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the plan memoized per (session, path,
+    mtime) — see _READ_MEMO. Use for paths the current process does not
+    rewrite mid-plan; fall back to a plain read otherwise."""
+    try:
+        stamp = _path_stamp(path)
+    except OSError:
+        return spark.read.parquet(path)
+    ent = _READ_MEMO.get(path)
+    if ent is not None and ent[0] is spark and ent[1] == stamp:
+        return ent[2]
+    df = spark.read.parquet(path)
+    _READ_MEMO[path] = (spark, stamp, df)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -39,14 +78,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ). Normalize both to a session-tz (UTC) timestamp
         # so every downstream window/watermark/comparison sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = read_parquet_cached(spark, f"{sf_dir}/events.parquet")
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -276,6 +276,34 @@ class LshIndex:
         from vector_search_go_spark.config import LshConfig
 
         if os.path.exists(os.path.join(path, "model_nodes")):
+            if "://" not in path:
+                # local store: the model is KBs — read it driver-side
+                # (pyarrow + plain JSON) instead of scheduling two Spark
+                # collect jobs per index load (guide §5; the serving
+                # readers already load models this way)
+                import glob
+
+                import pyarrow.parquet as pa_pq
+
+                cfg_files = [
+                    f
+                    for f in sorted(glob.glob(os.path.join(path, "model_config", "*")))
+                    if not os.path.basename(f).startswith(("_", "."))
+                    and os.path.isfile(f)
+                ]
+                cfg_json = None
+                for f in cfg_files:
+                    with open(f) as fh:
+                        line = fh.readline().strip()
+                    if line:
+                        cfg_json = json.loads(line)["config_json"]
+                        break
+                rows = pa_pq.read_table(
+                    os.path.join(path, "model_nodes")
+                ).to_pylist()
+                return Forest.from_node_rows(
+                    LshConfig(**json.loads(cfg_json)), rows
+                )
             cfg_json = spark.read.json(f"{path}/model_config").collect()[0][
                 "config_json"
             ]
@@ -288,13 +316,17 @@ class LshIndex:
     def load(cls, spark: SparkSession, path: str) -> "LshIndex":
         from vector_search_go_spark.streaming.delete import mask_tombstones
 
+        from vector_search_go_spark.io import read_parquet_cached
+
         forest = cls.load_forest(spark, path)
         buckets = mask_tombstones(
             spark,
             path,
-            spark.read.parquet(f"{path}/buckets").select(
+            read_parquet_cached(spark, f"{path}/buckets").select(
                 F.col("tree").cast("int"), "hash", "id"
             ),
         )
-        vectors = mask_tombstones(spark, path, spark.read.parquet(f"{path}/vectors"))
+        vectors = mask_tombstones(
+            spark, path, read_parquet_cached(spark, f"{path}/vectors")
+        )
         return cls(forest.config, forest, vectors, buckets)

@@ -63,6 +63,42 @@ def assign_cells(
     )
 
 
+def probe_cells_local(qrows, cids, cmat, metric: str, nprobe: int):
+    """Driver-side probe selection over the KB-sized centroid model:
+    per query, the ``nprobe`` nearest cells under the exact
+    (dist, cid) order the crossJoin + rank-window path produced — the
+    same sequential-IEEE kernels (argmin._seq_sq_l2 / _seq_cosine), so
+    the selected cell sets are bit-identical (parity pinned in
+    tests/test_argmin_parity.py and the ivf/ivfpq oracle hashes).
+
+    Probe selection is query-batch x centroids work (rows x KBs); the
+    serving readers already do it driver-side (pq.ivfpq_point_search),
+    and running it through the cluster cost a crossJoin + window
+    shuffle + broadcast-build job per invocation (guide §8: decide with
+    small rows, move heavy rows once). Returns a list of
+    (query_row, [cell, ...]) pairs in input order."""
+    import numpy as np
+
+    from vector_search_go_spark.operators.argmin import (
+        _seq_cosine,
+        _seq_sq_l2,
+    )
+
+    if not qrows:
+        return []
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if metric == "l2":
+        D = np.sqrt(_seq_sq_l2(Q, cmat))
+    else:
+        D = _seq_cosine(Q, cmat)
+    cids = np.asarray(cids)
+    out = []
+    for i, r in enumerate(qrows):
+        order = np.lexsort((cids, D[i]))[:nprobe]
+        out.append((r, [int(cids[j]) for j in order]))
+    return out
+
+
 def ivf_search(
     queries: DataFrame,
     cells: DataFrame,
@@ -80,23 +116,55 @@ def ivf_search(
     Spark's higher-order fold evaluates interpreted per element, so at
     large cells the lambda dispatch dominates. Bit-identical to
     ``impl='expr'`` (same sequential IEEE adds; parity pinned in
-    tests/test_argmin_parity.py). The tiny query x centroid probe stays
-    a Catalyst fold either way."""
-    qprobe = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", metric_dist(metric, F.col("qvec"), F.col("cvec")))
-    )
-    probes = topk_per_group(
-        qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"], rank_name="_r"
-    ).select("query_id", "qvec", F.col("cid").alias("cell"))
-    # queries x nprobe rows — always the small side; without the hint
-    # Catalyst picks SortMergeJoin and shuffles the whole cell store.
-    if impl == "arrow":
-        from vector_search_go_spark.operators.argmin import pairwise_dist_udf
+    tests/test_argmin_parity.py).
 
+    The probe list (queries x nprobe rows) is selected driver-side on
+    the arrow path (probe_cells_local): it is a pure function of the
+    query batch and the KB-sized centroid model, and materializing it
+    as a local relation removes a crossJoin + rank-window shuffle +
+    broadcast-build job per invocation while shipping the same rows to
+    the same broadcast join. ``impl='expr'`` keeps the pure-Catalyst
+    probe so the expression path stays exercised end-to-end."""
+    if impl == "arrow":
+        from pyspark.sql.types import StructField, StructType
+
+        from vector_search_go_spark.operators.argmin import (
+            collect_centroids,
+            pairwise_dist_udf,
+        )
+
+        qrows = sorted(
+            queries.select("query_id", "qvec").collect(),
+            key=lambda r: r["query_id"],
+        )
+        cids, cmat = collect_centroids(centroids)
+        probed = probe_cells_local(qrows, cids, cmat, metric, nprobe)
+        q_schema = queries.select("query_id", "qvec").schema
+        schema = StructType(
+            list(q_schema.fields)
+            + [StructField("cell", centroids.schema["cid"].dataType, True)]
+        )
+        probes = queries.sparkSession.createDataFrame(
+            [
+                (r["query_id"], list(r["qvec"]), c)
+                for r, cs in probed
+                for c in cs
+            ],
+            schema,
+        )
         dist_col = pairwise_dist_udf(metric)(F.col("qvec"), F.col("vec"))
     else:
+        qprobe = (
+            queries.crossJoin(F.broadcast(centroids))
+            .withColumn("cdist", metric_dist(metric, F.col("qvec"), F.col("cvec")))
+        )
+        probes = topk_per_group(
+            qprobe, ["query_id"], "cdist", nprobe, tiebreak_cols=["cid"],
+            rank_name="_r",
+        ).select("query_id", "qvec", F.col("cid").alias("cell"))
         dist_col = metric_dist(metric, F.col("qvec"), F.col("vec"))
+    # queries x nprobe rows — always the small side; without the hint
+    # Catalyst picks SortMergeJoin and shuffles the whole cell store.
     cand = F.broadcast(probes).join(cells, on="cell").withColumn("dist", dist_col)
     top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
     return top.select("query_id", "id", "dist", "rn")

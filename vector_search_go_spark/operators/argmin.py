@@ -71,7 +71,12 @@ def collect_centroids(cents: DataFrame, id_col: str = "cid", vec_col: str = "cve
     sorted by id — the closure payload for the Arrow argmin below. The
     collect is model-sized (k x dim doubles, KBs), the same bound as the
     broadcast pack."""
-    rows = sorted(cents.select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+    from vector_search_go_spark.operators.model_store import local_rows
+
+    rows = local_rows(cents, [id_col, vec_col])
+    if rows is None:
+        rows = cents.select(id_col, vec_col).collect()
+    rows = sorted(rows, key=lambda r: r[id_col])
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     return ids, mat

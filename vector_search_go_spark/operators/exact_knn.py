@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from vector_search_go_spark.config import TOL
 from vector_search_go_spark.functions.metrics import dot, l2_norm, metric_dist
+from vector_search_go_spark.io import read_parquet_cached
 from vector_search_go_spark.operators.topk import topk_per_group
 
 
@@ -213,7 +214,7 @@ def embeddings_split(
 ) -> tuple[DataFrame, DataFrame]:
     """Held-out split of the embeddings table (FIXTURES.md B1 convention):
     ``vec_id % query_mod == 0`` are queries, the rest are the corpus."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

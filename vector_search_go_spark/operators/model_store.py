@@ -68,10 +68,37 @@ def save_model(df: DataFrame, name: str, sf_dir: str) -> str:
 
 def load_model(spark: SparkSession, name: str, sf_dir: str) -> DataFrame | None:
     """Load a previously saved model, or None if absent/incomplete."""
+    from vector_search_go_spark.io import read_parquet_cached
+
     path = model_path(name, sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
-    return spark.read.parquet(path)
+    df = read_parquet_cached(spark, path)
+    # Tag the DataFrame with its local directory so model-sized driver
+    # materializations (closure payloads for the Arrow kernels) can read
+    # the SAME parquet bytes via pyarrow instead of scheduling a Spark
+    # collect job (guide §5: the driver should not run cluster jobs for
+    # KB-sized reads — at scale the serving process loads the model once
+    # and broadcasts it; locally each collect was a full job round-trip
+    # per query invocation).
+    df._vsg_local_path = path  # type: ignore[attr-defined]
+    return df
+
+
+def local_rows(df: DataFrame, cols: list[str]) -> list[dict] | None:
+    """Driver-side rows of a disk-cached model DataFrame WITHOUT a Spark
+    job, or None when ``df`` is not a plain cached-model read (callers
+    fall back to ``.collect()``). Reads the same parquet files Spark
+    would scan, so values are bit-identical; column subsetting mirrors
+    the caller's ``.select``. Only DataFrames produced by ``load_model``
+    (local directory known, ``_SUCCESS`` present) qualify — remote
+    stores and derived plans keep the Spark path."""
+    path = getattr(df, "_vsg_local_path", None)
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=list(cols)).to_pylist()
 
 
 def cached_df(

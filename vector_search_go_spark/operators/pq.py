@@ -194,10 +194,12 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, impl: str = "arrow") -> Da
 
 def _codebook_mats(codebook: DataFrame):
     """codebook -> ({sub: code ids sorted}, {sub: matrix}) closure payload."""
-    rows = sorted(
-        codebook.select("sub", "code", "cvec").collect(),
-        key=lambda r: (r["sub"], r["code"]),
-    )
+    from vector_search_go_spark.operators.model_store import local_rows
+
+    rows = local_rows(codebook, ["sub", "code", "cvec"])
+    if rows is None:
+        rows = codebook.select("sub", "code", "cvec").collect()
+    rows = sorted(rows, key=lambda r: (r["sub"], r["code"]))
     mats: dict[int, np.ndarray] = {}
     ids: dict[int, np.ndarray] = {}
     for sub in {r["sub"] for r in rows}:
@@ -370,10 +372,12 @@ def pq_adc_candidates(
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         qpos = {int(q): i for i, q in enumerate(qids)}
         Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
-        cb_rows = sorted(
-            codebook.select("sub", "code", "cvec").collect(),
-            key=lambda r: (r["sub"], r["code"]),
-        )
+        from vector_search_go_spark.operators.model_store import local_rows
+
+        cb_rows = local_rows(codebook, ["sub", "code", "cvec"])
+        if cb_rows is None:
+            cb_rows = codebook.select("sub", "code", "cvec").collect()
+        cb_rows = sorted(cb_rows, key=lambda r: (r["sub"], r["code"]))
         # adc[q, sub, code]: codes must be the contiguous 0..N-1 range
         # the element_at arithmetic of the expr path assumes too
         adc = np.empty((len(qids), M_SUB, N_CODES))
@@ -490,6 +494,7 @@ def ivfpq_adc_candidates_res(
     codebook: DataFrame,
     coarse_cents: DataFrame,
     local_topk: int | None = None,
+    qrows: list | None = None,
 ) -> DataFrame:
     """(query_id, id, approx_dist) over RESIDUAL-encoded candidates —
     the residual twin of pq_adc_candidates' arrow path. ``codes`` rows
@@ -507,16 +512,19 @@ def ivfpq_adc_candidates_res(
     topk(shortlist) -> rerank -> topk(k))."""
     from vector_search_go_spark.operators.argmin import local_topk_flat
 
-    qrows = sorted(
-        queries.select("query_id", "qvec").collect(), key=lambda r: r["query_id"]
-    )
+    if qrows is None:
+        # one collect job per invocation unless the caller already
+        # materialized the query batch (the ivfpq query entries share
+        # one collect across probe selection and this kernel)
+        qrows = queries.select("query_id", "qvec").collect()
+    qrows = sorted(qrows, key=lambda r: r["query_id"])
     if not qrows:
         return queries.sparkSession.createDataFrame(
             [], "query_id long, id long, approx_dist double"
         )
     qpos = {int(r["query_id"]): i for i, r in enumerate(qrows)}
     Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
-    cb_ids, cb_mats = _codebook_mats(codebook.select("sub", "code", "cvec"))
+    cb_ids, cb_mats = _codebook_mats(codebook)
     n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
     C, cpos = _coarse_pos(coarse_cents)
 

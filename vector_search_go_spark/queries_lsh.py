@@ -19,6 +19,7 @@ from vector_search_go_spark.lsh.index import LshIndex
 from vector_search_go_spark.lsh.search import lsh_search
 from vector_search_go_spark.operators.exact_knn import embeddings_split, exact_knn_join
 from vector_search_go_spark.operators.recall import distance_based_precision_recall
+from vector_search_go_spark.io import read_parquet_cached
 from vector_search_go_spark.registry import register
 
 # 40 trees / kmin 100: eps-recall ~0.995 on both metrics at sf0.1 and
@@ -246,7 +247,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_lsh_e2e.py::test_dedup_embedding_lsh_recall instead."""
     from vector_search_go_spark.operators.argmin import pairwise_dist_udf
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )

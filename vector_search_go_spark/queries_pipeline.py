@@ -16,7 +16,7 @@ import pandas as pd  # noqa: F401 — needed at module scope so pandas_udf
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_search_go_spark.io import ensure_parallelism, table
+from vector_search_go_spark.io import ensure_parallelism, read_parquet_cached, table
 from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
 from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist, sql_l2_dist
 from vector_search_go_spark.registry import register
@@ -63,7 +63,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction raise coverage (0.79 at 65 cells/np32 -> 0.91 at
     286 cells/np140), which is the scale story: cell count grows with
     the corpus, probe fraction stays pinned."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") % 7 == 3).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -707,7 +707,7 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (operators.argmin)."""
     from vector_search_go_spark.operators.pq import pq_codebook, pq_encode
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     return pq_encode(ensure_parallelism(corpus), pq_codebook(emb))
 
@@ -808,7 +808,7 @@ def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_shortlist,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -875,7 +875,7 @@ def pq_search_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_shortlist,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     allv = ensure_parallelism(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
@@ -971,7 +971,7 @@ def kmeans_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.operators.kmeans import kmeans_assign, kmeans_fit
     from vector_search_go_spark.operators.model_store import cached_df
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     corpus = ensure_parallelism(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
     )
@@ -1174,22 +1174,26 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_rerank,
     )
 
-    queries, corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+    queries, corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
     approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
+        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT,
+        qrows=qrows,
     )
     return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
 
 
 def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
     """The shared residual-IVFADC pipeline pieces: (queries, corpus,
-    coarse centroids, residual codebook, probed candidate codes) —
-    used by ivf_pq_search and the ADC-value pin below so the two can
-    never drift apart."""
-    from vector_search_go_spark.functions.metrics import metric_dist
-    from vector_search_go_spark.operators.ann_ivf import assign_cells
+    coarse centroids, residual codebook, probed candidate codes,
+    collected query rows) — used by ivf_pq_search and the ADC-value pin
+    below so the two can never drift apart."""
+    from vector_search_go_spark.operators.ann_ivf import (
+        assign_cells,
+        probe_cells_local,
+    )
+    from vector_search_go_spark.operators.argmin import collect_centroids
     from vector_search_go_spark.operators.kmeans import kmeans_fit
     from vector_search_go_spark.operators.model_store import cached_df
     from vector_search_go_spark.operators.pq import (
@@ -1197,9 +1201,8 @@ def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
         pq_codes_residual_udf,
         residual_vec_udf,
     )
-    from vector_search_go_spark.operators.topk import topk_per_group
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1237,17 +1240,32 @@ def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
             F.col("vec"), F.col("cell")
         ).alias("codes"),
     )
-    qprobe = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", metric_dist("l2", F.col("qvec"), F.col("cvec"))
+    # probe selection is query-batch x KB-model work: one collect of the
+    # query batch (shared with the ADC kernel below), then the same
+    # (cdist, cid) ranking the crossJoin + rank-window produced, selected
+    # driver-side (ann_ivf.probe_cells_local) — drops a crossJoin +
+    # window shuffle + broadcast-build job per invocation
+    from pyspark.sql.types import StructField, StructType
+
+    qrows = sorted(
+        queries.select("query_id", "qvec").collect(),
+        key=lambda r: r["query_id"],
     )
-    probes = topk_per_group(
-        qprobe, ["query_id"], "cdist", _IVFPQ_NPROBE, tiebreak_cols=["cid"],
-        rank_name="_r",
-    ).select("query_id", F.col("cid").alias("cell"))
+    cids, cmat = collect_centroids(centroids)
+    probed = probe_cells_local(qrows, cids, cmat, "l2", _IVFPQ_NPROBE)
+    probes = spark.createDataFrame(
+        [(r["query_id"], c) for r, cs in probed for c in cs],
+        StructType(
+            [
+                queries.select("query_id").schema.fields[0],
+                StructField("cell", centroids.schema["cid"].dataType, True),
+            ]
+        ),
+    )
     # the probe list is |queries| x nprobe rows — always the broadcast
     # side against the corpus-wide code table
     cand_codes = F.broadcast(probes).join(codes, on="cell")
-    return queries, corpus, centroids, cb, cand_codes
+    return queries, corpus, centroids, cb, cand_codes, qrows
 
 
 def _ivfpq_adc_oracle() -> str:
@@ -1296,11 +1314,11 @@ def ivfpq_residual_adc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.operators.pq import ivfpq_adc_candidates_res
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    queries, _corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+    queries, _corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
     approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=5
+        queries, cand_codes, cb, centroids, local_topk=5, qrows=qrows
     )
     top = topk_per_group(
         approx, ["query_id"], "approx_dist", 5, tiebreak_cols=["id"]
@@ -1362,7 +1380,7 @@ def _ensure_ivfpq_sharded_store(spark: SparkSession, sf_dir: str) -> str:
         pq_codebook_residual,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     corpus = ensure_parallelism(
         emb.filter(F.col("vec_id") % 50 != 0).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1418,7 +1436,7 @@ def serving_sharded_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lsh/lsh.go:137-197)."""
     from vector_search_go_spark.serve.sharded import ShardedReader
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1579,7 +1597,7 @@ def sq8_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's canonicalizer cannot hash array cells."""
     from vector_search_go_spark.operators.sq8 import sq8_encode, sq8_stats
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     corpus = ensure_parallelism(
         emb.filter(F.col("vec_id") % 50 != 0).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1642,7 +1660,7 @@ def sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq8_stats,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1785,11 +1803,12 @@ def ivfpq_sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    queries, corpus, centroids, cb, cand_codes = _ivfpq_res_components(
+    queries, corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
     approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT
+        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT,
+        qrows=qrows,
     )
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", _IVFPQ_SHORT,

@@ -21,6 +21,7 @@ from vector_search_go_spark.oracle.vector_sql import (
     sql_l2_dist,
     sql_l2_norm,
 )
+from vector_search_go_spark.io import read_parquet_cached
 from vector_search_go_spark.registry import register
 
 _KNN_ORACLE_TEMPLATE = """
@@ -83,7 +84,7 @@ def metric_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_to_angular_dist,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     a = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
@@ -116,7 +117,7 @@ FROM embeddings
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector norm + min/max (reference GetFloat64Range,
     annbench/annbench.go:127-141, done per-row then aggregable)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
@@ -139,7 +140,7 @@ def matrix_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global min/max over the whole matrix (reference GetFloat64Range,
     annbench/annbench.go:127-141 — theirs sorts a copy; min/max agg is the
     scale-correct equivalent)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return emb.agg(
         F.min(F.array_min(vd)).alias("lo"), F.max(F.array_max(vd)).alias("hi")
@@ -172,7 +173,7 @@ def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over a vec_id-sorted list makes the double sum order-identical
     to the DuckDB oracle; the production path (operators.stats) uses
     plain avg()."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     exploded = emb.select(
         "vec_id",
         F.posexplode(
@@ -233,7 +234,7 @@ def vector_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("s"), lambda p: p["mean"]).alias("mean_arr"),
         F.transform(F.col("s"), lambda p: p["mad"]).alias("mad_arr"),
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 20
     )
     xm = F.zip_with(
@@ -263,7 +264,7 @@ FROM a CROSS JOIN b
 def pairwise_dist_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both metrics over a small deterministic pair sample — the direct
     analog of the reference's metric unit surface (lsh_test.go:47-106)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     a = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
@@ -309,7 +310,7 @@ def knn_exact_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative) both over-scans and under-fills k."""
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "label"
     )
@@ -355,7 +356,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         projection_matrix,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     proj = project_arrow(projection_matrix(64, 16, seed=7))
     return (
         emb.select("vec_id", proj(F.col("embedding")).alias("y"))
