@@ -124,21 +124,66 @@ def lsh_search(
         # False is the caller's signal that queries are large, so keep
         # them distributed via the per-pair Arrow kernel instead.
         impl = "arrow"
-    hash_vec = _hash_probe_udf(spark, index.forest, with_probes=True)
-
-    qhash = (
-        queries.select("query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash"))
-        .select(
-            "query_id",
-            (F.col("pos") % n_trees).cast("int").alias("tree"),
-            "hash",
-        )
-        # own + probe bucket may collide for degenerate trees; and the
-        # same (tree, hash) must not double-count a bucket per query
-        .dropDuplicates(["query_id", "tree", "hash"])
-    )
+    q_rows = None
     if broadcast_queries:
-        qhash = F.broadcast(qhash)
+        # The query batch is driver-collectable by contract here, and
+        # the forest already lives on the driver — hash + probe the
+        # whole batch in ONE Forest.hash_batch call (exactly what the
+        # serving path lsh_point_search_batch does) instead of running
+        # a pandas-UDF stage + dropDuplicates shuffle + broadcast-build
+        # job per search. hash_batch casts to float64 internally, the
+        # same widening the Arrow kernel applied, so hashes are
+        # bit-identical; the set-dedup mirrors dropDuplicates.
+        import numpy as np
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        q_rows = queries.select("query_id", "qvec").collect()
+        if q_rows:
+            Q = np.array([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+            hashes = index.forest.hash_batch(Q)
+            probes = index.forest.probe_batch(hashes)
+            keys = sorted(
+                {
+                    (r["query_id"], t, int(h[i, t]))
+                    for h in (hashes, probes)
+                    for i, r in enumerate(q_rows)
+                    for t in range(n_trees)
+                }
+            )
+        else:
+            keys = []
+        qhash = F.broadcast(
+            spark.createDataFrame(
+                keys,
+                StructType(
+                    [
+                        queries.select("query_id").schema.fields[0],
+                        StructField("tree", IntegerType(), False),
+                        StructField("hash", LongType(), False),
+                    ]
+                ),
+            )
+        )
+    else:
+        hash_vec = _hash_probe_udf(spark, index.forest, with_probes=True)
+        qhash = (
+            queries.select(
+                "query_id", F.posexplode(hash_vec("qvec")).alias("pos", "hash")
+            )
+            .select(
+                "query_id",
+                (F.col("pos") % n_trees).cast("int").alias("tree"),
+                "hash",
+            )
+            # own + probe bucket may collide for degenerate trees; and the
+            # same (tree, hash) must not double-count a bucket per query
+            .dropDuplicates(["query_id", "tree", "hash"])
+        )
 
     buckets = index.buckets
     if index.config.max_bucket_size is not None:
@@ -173,7 +218,7 @@ def lsh_search(
         mc = index.config.max_candidates
         local_l = k if mc is None else min(k, mc)
         scored = fanin.join(index.vectors, on="id").mapInPandas(
-            fanin_query_scorer(queries, metric, local_topk=local_l),
+            fanin_query_scorer(queries, metric, local_topk=local_l, qrows=q_rows),
             schema=f"query_id {qid_t}, id {id_t}, dist double",
         )
         if threshold is not None:

@@ -247,7 +247,8 @@ def mesh_topk_arrays(D, ids_b, qids, L: int):
 
 def fanin_query_scorer(queries: DataFrame, metric: str,
                        qid_col: str = "query_id", qvec_col: str = "qvec",
-                       tol: float = 1e-6, local_topk: int | None = None):
+                       tol: float = 1e-6, local_topk: int | None = None,
+                       qrows: list | None = None):
     """Fan-in candidate scorer for LSH search: consumes rows
     ``(id, qids array, vec)`` — one row per candidate CORPUS vector with
     the list of query ids it must be scored against — and emits
@@ -278,7 +279,11 @@ def fanin_query_scorer(queries: DataFrame, metric: str,
     rows per batch reach the shuffle instead of every candidate pair.
     Distances are never approximated here; this is pure row
     reduction."""
-    rows = queries.select(qid_col, qvec_col).collect()
+    rows = (
+        qrows
+        if qrows is not None
+        else queries.select(qid_col, qvec_col).collect()
+    )
     Q = np.array([list(r[qvec_col]) for r in rows], dtype=np.float64)
     qpos = {r[qid_col]: i for i, r in enumerate(rows)}
     is_cos = metric in ("cosine", "angular")

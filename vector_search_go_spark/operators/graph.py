@@ -62,8 +62,12 @@ def connected_components(
         return _cc_star(edges, src, dst, max_iter)
     if impl != "propagate":
         raise ValueError(f"unknown connected_components impl {impl!r}")
+    # lazy checkpoints: the convergence count right below is the FIRST
+    # action over each round's plan, so materialization rides inside
+    # that job — one job per round instead of two (eager checkpoint +
+    # count); later consumers read the cached rows either way
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select("b", "a")).distinct().localCheckpoint(eager=True)
+    sym = sym.union(sym.select("b", "a")).distinct().localCheckpoint(eager=False)
 
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -81,7 +85,7 @@ def connected_components(
             "label",
             F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("new_label"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.localCheckpoint(eager=False)
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
@@ -115,7 +119,8 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the fingerprint agg below materializes it in its own job
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame) -> tuple:
@@ -156,7 +161,7 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     fp = fingerprint(e)
     for _ in range(max_iter):
         stepped = small_star(canon(large_star(e))).toDF("a", "b")
-        e = canon(stepped).localCheckpoint(eager=True)
+        e = canon(stepped).localCheckpoint(eager=False)
         fp2 = fingerprint(e)
         if fp2 == fp:
             # Stars: every edge is (leaf, center) with center the

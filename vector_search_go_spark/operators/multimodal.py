@@ -658,6 +658,16 @@ def hamming_near_dup_pairs(
         F.col(hash_col).cast("long").alias("h"),
         *align,
     )
+    # Materialize the fingerprint proxy ONCE before the banded
+    # self-join: both join sides consume ``h``, and without
+    # materialization Spark plants the whole upstream decode+hash
+    # subtree (media decode MapInPandas stages — the expensive per-task
+    # work) into EACH side of the join, decoding the corpus twice
+    # (observed: 2x2 MapInPandas nodes in the physical plan). The
+    # checkpoint truncates the plan to the (id, hash) rows — KBs per
+    # million fingerprints — which is guide §8.4 step 1 verbatim:
+    # compute the lightweight proxy once, join on the proxy.
+    h = h.localCheckpoint(eager=False)
     bands = h.select(
         "id",
         "h",

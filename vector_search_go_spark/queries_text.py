@@ -129,7 +129,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shingles the documents three times (measured at sf0.1: 5.5 s
     # -> 1.6 s). At 100 TB the same applies — shingling is the
     # expensive map stage and must be paid once.
-    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy: the first downstream action materializes it in place of a
+    # separate eager build-time job
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     a = e.select(F.col("doc_id").alias("doc_a"), "s")
@@ -293,7 +295,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on band keys, so pair cost tracks true
     near-dups, not n^2. Verification (exact Jaccard) is
     dedup_ngram_jaccard on the candidate set."""
-    bands = minhash_band_keys(_shingled_docs(spark, sf_dir))
+    # materialize the band keys once: both self-join sides consume them,
+    # and an unmaterialized plan re-shingles + re-signs the corpus twice
+    # (the dedup_ngram_jaccard lesson; guide §8.4 — compute the proxy
+    # once). (doc_id, band, band_key) rows are bytes per doc.
+    bands = minhash_band_keys(_shingled_docs(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
