@@ -88,6 +88,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
+# Partition-count memo for ensure_parallelism: df.rdd.getNumPartitions()
+# costs ~23 ms of plan->RDD conversion per call and queries probe the
+# same scan shapes every invocation; the analyzed plan's semanticHash
+# (~2 ms) keys the memoized count. Only the repartition DECISION depends
+# on it (results are partitioning-independent), so a stale entry after a
+# file rewrite can at worst change plan shape, never values.
+_PARTS_MEMO: dict[tuple, int] = {}
+
+
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Spread a DataFrame across the cluster's cores before CPU-heavy
     narrow transforms (md5 sweeps, per-row vector math).
@@ -97,7 +106,21 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     thousands of splits and this is a no-op (the guard keeps it from
     inserting a pointless full shuffle on large inputs)."""
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (
+            id(df.sparkSession),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:
+        key = None
+    n = _PARTS_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_PARTS_MEMO) > 4096:
+                _PARTS_MEMO.clear()
+            _PARTS_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -235,6 +235,19 @@ def pq_codes_udf(codebook: DataFrame):
     return codes_udf
 
 
+def pq_encode_arr(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(id, codes array<int>) — array-form encode, the search-path twin
+    of ``pq_encode``: one Arrow map stage, codes in subspace order.
+    Bit-identical to regrouping pq_encode's exploded (id, sub, code)
+    rows with sort_array(collect_list(struct(sub, code))) — which is a
+    corpus-wide shuffle the ADC search paid purely to undo the explode
+    the encode QUERY's output contract required (guide §2.4: remove
+    shuffles outright)."""
+    return corpus.select(
+        "id", pq_codes_udf(codebook)(F.col("vec")).alias("codes")
+    )
+
+
 def _coarse_pos(coarse_cents) -> tuple:
     """(centroid matrix float64[C, D], {cid: row}) from a centroid
     DataFrame or a preloaded (cids, matrix) model — the closure payload
@@ -346,14 +359,20 @@ def pq_adc_candidates(
     instead of |batch| x |queries|. ADC values are never approximated;
     pure row reduction."""
     has_qid = "query_id" in codes.columns
-    codes_arr = codes.groupBy(
-        *(["query_id", "id"] if has_qid else ["id"])
-    ).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("sub", "code"))),
-            lambda x: x["code"],
-        ).alias("codes")
-    )
+    if "codes" in codes.columns:
+        # already array-form (pq_encode_arr): codes in subspace order —
+        # exactly what the regroup below reassembles from exploded
+        # (id, sub, code) rows, without its corpus-wide shuffle
+        codes_arr = codes
+    else:
+        codes_arr = codes.groupBy(
+            *(["query_id", "id"] if has_qid else ["id"])
+        ).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf  # noqa: F401
 
@@ -485,6 +504,123 @@ def pq_adc_candidates(
                 ),
             )
         ).alias("approx_dist"),
+    )
+
+
+def ivfpq_adc_scores_fused(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    coarse_cents,
+    cell_to_queries: dict,
+    qrows: list,
+    local_topk: int | None = None,
+) -> DataFrame:
+    """(query_id, id, approx_dist) over the residual-IVFADC chain with
+    coarse assignment, residual encode and ADC scoring FUSED into ONE
+    Arrow map stage over the corpus (guide §4.2: one batched kernel in
+    place of a chain of map stages). Replaces the three-piece plan
+    assign_cells -> pq_codes_residual_udf -> broadcast(probe) join ->
+    ivfpq_adc_candidates_res, which paid two Python boundary crossings
+    plus a broadcast build per invocation and shipped the code arrays
+    through Arrow twice.
+
+    Bit-identical to the unfused chain, piece by piece:
+
+      - assignment: sqrt'd sequential-IEEE L2 + first-min argmin over
+        ascending cids == argmin_id_arrow(metric='l2') == the Catalyst
+        fold (tests/test_argmin_parity.py);
+      - residual codes: same _seq_sq_l2 argmin over the sorted
+        codebook == pq_codes_residual_udf;
+      - ADC: residual_lut tables gathered per (query, cell), per-pair
+        adds in subspace order, sqrt at the end == the unfused kernel
+        (the ivfpq_residual_adc_verdict oracle hash pins every float);
+      - ``local_topk`` is the same exact per-batch (approx_dist, id)
+        truncation — selection-monotone for every downstream
+        topk(shortlist) -> rerank -> topk(k) consumer.
+
+    ``cell_to_queries`` maps cell id -> probing query ids (the inverse
+    of the driver-side probe selection, ann_ivf.probe_cells_local);
+    ``qrows`` is the collected (query_id, qvec) batch."""
+    from vector_search_go_spark.operators.argmin import (
+        _seq_sq_l2,
+        local_topk_flat,
+    )
+
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, id long, approx_dist double"
+        )
+    qrows = sorted(qrows, key=lambda r: r["query_id"])
+    qpos = {int(r["query_id"]): i for i, r in enumerate(qrows)}
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    cb_ids, cb_mats = _codebook_mats(codebook)
+    n_codes = max(int(cb_ids[s].max()) for s in cb_ids) + 1
+    C, cpos = _coarse_pos(coarse_cents)
+    cids_sorted = np.array(sorted(cpos, key=lambda c: cpos[c]), dtype=np.int64)
+    c2q = {int(c): [int(q) for q in qs] for c, qs in cell_to_queries.items()}
+    m_sub, d_sub = M_SUB, D_SUB
+
+    def gen(batches):
+        LUT_MEMO_CAP = 1024
+        lut_memo: dict = {}
+
+        def lut_for(qp: int, cell: int) -> np.ndarray:
+            key = (qp, cell)
+            lut = lut_memo.get(key)
+            if lut is None:
+                lut = residual_lut(Q[qp], C[cpos[cell]], cb_ids, cb_mats, n_codes)
+                if len(lut_memo) >= LUT_MEMO_CAP:
+                    lut_memo.clear()
+                lut_memo[key] = lut
+            return lut
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            ids_arr = pdf["id"].to_numpy()
+            # coarse assignment: compare sqrt'd distances (the domain
+            # the expression path compares in — see argmin_id_arrow)
+            Dc = np.sqrt(_seq_sq_l2(V, C))
+            cell_idx = Dc.argmin(axis=1)
+            cells = cids_sorted[cell_idx]
+            R = V - C[cell_idx]
+            codes = np.empty((len(V), m_sub), dtype=np.int64)
+            for sub in range(m_sub):
+                sl = R[:, sub * d_sub : (sub + 1) * d_sub]
+                Ds = _seq_sq_l2(sl, cb_mats[sub])
+                codes[:, sub] = cb_ids[sub][Ds.argmin(axis=1)]
+            out_q, out_i, out_d = [], [], []
+            for c in np.unique(cells):
+                qs = c2q.get(int(c))
+                if not qs:
+                    continue
+                m = cells == c
+                Cd = codes[m]
+                idm = ids_arr[m]
+                for q in qs:
+                    lut = lut_for(qpos[q], int(c))
+                    acc = np.zeros(len(Cd))
+                    for sub in range(m_sub):
+                        acc = acc + lut[sub, Cd[:, sub]]
+                    out_q.append(np.full(len(Cd), q, dtype=np.int64))
+                    out_i.append(idm)
+                    out_d.append(np.sqrt(acc))
+            if not out_q:
+                continue
+            q_arr = np.concatenate(out_q)
+            i_arr = np.concatenate(out_i)
+            d_arr = np.concatenate(out_d)
+            if local_topk is not None and len(d_arr) > local_topk:
+                keep = local_topk_flat(q_arr, i_arr, d_arr, local_topk)
+                q_arr, i_arr, d_arr = q_arr[keep], i_arr[keep], d_arr[keep]
+            yield pd.DataFrame(
+                {"query_id": q_arr, "id": i_arr, "approx_dist": d_arr}
+            )
+
+    return corpus.select("id", "vec").mapInPandas(
+        gen, "query_id long, id long, approx_dist double"
     )
 
 

@@ -97,6 +97,7 @@ def sq8_search(
     k: int = 10,
     shortlist: int = SQ_SHORTLIST,
     impl: str = "arrow",
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """queries(query_id, qvec) -> (query_id, id, dist, rn): approximate
     L2 against dequantized codes for a shortlist, exact rerank for the
@@ -107,7 +108,14 @@ def sq8_search(
     (``min + (code+0.5)*scale``, the same two IEEE ops per element) and
     the batch x query distance matrix with sequential per-dimension
     adds, bit-identical to the ``impl='expr'`` fold (same pattern as
-    operators.exact_knn; pinned by the sq8 oracle hashes)."""
+    operators.exact_knn; pinned by the sq8 oracle hashes).
+
+    ``vectors`` (arrow impl): pass the raw (id, vec) corpus instead of
+    ``codes`` and the kernel encodes each batch itself with
+    sq8_encode_np — the parity-pinned numpy twin of the sq8_encode
+    Catalyst expression — fusing encode + dequantized scan into the one
+    Arrow stage (guide §4.2) instead of an interpreted 256-lambda
+    projection + broadcast feeding it."""
     if impl == "arrow":
         import numpy as np
         import pandas as pd
@@ -131,11 +139,17 @@ def sq8_search(
         qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
         Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
 
+        fused = vectors is not None
+
         def gen(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                C = np.array(pdf["codes"].tolist(), dtype=np.float64)
+                if fused:
+                    V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                    C = sq8_encode_np(V, mins, scales).astype(np.float64)
+                else:
+                    C = np.array(pdf["codes"].tolist(), dtype=np.float64)
                 xhat = mins[None, :] + (C + 0.5) * scales[None, :]
                 D = np.sqrt(_seq_sq_l2(xhat, Q))
                 n_v, n_q = D.shape
@@ -165,9 +179,9 @@ def sq8_search(
                     }
                 )
 
-        approx = codes.mapInPandas(
-            gen, "query_id long, id long, approx_dist double"
-        )
+        approx = (
+            vectors.select("id", "vec") if fused else codes
+        ).mapInPandas(gen, "query_id long, id long, approx_dist double")
     else:
         approx = (
             codes.crossJoin(F.broadcast(stats))

@@ -804,7 +804,7 @@ def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.operators.pq import (
         pq_adc_search,
         pq_codebook,
-        pq_encode,
+        pq_encode_arr,
         pq_shortlist,
     )
 
@@ -816,7 +816,7 @@ def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
     cb = pq_codebook(emb)
-    codes = pq_encode(ensure_parallelism(corpus), cb)
+    codes = pq_encode_arr(ensure_parallelism(corpus), cb)
     return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=pq_shortlist())
 
 
@@ -871,7 +871,7 @@ def pq_search_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_go_spark.operators.pq import (
         pq_adc_search,
         pq_codebook_trained,
-        pq_encode,
+        pq_encode_arr,
         pq_shortlist,
     )
 
@@ -896,7 +896,7 @@ def pq_search_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: pq_codebook_trained(allv, iters=3, exact=True),
     )
-    codes = pq_encode(ensure_parallelism(corpus), cb)
+    codes = pq_encode_arr(ensure_parallelism(corpus), cb)
     return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=pq_shortlist())
 
 
@@ -1169,26 +1169,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer loses anything inside probed cells. The dramatic version of
     the same effect at tight budgets: SCALE.md r10 2M sweep, floor
     recall 0.43 (raw) -> 0.90 (residual) at unchanged ms/q."""
-    from vector_search_go_spark.operators.pq import (
-        ivfpq_adc_candidates_res,
-        pq_rerank,
-    )
+    from vector_search_go_spark.operators.pq import pq_rerank
 
-    queries, corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
+    queries, corpus, centroids, cb, approx_fn, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
-    approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT,
-        qrows=qrows,
-    )
+    approx = approx_fn(_IVFPQ_SHORT)
     return pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
 
 
 def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
     """The shared residual-IVFADC pipeline pieces: (queries, corpus,
-    coarse centroids, residual codebook, probed candidate codes,
-    collected query rows) — used by ivf_pq_search and the ADC-value pin
-    below so the two can never drift apart."""
+    coarse centroids, residual codebook, the fused ADC scorer
+    ``approx_fn(local_topk)``, collected query rows) — used by
+    ivf_pq_search and the ADC-value pin below so the two can never
+    drift apart."""
     from vector_search_go_spark.operators.ann_ivf import (
         assign_cells,
         probe_cells_local,
@@ -1233,39 +1228,36 @@ def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
             exact=True,
         ),
     )
-    codes = assigned.select(
-        "cell",
-        "id",
-        pq_codes_residual_udf(cb, centroids)(
-            F.col("vec"), F.col("cell")
-        ).alias("codes"),
-    )
     # probe selection is query-batch x KB-model work: one collect of the
-    # query batch (shared with the ADC kernel below), then the same
+    # query batch (shared with the fused ADC kernel), then the same
     # (cdist, cid) ranking the crossJoin + rank-window produced, selected
     # driver-side (ann_ivf.probe_cells_local) — drops a crossJoin +
-    # window shuffle + broadcast-build job per invocation
-    from pyspark.sql.types import StructField, StructType
-
+    # window shuffle + broadcast-build job per invocation. The probe map
+    # rides into the fused kernel's closure (cell -> probing query ids)
+    # instead of a broadcast join against a separate code table.
     qrows = sorted(
         queries.select("query_id", "qvec").collect(),
         key=lambda r: r["query_id"],
     )
     cids, cmat = collect_centroids(centroids)
     probed = probe_cells_local(qrows, cids, cmat, "l2", _IVFPQ_NPROBE)
-    probes = spark.createDataFrame(
-        [(r["query_id"], c) for r, cs in probed for c in cs],
-        StructType(
-            [
-                queries.select("query_id").schema.fields[0],
-                StructField("cell", centroids.schema["cid"].dataType, True),
-            ]
-        ),
-    )
-    # the probe list is |queries| x nprobe rows — always the broadcast
-    # side against the corpus-wide code table
-    cand_codes = F.broadcast(probes).join(codes, on="cell")
-    return queries, corpus, centroids, cb, cand_codes, qrows
+    cell_to_queries: dict[int, list[int]] = {}
+    for r, cs in probed:
+        for c in cs:
+            cell_to_queries.setdefault(int(c), []).append(int(r["query_id"]))
+
+    def approx_fn(local_topk: int | None):
+        """assign -> residual-encode -> ADC, fused into one Arrow stage
+        (pq.ivfpq_adc_scores_fused — bit-identical to the unfused
+        chain; see its docstring)."""
+        from vector_search_go_spark.operators.pq import ivfpq_adc_scores_fused
+
+        return ivfpq_adc_scores_fused(
+            corpus, cb, centroids, cell_to_queries, qrows,
+            local_topk=local_topk,
+        )
+
+    return queries, corpus, centroids, cb, approx_fn, qrows
 
 
 def _ivfpq_adc_oracle() -> str:
@@ -1311,15 +1303,12 @@ def ivfpq_residual_adc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rerank hides ADC order). Rotated into the window over the
     r2-green, unchanged pq_search_adc slot (its trained sibling
     pq_search_adc_trained keeps the raw-PQ ADC chain in-window)."""
-    from vector_search_go_spark.operators.pq import ivfpq_adc_candidates_res
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    queries, _corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
+    queries, _corpus, centroids, cb, approx_fn, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
-    approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=5, qrows=qrows
-    )
+    approx = approx_fn(5)
     top = topk_per_group(
         approx, ["query_id"], "approx_dist", 5, tiebreak_cols=["id"]
     )
@@ -1654,11 +1643,7 @@ def sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint-dequantized codes for a top-50 shortlist, exact rerank to
     top-10. SQ8's approx ordering is near-exact, so unlike PQ the
     shortlist stays small and constant."""
-    from vector_search_go_spark.operators.sq8 import (
-        sq8_encode,
-        sq8_search,
-        sq8_stats,
-    )
+    from vector_search_go_spark.operators.sq8 import sq8_search, sq8_stats
 
     emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1670,8 +1655,12 @@ def sq8_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stats = sq8_stats(corpus, _SQ_DIM)
-    codes = sq8_encode(corpus, stats, _SQ_DIM)
-    return sq8_search(queries, codes, stats, corpus, _SQ_DIM, k=10)
+    # encode fused into the scan kernel (sq8_search vectors=...): one
+    # Arrow stage encodes + scores each batch with the parity-pinned
+    # numpy twins of the sq8_encode expression
+    return sq8_search(
+        queries, None, stats, corpus, _SQ_DIM, k=10, vectors=corpus
+    )
 
 
 @register(
@@ -1795,7 +1784,6 @@ def ivfpq_sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     its selection. Reference anchor: the rerank stage this composes
     under (lsh/lsh.go:137-197 reranks bucket candidates exactly)."""
     from vector_search_go_spark.functions.metrics import l2_dist
-    from vector_search_go_spark.operators.pq import ivfpq_adc_candidates_res
     from vector_search_go_spark.operators.sq8 import (
         sq8_encode,
         sq8_refine,
@@ -1803,13 +1791,10 @@ def ivfpq_sq8_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vector_search_go_spark.operators.topk import topk_per_group
 
-    queries, corpus, centroids, cb, cand_codes, qrows = _ivfpq_res_components(
+    queries, corpus, centroids, cb, approx_fn, qrows = _ivfpq_res_components(
         spark, sf_dir
     )
-    approx = ivfpq_adc_candidates_res(
-        queries, cand_codes, cb, centroids, local_topk=_IVFPQ_SHORT,
-        qrows=qrows,
-    )
+    approx = approx_fn(_IVFPQ_SHORT)
     short = topk_per_group(
         approx, ["query_id"], "approx_dist", _IVFPQ_SHORT,
         tiebreak_cols=["id"], rank_name="_s",
