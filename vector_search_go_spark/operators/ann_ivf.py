@@ -139,20 +139,29 @@ def ivf_search(
         )
         cids, cmat = collect_centroids(centroids)
         probed = probe_cells_local(qrows, cids, cmat, metric, nprobe)
-        q_schema = queries.select("query_id", "qvec").schema
+        # the local probe relation carries keys only — qvec joins back
+        # from the broadcast query table below, so |queries| x nprobe
+        # vectors never round-trip through the driver
         schema = StructType(
-            list(q_schema.fields)
-            + [StructField("cell", centroids.schema["cid"].dataType, True)]
+            [
+                queries.select("query_id").schema.fields[0],
+                StructField("cell", centroids.schema["cid"].dataType, True),
+            ]
         )
         probes = queries.sparkSession.createDataFrame(
-            [
-                (r["query_id"], list(r["qvec"]), c)
-                for r, cs in probed
-                for c in cs
-            ],
+            [(r["query_id"], c) for r, cs in probed for c in cs],
             schema,
         )
-        dist_col = pairwise_dist_udf(metric)(F.col("qvec"), F.col("vec"))
+        cand = (
+            F.broadcast(probes)
+            .join(cells, on="cell")
+            .join(F.broadcast(queries.select("query_id", "qvec")), on="query_id")
+            .withColumn(
+                "dist", pairwise_dist_udf(metric)(F.col("qvec"), F.col("vec"))
+            )
+        )
+        top = topk_per_group(cand, ["query_id"], "dist", k, tiebreak_cols=["id"])
+        return top.select("query_id", "id", "dist", "rn")
     else:
         qprobe = (
             queries.crossJoin(F.broadcast(centroids))

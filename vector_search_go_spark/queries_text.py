@@ -726,6 +726,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id", F.explode("w").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # materialize once: tf feeds BOTH the idf aggregation (exchange
+        # on tok) and the scored join (exchange on doc_id) — different
+        # partitionings, so ReusedExchange cannot deduplicate them and
+        # the tokenize + explode + agg subtree would run twice
+        .localCheckpoint(eager=False)
     )
     idf = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
