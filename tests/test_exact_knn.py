@@ -154,3 +154,21 @@ def test_searches_tolerate_empty_queries(spark):
     scodes = sq8_encode(corpus, stats, 8)
     assert sq8_search(empty_q, scodes, stats, corpus, 8, k=5, shortlist=20).count() == 0
     assert exact_knn_join(empty_q, corpus, metric="l2", k=5).count() == 0
+
+
+def test_precision_recall_zero_side_null_semantics(spark):
+    """ADVICE r11 (high): a query present only in truth (the ANN
+    returned zero candidates) must produce NULL precision / 0.0 recall
+    — not an ANSI DIVIDE_BY_ZERO — and a pred-only query the mirror
+    image (0.0 precision / NULL recall)."""
+    truth = spark.createDataFrame(
+        [(0, 1), (0, 2), (7, 3)], "query_id bigint, id bigint"
+    )
+    pred = spark.createDataFrame([(0, 1), (9, 4)], "query_id bigint, id bigint")
+    rows = {
+        r["query_id"]: (r["precision"], r["recall"])
+        for r in precision_recall(pred, truth).collect()
+    }
+    assert rows[0] == (1.0, 0.5)
+    assert rows[7][0] is None and rows[7][1] == 0.0
+    assert rows[9][0] == 0.0 and rows[9][1] is None

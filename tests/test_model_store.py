@@ -91,3 +91,17 @@ def test_store_path_embeds_layout_version(monkeypatch, tmp_model_dir):
     # the old slot existing cannot satisfy the new key
     os.makedirs(os.path.join(p1, "shards_meta"), exist_ok=True)
     assert not os.path.exists(os.path.join(p2, "shards_meta"))
+
+
+def test_local_rows_detects_rewrite_between_load_and_use(spark, tmp_model_dir):
+    """ADVICE r11: local_rows must refuse the driver-side fast path when
+    the model directory changed after load_model pinned its listing —
+    the caller then .collect()s through the same Spark plan."""
+    df0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "cid int, x double")
+    model_store.save_model(df0, "stamp_probe", SF_DIR)
+    loaded = model_store.load_model(spark, "stamp_probe", SF_DIR)
+    assert model_store.local_rows(loaded, ["cid", "x"]) is not None
+    # rewrite the slot (different row count -> different file size)
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "cid int, x double")
+    model_store.save_model(df1, "stamp_probe", SF_DIR)
+    assert model_store.local_rows(loaded, ["cid", "x"]) is None

@@ -41,15 +41,28 @@ TABLES = (
 _READ_MEMO: dict[str, tuple] = {}
 
 
-def _path_stamp(path: str) -> float:
+def _path_stamp(path: str) -> tuple:
     """Cheap change detector for a parquet file/dir: mtime of the dir
     entry itself plus _SUCCESS when present (directory writes touch
-    both)."""
+    both), strengthened with the top-level file count + total byte size
+    (ADVICE r11: an in-place rewrite landing within mtime resolution
+    must still invalidate). Writers are expected to go through Spark's
+    directory-replacing overwrite; one scandir per read is the cost."""
     st = os.path.getmtime(path)
-    succ = os.path.join(path, "_SUCCESS")
-    if os.path.exists(succ):
-        st = max(st, os.path.getmtime(succ))
-    return st
+    n_files = 0
+    total = 0
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            for e in it:
+                if e.is_file():
+                    s = e.stat()
+                    n_files += 1
+                    total += s.st_size
+                    if s.st_mtime > st:
+                        st = s.st_mtime
+    else:
+        total = os.path.getsize(path)
+    return (st, n_files, total)
 
 
 def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:

@@ -280,30 +280,39 @@ class LshIndex:
                 # local store: the model is KBs — read it driver-side
                 # (pyarrow + plain JSON) instead of scheduling two Spark
                 # collect jobs per index load (guide §5; the serving
-                # readers already load models this way)
-                import glob
+                # readers already load models this way). Any failure
+                # (absent/empty/compressed config parts — ADVICE r11)
+                # falls through to the Spark reader below, which handles
+                # every layout Spark itself can write.
+                try:
+                    import glob
 
-                import pyarrow.parquet as pa_pq
+                    import pyarrow.parquet as pa_pq
 
-                cfg_files = [
-                    f
-                    for f in sorted(glob.glob(os.path.join(path, "model_config", "*")))
-                    if not os.path.basename(f).startswith(("_", "."))
-                    and os.path.isfile(f)
-                ]
-                cfg_json = None
-                for f in cfg_files:
-                    with open(f) as fh:
-                        line = fh.readline().strip()
-                    if line:
-                        cfg_json = json.loads(line)["config_json"]
-                        break
-                rows = pa_pq.read_table(
-                    os.path.join(path, "model_nodes")
-                ).to_pylist()
-                return Forest.from_node_rows(
-                    LshConfig(**json.loads(cfg_json)), rows
-                )
+                    cfg_files = [
+                        f
+                        for f in sorted(
+                            glob.glob(os.path.join(path, "model_config", "*"))
+                        )
+                        if not os.path.basename(f).startswith(("_", "."))
+                        and os.path.isfile(f)
+                    ]
+                    cfg_json = None
+                    for f in cfg_files:
+                        with open(f) as fh:
+                            line = fh.readline().strip()
+                        if line:
+                            cfg_json = json.loads(line)["config_json"]
+                            break
+                    if cfg_json is not None:
+                        rows = pa_pq.read_table(
+                            os.path.join(path, "model_nodes")
+                        ).to_pylist()
+                        return Forest.from_node_rows(
+                            LshConfig(**json.loads(cfg_json)), rows
+                        )
+                except Exception:
+                    pass
             cfg_json = spark.read.json(f"{path}/model_config").collect()[0][
                 "config_json"
             ]

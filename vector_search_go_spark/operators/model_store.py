@@ -80,8 +80,14 @@ def load_model(spark: SparkSession, name: str, sf_dir: str) -> DataFrame | None:
     # collect job (guide §5: the driver should not run cluster jobs for
     # KB-sized reads — at scale the serving process loads the model once
     # and broadcasts it; locally each collect was a full job round-trip
-    # per query invocation).
+    # per query invocation). The stamp captured here lets local_rows
+    # detect a rewrite between load and kernel construction (ADVICE
+    # r11): a changed stamp falls back to .collect(), which sees the
+    # same (possibly stale-listed) files as the DataFrame's plan.
+    from vector_search_go_spark.io import _path_stamp
+
     df._vsg_local_path = path  # type: ignore[attr-defined]
+    df._vsg_path_stamp = _path_stamp(path)  # type: ignore[attr-defined]
     return df
 
 
@@ -95,6 +101,17 @@ def local_rows(df: DataFrame, cols: list[str]) -> list[dict] | None:
     stores and derived plans keep the Spark path."""
     path = getattr(df, "_vsg_local_path", None)
     if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    from vector_search_go_spark.io import _path_stamp
+
+    stamp = getattr(df, "_vsg_path_stamp", None)
+    try:
+        if stamp is not None and _path_stamp(path) != stamp:
+            # rewritten since load_model ran: the driver-side bytes
+            # would diverge from the plan's pinned listing — let the
+            # caller .collect() through Spark instead
+            return None
+    except OSError:
         return None
     import pyarrow.parquet as pq
 

@@ -30,6 +30,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def split_fused_pred_truth(
+    combined: DataFrame, k: int = 10, dist_col: str = "approx_dist"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a fused pred+truth kernel's output into the pred chain's
+    approximate rows and the finished exact-KNN truth table.
+
+    ``combined`` is the output of a corpus-scan kernel run with a
+    ``truth_fn`` (exact_knn.exact_local_topk_kernel): pred candidate
+    rows with ``_truth = false`` plus per-batch exact local top-k rows
+    with ``_truth = true``, both carrying their distance in
+    ``dist_col``. The one lazy localCheckpoint is what makes the
+    sharing real: both consumers (and the final precision_recall join
+    above them) read the SAME materialized scan instead of planting the
+    whole kernel subtree into each side (guide §8.4 — one corpus scan
+    feeds both chains). The checkpoint is created inside the query
+    invocation and holds only local-top-k rows, never the corpus.
+
+    Returns (approx, truth): ``approx`` = (query_id, id, dist_col),
+    ``truth`` = (query_id, id, dist, rn) — exactly exact_knn_join's
+    output contract (same global topk tail over the same per-batch
+    local top-k rows)."""
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    ck = combined.localCheckpoint(eager=False)
+    approx = ck.filter(~F.col("_truth")).select("query_id", "id", dist_col)
+    truth_cand = ck.filter(F.col("_truth")).select(
+        "query_id", "id", F.col(dist_col).alias("dist")
+    )
+    truth = topk_per_group(
+        truth_cand, ["query_id"], "dist", k, tiebreak_cols=["id"], rank_name="rn"
+    ).select("query_id", "id", "dist", "rn")
+    return approx, truth
+
+
 def precision_recall(pred: DataFrame, truth: DataFrame) -> DataFrame:
     """Per-query set precision/recall -> (query_id, precision, recall).
 
@@ -56,10 +90,19 @@ def precision_recall(pred: DataFrame, truth: DataFrame) -> DataFrame:
             ).alias("n_hit"),
         )
     )
+    # Guarded divisions (ADVICE r11, high): a query present only in
+    # truth (or only in pred) has n_pred = 0 (or n_truth = 0) after the
+    # full-outer join, and Spark 4's default ANSI mode turns 0-divides
+    # into SparkArithmeticException. NULL here is the pre-rewrite
+    # semantics (the old per-side groupBy simply had no row to join).
     return g.select(
         "query_id",
-        (F.col("n_hit") / F.col("n_pred")).alias("precision"),
-        (F.col("n_hit") / F.col("n_truth")).alias("recall"),
+        F.when(F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")).alias(
+            "precision"
+        ),
+        F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")).alias(
+            "recall"
+        ),
     )
 
 
