@@ -39,7 +39,11 @@ AUDITS = {
     "window_rank_orders": (False, False, False, True),
     "knn_exact_l2": (False, True, True, True),
     "knn_exact_cosine": (False, True, True, True),
-    "ann_ivf_cosine": (True, True, True, True),
+    # r12: assign + probe-restricted scoring fused into one mapInPandas
+    # kernel (ann_ivf.ivf_scores_fused) — the plan has NO joins at all
+    # (the probe map and query matrix ride the closure), so there is no
+    # broadcast to assert; Python is the allowed fused kernel
+    "ann_ivf_cosine": (False, True, True, True),
     "dedup_minhash_lsh": (False, False, False, True),
     "dedup_ngram_jaccard": (False, False, False, True),
     "text_quality_score": (False, False, False, True),

@@ -99,6 +99,120 @@ def probe_cells_local(qrows, cids, cmat, metric: str, nprobe: int):
     return out
 
 
+def ivf_scores_fused(
+    corpus: DataFrame,
+    centroids,
+    cell_to_queries: dict,
+    qrows: list,
+    metric: str = "cosine",
+    local_topk: int | None = None,
+    truth_fn=None,
+) -> DataFrame:
+    """(query_id, id, dist) over the IVF candidate set with coarse
+    assignment and candidate scoring FUSED into one Arrow stage over
+    the corpus (guide §4.2) — replaces the assign_cells projection +
+    broadcast(probes) join + broadcast(queries) join +
+    pairwise_dist_udf chain, which crossed the Python boundary twice
+    and built two broadcasts per invocation.
+
+    Bit-identical piece by piece: assignment is argmin_id_arrow's
+    first-min argmin over ascending cids in the same distance domain
+    (sqrt'd L2 / cosine — tests/test_argmin_parity.py); candidate
+    distances are the _seq_* mesh kernels, whose per-pair arithmetic
+    is the pairwise_dist_udf fold with operand products commuted
+    (IEEE-exact); ``local_topk`` is the exact per-batch (dist, id)
+    truncation (selection-monotone for the downstream topk(k)).
+
+    ``centroids`` = DataFrame or preloaded (cids, matrix);
+    ``cell_to_queries`` maps cell id -> probing query ids
+    (probe_cells_local's inverse); ``qrows`` the collected query batch.
+    ``truth_fn`` (exact_knn.exact_local_topk_kernel): when given, each
+    batch also emits exact-KNN local top-k rows from the SAME decoded
+    V matrix with a ``_truth`` flag — the recall entry splits the
+    chains behind one localCheckpoint (guide §8.4)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_go_spark.operators.argmin import (
+        _seq_cosine,
+        _seq_sq_l2,
+        collect_centroids,
+        local_topk_flat,
+    )
+
+    spark = corpus.sparkSession
+    out_schema = "query_id long, id long, dist double" + (
+        ", _truth boolean" if truth_fn is not None else ""
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qrows = sorted(qrows, key=lambda r: r["query_id"])
+    qpos = {int(r["query_id"]): i for i, r in enumerate(qrows)}
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    if isinstance(centroids, tuple):
+        cids, cmat = centroids
+    else:
+        cids, cmat = collect_centroids(centroids)
+    cids = np.asarray(cids, dtype=np.int64)
+    is_l2 = metric == "l2"
+    c2q = {int(c): [int(q) for q in qs] for c, qs in cell_to_queries.items()}
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            ids_b = pdf["id"].to_numpy()
+            if truth_fn is not None:
+                tq, ti, td = truth_fn(V, ids_b)
+                if len(tq):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": tq,
+                            "id": ti,
+                            "dist": td,
+                            "_truth": np.ones(len(tq), dtype=bool),
+                        }
+                    )
+            # assignment in the same distance domain as
+            # argmin_id_arrow: sqrt'd L2 / cosine, first-min over
+            # ascending cids
+            Dc = np.sqrt(_seq_sq_l2(V, cmat)) if is_l2 else _seq_cosine(V, cmat)
+            cells = cids[Dc.argmin(axis=1)]
+            out_q, out_i, out_d = [], [], []
+            for c in np.unique(cells):
+                qs = c2q.get(int(c))
+                if not qs:
+                    continue
+                m = cells == c
+                Vm = V[m]
+                idm = ids_b[m]
+                qidx = np.array([qpos[q] for q in qs], dtype=np.int64)
+                Dm = (
+                    np.sqrt(_seq_sq_l2(Vm, Q[qidx]))
+                    if is_l2
+                    else _seq_cosine(Vm, Q[qidx])
+                )
+                for jj, q in enumerate(qs):
+                    out_q.append(np.full(len(idm), q, dtype=np.int64))
+                    out_i.append(idm)
+                    out_d.append(Dm[:, jj])
+            if not out_q:
+                continue
+            q_arr = np.concatenate(out_q)
+            i_arr = np.concatenate(out_i)
+            d_arr = np.concatenate(out_d)
+            if local_topk is not None and len(d_arr) > local_topk:
+                keep = local_topk_flat(q_arr, i_arr, d_arr, local_topk)
+                q_arr, i_arr, d_arr = q_arr[keep], i_arr[keep], d_arr[keep]
+            out = {"query_id": q_arr, "id": i_arr, "dist": d_arr}
+            if truth_fn is not None:
+                out["_truth"] = np.zeros(len(q_arr), dtype=bool)
+            yield pd.DataFrame(out)
+
+    return corpus.select("id", "vec").mapInPandas(gen, out_schema)
+
+
 def ivf_search(
     queries: DataFrame,
     cells: DataFrame,

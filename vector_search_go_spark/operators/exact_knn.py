@@ -37,8 +37,15 @@ def exact_knn_join(
     k: int = 10,
     threshold: float | None = None,
     impl: str = "arrow",
+    qrows: list | None = None,
 ) -> DataFrame:
     """queries(query_id, qvec) x corpus(id, vec) -> (query_id, id, dist, rn).
+
+    ``qrows``: a pre-collected (query_id, qvec) row list for the arrow
+    impl — callers that already materialized the query batch (the
+    recall-vs-exact entries share one collect between the pred chain
+    and this truth chain) pass it to skip the per-invocation collect
+    job. Must hold exactly the rows ``queries`` would produce.
 
     ``threshold`` mirrors the reference's ``distanceThrsh`` filter
     (lsh/lsh.go:177); None means no thresholding.
@@ -69,7 +76,7 @@ def exact_knn_join(
 
     corpus = ensure_parallelism(corpus)
     if impl == "arrow":
-        return _exact_knn_arrow(queries, corpus, metric, k, threshold)
+        return _exact_knn_arrow(queries, corpus, metric, k, threshold, qrows=qrows)
     if metric in ("cosine", "angular"):
         queries = queries.withColumn("_qn", l2_norm(F.col("qvec")))
         corpus = corpus.withColumn("_vn", l2_norm(F.col("vec")))
@@ -92,25 +99,19 @@ def exact_knn_join(
     return top.select("query_id", "id", "dist", "rn")
 
 
-def _exact_knn_arrow(
-    queries: DataFrame,
-    corpus: DataFrame,
-    metric: str,
-    k: int,
-    threshold: float | None,
-) -> DataFrame:
+def exact_local_topk_kernel(qrows, metric: str, k: int):
+    """Per-batch exact-KNN local top-k as a reusable closure:
+    ``fn(V, ids_b) -> (q_arr, i_arr, d_arr)`` with the EXACT logic of
+    ``_exact_knn_arrow``'s batch loop (two-stage BLAS bound +
+    sequential-IEEE rescore above 65,536 pairs, full sequential matrix
+    below). Factored out so fused pred+truth kernels (the
+    ``*_recall_vs_exact`` entries share one corpus scan between the ANN
+    chain and this truth chain — guide §8.4) run the bit-identical
+    code path. ``qrows`` must be the sorted (query_id, qvec) batch."""
     from vector_search_go_spark.operators.argmin import _seq_cosine, _seq_sq_l2
 
-    qrows = sorted(queries.select("query_id", "qvec").collect(),
-                   key=lambda r: r["query_id"])
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
-    if len(qrows) == 0:
-        # empty query batch: Q is 1-D and every kernel slice below is
-        # invalid — short-circuit to a well-formed empty result
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, id long, dist double, rn int"
-        )
     is_cos = metric in ("cosine", "angular")
     q2 = np.einsum("ij,ij->i", Q, Q)
     nq = np.sqrt(q2)
@@ -132,12 +133,10 @@ def _exact_knn_arrow(
             out_q.append(np.full(len(take), qids[j], dtype=np.int64))
             out_i.append(rid[take])
             out_d.append(d[take])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "id": np.concatenate(out_i),
-                "dist": np.concatenate(out_d),
-            }
+        return (
+            np.concatenate(out_q),
+            np.concatenate(out_i),
+            np.concatenate(out_d),
         )
 
     def _seq_pair(V, rows, cols):
@@ -163,42 +162,67 @@ def _exact_knn_arrow(
         out = np.where(raw < 1e-6, 0.0, raw)
         return np.where((na <= 1e-6) | (nb <= 1e-6), 1.0, out)
 
+    def batch_fn(V, ids_b):
+        n_v, n_q = len(V), len(Q)
+        kk = min(k, n_v)
+        if n_v * n_q <= 65536:
+            # small block: the full sequential matrix is cheaper
+            # than two stages
+            D = _seq_cosine(V, Q) if is_cos else np.sqrt(_seq_sq_l2(V, Q))
+            rows, cols = np.nonzero(np.ones_like(D, dtype=bool))
+            return _emit(ids_b, rows, cols, D[rows, cols], kk)
+        n2 = np.einsum("ij,ij->i", V, V)
+        G = V @ Q.T
+        if is_cos:
+            nv = np.sqrt(n2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = 1.0 - G / (nv[:, None] * nq[None, :])
+            approx = np.where(
+                (nv[:, None] <= 1e-6) | (nq[None, :] <= 1e-6), 1.0, approx
+            )
+            m = MARGIN
+        else:
+            approx = np.sqrt(
+                np.maximum(n2[:, None] - 2.0 * G + q2[None, :], 0.0)
+            )
+            m = MARGIN * max(
+                1.0, float(np.sqrt(n2.max() + q2.max()))
+            )
+        cut = np.partition(approx, kk - 1, axis=0)[kk - 1] + m
+        rows, cols = np.nonzero(approx <= cut[None, :])
+        dist_sel = _seq_pair(V, rows, cols)
+        return _emit(ids_b, rows, cols, dist_sel, kk)
+
+    return batch_fn
+
+
+def _exact_knn_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    metric: str,
+    k: int,
+    threshold: float | None,
+    qrows: list | None = None,
+) -> DataFrame:
+    if qrows is None:
+        qrows = queries.select("query_id", "qvec").collect()
+    qrows = sorted(qrows, key=lambda r: r["query_id"])
+    if len(qrows) == 0:
+        # empty query batch: Q is 1-D and every kernel slice below is
+        # invalid — short-circuit to a well-formed empty result
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, id long, dist double, rn int"
+        )
+    batch_fn = exact_local_topk_kernel(qrows, metric, k)
+
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
             ids_b = pdf["id"].to_numpy()
-            n_v, n_q = len(V), len(Q)
-            kk = min(k, n_v)
-            if n_v * n_q <= 65536:
-                # small block: the full sequential matrix is cheaper
-                # than two stages
-                D = _seq_cosine(V, Q) if is_cos else np.sqrt(_seq_sq_l2(V, Q))
-                rows, cols = np.nonzero(np.ones_like(D, dtype=bool))
-                yield _emit(ids_b, rows, cols, D[rows, cols], kk)
-                continue
-            n2 = np.einsum("ij,ij->i", V, V)
-            G = V @ Q.T
-            if is_cos:
-                nv = np.sqrt(n2)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    approx = 1.0 - G / (nv[:, None] * nq[None, :])
-                approx = np.where(
-                    (nv[:, None] <= 1e-6) | (nq[None, :] <= 1e-6), 1.0, approx
-                )
-                m = MARGIN
-            else:
-                approx = np.sqrt(
-                    np.maximum(n2[:, None] - 2.0 * G + q2[None, :], 0.0)
-                )
-                m = MARGIN * max(
-                    1.0, float(np.sqrt(n2.max() + q2.max()))
-                )
-            cut = np.partition(approx, kk - 1, axis=0)[kk - 1] + m
-            rows, cols = np.nonzero(approx <= cut[None, :])
-            dist_sel = _seq_pair(V, rows, cols)
-            yield _emit(ids_b, rows, cols, dist_sel, kk)
+            q_o, i_o, d_o = batch_fn(V, ids_b)
+            yield pd.DataFrame({"query_id": q_o, "id": i_o, "dist": d_o})
 
     cand = corpus.mapInPandas(gen, "query_id long, id long, dist double")
     if threshold is not None:

@@ -507,6 +507,103 @@ def pq_adc_candidates(
     )
 
 
+def pq_adc_scores_fused(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame | None = None,
+    qrows: list | None = None,
+    local_topk: int | None = None,
+    truth_fn=None,
+) -> DataFrame:
+    """(query_id, id, approx_dist) with PQ encode and full-mesh ADC
+    scoring FUSED into one Arrow stage over the raw corpus — replaces
+    the pq_encode_arr (ArrowEvalPython) -> pq_adc_candidates
+    (MapInPandas) chain, whose code arrays crossed the Python boundary
+    twice per invocation (guide §4.2).
+
+    Bit-identical piece by piece: encode is pq_codes_udf's per-subspace
+    sequential argmin over the ascending-code codebook; the ADC table
+    and the subspace-ordered lookup-sum are pq_adc_candidates' (the pq
+    oracle hashes pin both); ``local_topk`` is the same exact
+    (approx_dist, id) per-batch mesh truncation.
+
+    ``truth_fn`` (exact_knn.exact_local_topk_kernel): when given, each
+    batch also emits the exact-KNN local top-k rows computed from the
+    SAME decoded V matrix and the output gains a ``_truth`` flag — the
+    recall-vs-exact entries split the two chains behind one
+    localCheckpoint so the corpus is scanned once per invocation
+    (guide §8.4)."""
+    from vector_search_go_spark.operators.argmin import (
+        _seq_sq_l2,
+        mesh_topk_arrays,
+    )
+
+    if qrows is None:
+        qrows = queries.select("query_id", "qvec").collect()
+    qrows = sorted(qrows, key=lambda r: r["query_id"])
+    out_schema = "query_id long, id long, approx_dist double" + (
+        ", _truth boolean" if truth_fn is not None else ""
+    )
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+    cb_ids, cb_mats = _codebook_mats(codebook)
+    # adc[q, sub, code]: codes must be the contiguous 0..N-1 range the
+    # element_at arithmetic of the expr path assumes too
+    adc = np.empty((len(qids), M_SUB, N_CODES))
+    for sub in range(M_SUB):
+        assert list(cb_ids[sub]) == list(range(N_CODES)), (
+            "non-contiguous codebook codes"
+        )
+        sl = Q[:, sub * D_SUB : (sub + 1) * D_SUB]
+        adc[:, sub, :] = _seq_sq_l2(sl, cb_mats[sub])
+    m_sub, d_sub = M_SUB, D_SUB
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            ids_b = pdf["id"].to_numpy()
+            if truth_fn is not None:
+                tq, ti, td = truth_fn(V, ids_b)
+                if len(tq):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": tq,
+                            "id": ti,
+                            "approx_dist": td,
+                            "_truth": np.ones(len(tq), dtype=bool),
+                        }
+                    )
+            # encode: first-min argmin + ascending code ids ==
+            # min(struct(d, code)) == pq_codes_udf
+            C = np.empty((len(V), m_sub), dtype=np.int64)
+            for sub in range(m_sub):
+                sl = V[:, sub * d_sub : (sub + 1) * d_sub]
+                Ds = _seq_sq_l2(sl, cb_mats[sub])
+                C[:, sub] = cb_ids[sub][Ds.argmin(axis=1)]
+            n_v = len(C)
+            s = np.zeros((n_v, len(qids)))
+            for j in range(m_sub):
+                s += adc[:, j, C[:, j]].T
+            D = np.sqrt(s)
+            if local_topk is not None and n_v > local_topk and len(qids) > 0:
+                q_o, i_o, d_o = mesh_topk_arrays(D, ids_b, qids, local_topk)
+            else:
+                q_o = np.repeat(qids[None, :], n_v, axis=0).ravel()
+                i_o = np.repeat(ids_b, len(qids))
+                d_o = D.ravel()
+            out = {"query_id": q_o, "id": i_o, "approx_dist": d_o}
+            if truth_fn is not None:
+                out["_truth"] = np.zeros(len(q_o), dtype=bool)
+            yield pd.DataFrame(out)
+
+    return corpus.select("id", "vec").mapInPandas(gen, out_schema)
+
+
 def ivfpq_adc_scores_fused(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -514,6 +611,7 @@ def ivfpq_adc_scores_fused(
     cell_to_queries: dict,
     qrows: list,
     local_topk: int | None = None,
+    truth_fn=None,
 ) -> DataFrame:
     """(query_id, id, approx_dist) over the residual-IVFADC chain with
     coarse assignment, residual encode and ADC scoring FUSED into ONE
@@ -540,17 +638,27 @@ def ivfpq_adc_scores_fused(
 
     ``cell_to_queries`` maps cell id -> probing query ids (the inverse
     of the driver-side probe selection, ann_ivf.probe_cells_local);
-    ``qrows`` is the collected (query_id, qvec) batch."""
+    ``qrows`` is the collected (query_id, qvec) batch.
+
+    ``truth_fn`` (guide §8.4: one corpus scan feeds both chains): a
+    per-batch exact-KNN closure (exact_knn.exact_local_topk_kernel) —
+    when given, the output gains a ``_truth`` flag column and each
+    batch ADDITIONALLY emits the exact local top-k rows computed from
+    the SAME decoded V matrix. The ADC rows are byte-identical to the
+    truth_fn=None output; callers split the two chains behind one
+    localCheckpoint so the corpus is scanned once per invocation
+    instead of once per chain."""
     from vector_search_go_spark.operators.argmin import (
         _seq_sq_l2,
         local_topk_flat,
     )
 
+    out_schema = "query_id long, id long, approx_dist double" + (
+        ", _truth boolean" if truth_fn is not None else ""
+    )
     spark = corpus.sparkSession
     if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, id long, approx_dist double"
-        )
+        return spark.createDataFrame([], out_schema)
     qrows = sorted(qrows, key=lambda r: r["query_id"])
     qpos = {int(r["query_id"]): i for i, r in enumerate(qrows)}
     Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
@@ -580,6 +688,17 @@ def ivfpq_adc_scores_fused(
                 continue
             V = np.array(pdf["vec"].tolist(), dtype=np.float64)
             ids_arr = pdf["id"].to_numpy()
+            if truth_fn is not None:
+                tq, ti, td = truth_fn(V, ids_arr)
+                if len(tq):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": tq,
+                            "id": ti,
+                            "approx_dist": td,
+                            "_truth": np.ones(len(tq), dtype=bool),
+                        }
+                    )
             # coarse assignment: compare sqrt'd distances (the domain
             # the expression path compares in — see argmin_id_arrow)
             Dc = np.sqrt(_seq_sq_l2(V, C))
@@ -615,13 +734,12 @@ def ivfpq_adc_scores_fused(
             if local_topk is not None and len(d_arr) > local_topk:
                 keep = local_topk_flat(q_arr, i_arr, d_arr, local_topk)
                 q_arr, i_arr, d_arr = q_arr[keep], i_arr[keep], d_arr[keep]
-            yield pd.DataFrame(
-                {"query_id": q_arr, "id": i_arr, "approx_dist": d_arr}
-            )
+            out = {"query_id": q_arr, "id": i_arr, "approx_dist": d_arr}
+            if truth_fn is not None:
+                out["_truth"] = np.zeros(len(q_arr), dtype=bool)
+            yield pd.DataFrame(out)
 
-    return corpus.select("id", "vec").mapInPandas(
-        gen, "query_id long, id long, approx_dist double"
-    )
+    return corpus.select("id", "vec").mapInPandas(gen, out_schema)
 
 
 def ivfpq_adc_candidates_res(

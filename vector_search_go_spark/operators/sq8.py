@@ -98,6 +98,9 @@ def sq8_search(
     shortlist: int = SQ_SHORTLIST,
     impl: str = "arrow",
     vectors: DataFrame | None = None,
+    truth_fn=None,
+    truth_k: int = 10,
+    qrows: list | None = None,
 ) -> DataFrame:
     """queries(query_id, qvec) -> (query_id, id, dist, rn): approximate
     L2 against dequantized codes for a shortlist, exact rerank for the
@@ -115,7 +118,16 @@ def sq8_search(
     sq8_encode_np — the parity-pinned numpy twin of the sq8_encode
     Catalyst expression — fusing encode + dequantized scan into the one
     Arrow stage (guide §4.2) instead of an interpreted 256-lambda
-    projection + broadcast feeding it."""
+    projection + broadcast feeding it.
+
+    ``truth_fn`` (exact_knn.exact_local_topk_kernel, arrow impl with
+    ``vectors`` only): each batch also emits the exact-KNN local
+    top-``truth_k`` rows from the SAME decoded V matrix, and the
+    return value becomes a (search_result, truth) pair split behind
+    one lazy localCheckpoint — the recall-vs-exact entry's truth chain
+    rides the pred chain's corpus scan (guide §8.4)."""
+    if truth_fn is not None and (impl != "arrow" or vectors is None):
+        raise ValueError("truth_fn needs impl='arrow' with vectors=")
     if impl == "arrow":
         import numpy as np
         import pandas as pd
@@ -125,10 +137,9 @@ def sq8_search(
         srow = stats.collect()[0]
         mins = np.array(list(srow["mins"]), dtype=np.float64)
         scales = np.array(list(srow["scales"]), dtype=np.float64)
-        qrows = sorted(
-            queries.select("query_id", "qvec").collect(),
-            key=lambda r: r["query_id"],
-        )
+        if qrows is None:
+            qrows = queries.select("query_id", "qvec").collect()
+        qrows = sorted(qrows, key=lambda r: r["query_id"])
         if not qrows:
             # empty query batch: Q would be 1-D and the kernel slices
             # invalid — feed an empty approx frame to the shared rerank
@@ -140,6 +151,9 @@ def sq8_search(
         Q = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
 
         fused = vectors is not None
+        out_schema = "query_id long, id long, approx_dist double" + (
+            ", _truth boolean" if truth_fn is not None else ""
+        )
 
         def gen(batches):
             for pdf in batches:
@@ -147,6 +161,17 @@ def sq8_search(
                     continue
                 if fused:
                     V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                    if truth_fn is not None:
+                        tq, ti, td = truth_fn(V, pdf["id"].to_numpy())
+                        if len(tq):
+                            yield pd.DataFrame(
+                                {
+                                    "query_id": tq,
+                                    "id": ti,
+                                    "approx_dist": td,
+                                    "_truth": np.ones(len(tq), dtype=bool),
+                                }
+                            )
                     C = sq8_encode_np(V, mins, scales).astype(np.float64)
                 else:
                     C = np.array(pdf["codes"].tolist(), dtype=np.float64)
@@ -167,21 +192,25 @@ def sq8_search(
                     )
 
                     q_o, i_o, d_o = mesh_topk_arrays(D, ids_b, qids, shortlist)
-                    yield pd.DataFrame(
-                        {"query_id": q_o, "id": i_o, "approx_dist": d_o}
-                    )
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids[None, :], n_v, axis=0).ravel(),
-                        "id": np.repeat(ids_b, n_q),
-                        "approx_dist": D.ravel(),
-                    }
-                )
+                else:
+                    q_o = np.repeat(qids[None, :], n_v, axis=0).ravel()
+                    i_o = np.repeat(ids_b, n_q)
+                    d_o = D.ravel()
+                out = {"query_id": q_o, "id": i_o, "approx_dist": d_o}
+                if truth_fn is not None:
+                    out["_truth"] = np.zeros(len(q_o), dtype=bool)
+                yield pd.DataFrame(out)
 
         approx = (
             vectors.select("id", "vec") if fused else codes
-        ).mapInPandas(gen, "query_id long, id long, approx_dist double")
+        ).mapInPandas(gen, out_schema)
+        if truth_fn is not None:
+            from vector_search_go_spark.operators.recall import (
+                split_fused_pred_truth,
+            )
+
+            approx, truth = split_fused_pred_truth(approx, k=truth_k)
+            return _sq8_finish(approx, queries, corpus, k, shortlist), truth
     else:
         approx = (
             codes.crossJoin(F.broadcast(stats))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_go_spark.io import ensure_parallelism, read_parquet_cached, table
-from vector_search_go_spark.operators.ann_ivf import assign_cells, ivf_search
+from vector_search_go_spark.operators.ann_ivf import assign_cells
 from vector_search_go_spark.oracle.vector_sql import sql_cosine_dist, sql_l2_dist
 from vector_search_go_spark.registry import register
 
@@ -63,6 +63,31 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction raise coverage (0.79 at 65 cells/np32 -> 0.91 at
     286 cells/np140), which is the scale story: cell count grows with
     the corpus, probe fraction stays pinned."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_scores_fused
+    from vector_search_go_spark.operators.topk import topk_per_group
+
+    _queries, corpus, cent, c2q, qrows = _ann_ivf_parts(spark, sf_dir)
+    # assign -> probe-restricted scoring fused into ONE Arrow stage
+    # (ivf_scores_fused; r12, guide §4.2): the assign projection +
+    # broadcast(probes) join + broadcast(queries) join + pairwise UDF
+    # chain crossed the Python boundary twice and built two broadcasts
+    # per invocation for the same candidate pairs. local_topk=10 is the
+    # exact per-batch (dist, id) truncation feeding the same topk(10).
+    cand = ivf_scores_fused(
+        corpus, cent, c2q, qrows, metric="cosine", local_topk=10
+    )
+    top = topk_per_group(cand, ["query_id"], "dist", 10, tiebreak_cols=["id"])
+    return top.select("query_id", "id", "dist", "rn")
+
+
+def _ann_ivf_parts(spark: SparkSession, sf_dir: str, nprobe: int = 140):
+    """Shared pieces of the IVF cosine entries: (queries, corpus,
+    (cids, cmat), cell -> probing-query-ids map, collected query rows).
+    One query-batch collect + one centroid-model read serve both
+    ann_ivf_cosine and ivf_recall_vs_exact's pred AND truth chains."""
+    from vector_search_go_spark.operators.ann_ivf import probe_cells_local
+    from vector_search_go_spark.operators.argmin import collect_centroids
+
     emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") % 7 == 3).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -70,11 +95,22 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
     )
-    cells = assign_cells(corpus, centroids, metric="cosine")
-    return ivf_search(queries, cells, centroids, metric="cosine", k=10, nprobe=140)
+    qrows = sorted(
+        queries.select("query_id", "qvec").collect(),
+        key=lambda r: r["query_id"],
+    )
+    cids, cmat = collect_centroids(centroids)
+    probed = probe_cells_local(qrows, cids, cmat, "cosine", nprobe)
+    c2q: dict[int, list[int]] = {}
+    for r, cs in probed:
+        for c in cs:
+            c2q.setdefault(int(c), []).append(int(r["query_id"]))
+    return queries, corpus, (cids, cmat), c2q, qrows
 
 
 @register(
@@ -650,15 +686,33 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     annbench/annbench.go:144-162) of the IVF ANN against the exact
     oracle — both pipelines deterministic, so the whole quality
     measurement is itself oracle-checked."""
+    from vector_search_go_spark.operators.ann_ivf import ivf_scores_fused
     from vector_search_go_spark.operators.exact_knn import (
-        embeddings_split,
-        exact_knn_join,
+        exact_local_topk_kernel,
     )
-    from vector_search_go_spark.operators.recall import precision_recall
+    from vector_search_go_spark.operators.recall import (
+        precision_recall,
+        split_fused_pred_truth,
+    )
+    from vector_search_go_spark.operators.topk import topk_per_group
 
-    pred = ann_ivf_cosine(spark, sf_dir)
-    queries, corpus = embeddings_split(spark, sf_dir)
-    truth = exact_knn_join(queries, corpus, metric="cosine", k=10)
+    # pred and truth share ONE corpus scan and ONE query-batch collect
+    # (r12, guide §8.4): the fused IVF kernel also emits the exact-KNN
+    # local top-k rows (exact_local_topk_kernel — the _exact_knn_arrow
+    # batch logic verbatim) and split_fused_pred_truth's lazy
+    # localCheckpoint keeps the scan from being planted into both join
+    # sides. Both chains are bit-identical to their standalone twins
+    # (ann_ivf_cosine / exact_knn_join), which this entry's oracle pins.
+    _queries, corpus, cent, c2q, qrows = _ann_ivf_parts(spark, sf_dir)
+    truth_fn = exact_local_topk_kernel(qrows, "cosine", 10)
+    combined = ivf_scores_fused(
+        corpus, cent, c2q, qrows, metric="cosine", local_topk=10,
+        truth_fn=truth_fn,
+    )
+    approx, truth = split_fused_pred_truth(combined, k=10, dist_col="dist")
+    pred = topk_per_group(
+        approx, ["query_id"], "dist", 10, tiebreak_cols=["id"]
+    ).select("query_id", "id", "dist", "rn")
     return precision_recall(pred, truth)
 
 
@@ -802,22 +856,63 @@ def pq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent), exact L2 rerank to top-10. The corpus's raw vectors
     are touched only for |queries| x shortlist rows."""
     from vector_search_go_spark.operators.pq import (
-        pq_adc_search,
-        pq_codebook,
-        pq_encode_arr,
+        pq_adc_scores_fused,
+        pq_rerank,
         pq_shortlist,
+    )
+
+    # encode + ADC fused into one Arrow stage (r12, guide §4.2): the
+    # pq_encode_arr projection fed pq_adc_candidates' kernel, so the
+    # code arrays crossed the Python boundary twice and the codebook
+    # was collected once per closure. Bit-identical per the pq oracle.
+    queries, corpus, cb, qrows = _pq_adc_parts(spark, sf_dir)
+    approx = pq_adc_scores_fused(
+        corpus, cb, qrows=qrows, local_topk=pq_shortlist()
+    )
+    return pq_rerank(approx, queries, corpus, k=10, shortlist=pq_shortlist())
+
+
+def _pq_adc_parts(spark: SparkSession, sf_dir: str, trained: bool = False):
+    """Shared pieces of the raw/trained PQ ADC entries: (queries,
+    corpus, codebook, collected query rows). One query-batch collect
+    serves the ADC table AND (in the recall entries) the fused truth
+    chain."""
+    from vector_search_go_spark.operators.model_store import cached_df
+    from vector_search_go_spark.operators.pq import (
+        pq_codebook,
+        pq_codebook_trained,
     )
 
     emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
     )
-    cb = pq_codebook(emb)
-    codes = pq_encode_arr(ensure_parallelism(corpus), cb)
-    return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=pq_shortlist())
+    if trained:
+        allv = ensure_parallelism(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        )
+        # train-once: first call fits + saves the codebook, every later
+        # call (including the recall twin in the same run) loads it —
+        # the reference's DumpHasher/LoadHasher split between build and
+        # serve
+        cb = cached_df(
+            spark,
+            _trained_cb_key(),
+            sf_dir,
+            lambda: pq_codebook_trained(allv, iters=3, exact=True),
+        )
+    else:
+        cb = pq_codebook(emb)
+    qrows = sorted(
+        queries.select("query_id", "qvec").collect(),
+        key=lambda r: r["query_id"],
+    )
+    return queries, corpus, cb, qrows
 
 
 @register(
@@ -846,15 +941,38 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     annbench/annbench.go:144-162) of PQ+ADC+rerank against the exact L2
     oracle — quality of the compressed-domain path, itself
     oracle-checked."""
-    from vector_search_go_spark.operators.exact_knn import (
-        embeddings_split,
-        exact_knn_join,
-    )
-    from vector_search_go_spark.operators.recall import precision_recall
+    return _pq_recall_fused(spark, sf_dir, trained=False)
 
-    pred = pq_search_adc(spark, sf_dir)
-    queries, corpus = embeddings_split(spark, sf_dir)
-    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+
+def _pq_recall_fused(spark: SparkSession, sf_dir: str, trained: bool) -> DataFrame:
+    """Shared body of the two PQ recall entries: pred and truth share
+    ONE corpus scan and ONE query-batch collect (r12, guide §8.4) —
+    the fused encode+ADC kernel also emits the exact-KNN local top-k
+    rows (exact_knn.exact_local_topk_kernel, the _exact_knn_arrow
+    batch logic verbatim), split behind one lazy localCheckpoint. Both
+    chains stay bit-identical to their standalone twins
+    (pq_search_adc[_trained] / exact_knn_join); the oracle hash pins
+    the composition."""
+    from vector_search_go_spark.operators.exact_knn import (
+        exact_local_topk_kernel,
+    )
+    from vector_search_go_spark.operators.pq import (
+        pq_adc_scores_fused,
+        pq_rerank,
+        pq_shortlist,
+    )
+    from vector_search_go_spark.operators.recall import (
+        precision_recall,
+        split_fused_pred_truth,
+    )
+
+    queries, corpus, cb, qrows = _pq_adc_parts(spark, sf_dir, trained=trained)
+    truth_fn = exact_local_topk_kernel(qrows, "l2", 10)
+    combined = pq_adc_scores_fused(
+        corpus, cb, qrows=qrows, local_topk=pq_shortlist(), truth_fn=truth_fn
+    )
+    approx, truth = split_fused_pred_truth(combined, k=10)
+    pred = pq_rerank(approx, queries, corpus, k=10, shortlist=pq_shortlist())
     return precision_recall(pred, truth)
 
 
@@ -869,35 +987,18 @@ def pq_search_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench. The exact-fold mean path keeps the whole thing bit-checkable
     against the DuckDB oracle's unrolled grouped Lloyd SQL."""
     from vector_search_go_spark.operators.pq import (
-        pq_adc_search,
-        pq_codebook_trained,
-        pq_encode_arr,
+        pq_adc_scores_fused,
+        pq_rerank,
         pq_shortlist,
     )
 
-    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
-    allv = ensure_parallelism(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    # encode + ADC fused into one Arrow stage (r12, guide §4.2) — see
+    # pq_search_adc; the trained codebook loads from the model store.
+    queries, corpus, cb, qrows = _pq_adc_parts(spark, sf_dir, trained=True)
+    approx = pq_adc_scores_fused(
+        corpus, cb, qrows=qrows, local_topk=pq_shortlist()
     )
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
-    )
-    # train-once: first call fits + saves the codebook, every later call
-    # (including pq_trained_recall_vs_exact in the same run) loads it —
-    # the reference's DumpHasher/LoadHasher split between build and serve
-    from vector_search_go_spark.operators.model_store import cached_df
-
-    cb = cached_df(
-        spark,
-        _trained_cb_key(),
-        sf_dir,
-        lambda: pq_codebook_trained(allv, iters=3, exact=True),
-    )
-    codes = pq_encode_arr(ensure_parallelism(corpus), cb)
-    return pq_adc_search(queries, codes, cb, corpus, k=10, shortlist=pq_shortlist())
+    return pq_rerank(approx, queries, corpus, k=10, shortlist=pq_shortlist())
 
 
 @register(
@@ -925,16 +1026,7 @@ def pq_trained_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based precision/recall of trained-codebook PQ against exact
     L2 — the trained/sampled recall delta this measures is the argument
     for spending the training pass at ingest time."""
-    from vector_search_go_spark.operators.exact_knn import (
-        embeddings_split,
-        exact_knn_join,
-    )
-    from vector_search_go_spark.operators.recall import precision_recall
-
-    pred = pq_search_adc_trained(spark, sf_dir)
-    queries, corpus = embeddings_split(spark, sf_dir)
-    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
-    return precision_recall(pred, truth)
+    return _pq_recall_fused(spark, sf_dir, trained=True)
 
 
 def _kmeans_train_oracle(k: int, iters: int) -> str:
@@ -1246,15 +1338,17 @@ def _ivfpq_res_components(spark: SparkSession, sf_dir: str):
         for c in cs:
             cell_to_queries.setdefault(int(c), []).append(int(r["query_id"]))
 
-    def approx_fn(local_topk: int | None):
+    def approx_fn(local_topk: int | None, truth_fn=None):
         """assign -> residual-encode -> ADC, fused into one Arrow stage
         (pq.ivfpq_adc_scores_fused — bit-identical to the unfused
-        chain; see its docstring)."""
+        chain; see its docstring). ``truth_fn`` additionally emits the
+        exact-KNN local top-k rows from the same scan (the
+        recall-vs-exact sharing, guide §8.4)."""
         from vector_search_go_spark.operators.pq import ivfpq_adc_scores_fused
 
         return ivfpq_adc_scores_fused(
             corpus, cb, centroids, cell_to_queries, qrows,
-            local_topk=local_topk,
+            local_topk=local_topk, truth_fn=truth_fn,
         )
 
     return queries, corpus, centroids, cb, approx_fn, qrows
@@ -1341,14 +1435,28 @@ def ivf_pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact L2 — compounds the coarse-probe miss rate with the ADC
     shortlist miss rate, the number a capacity planner actually needs."""
     from vector_search_go_spark.operators.exact_knn import (
-        embeddings_split,
-        exact_knn_join,
+        exact_local_topk_kernel,
     )
-    from vector_search_go_spark.operators.recall import precision_recall
+    from vector_search_go_spark.operators.pq import pq_rerank
+    from vector_search_go_spark.operators.recall import (
+        precision_recall,
+        split_fused_pred_truth,
+    )
 
-    pred = ivf_pq_search(spark, sf_dir)
-    queries, corpus = embeddings_split(spark, sf_dir)
-    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    # pred and truth share ONE corpus scan and ONE query-batch collect
+    # (r12, guide §8.4): the fused IVFADC kernel also emits the
+    # exact-KNN local top-k rows (exact_local_topk_kernel — the
+    # _exact_knn_arrow batch logic verbatim), split behind one lazy
+    # localCheckpoint. Both chains stay bit-identical to their
+    # standalone twins (ivf_pq_search / exact_knn_join) — this entry's
+    # oracle hash pins the whole composition.
+    queries, corpus, centroids, cb, approx_fn, qrows = _ivfpq_res_components(
+        spark, sf_dir
+    )
+    truth_fn = exact_local_topk_kernel(qrows, "l2", 10)
+    combined = approx_fn(_IVFPQ_SHORT, truth_fn=truth_fn)
+    approx, truth = split_fused_pred_truth(combined, k=10)
+    pred = pq_rerank(approx, queries, corpus, k=10, shortlist=_IVFPQ_SHORT)
     return precision_recall(pred, truth)
 
 
@@ -1689,14 +1797,37 @@ def sq8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents the accuracy/compression tradeoff next to
     pq_recall_vs_exact (4x compression should stay ~1.0)."""
     from vector_search_go_spark.operators.exact_knn import (
-        embeddings_split,
-        exact_knn_join,
+        exact_local_topk_kernel,
     )
     from vector_search_go_spark.operators.recall import precision_recall
+    from vector_search_go_spark.operators.sq8 import sq8_search, sq8_stats
 
-    pred = sq8_search_rerank(spark, sf_dir)
-    queries, corpus = embeddings_split(spark, sf_dir)
-    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    # pred and truth share ONE corpus scan and ONE query-batch collect
+    # (r12, guide §8.4): sq8_search's fused encode+scan kernel also
+    # emits the exact-KNN local top-k rows (exact_local_topk_kernel —
+    # the _exact_knn_arrow batch logic verbatim), split behind one lazy
+    # localCheckpoint inside sq8_search. Both chains are bit-identical
+    # to their standalone twins (sq8_search_rerank / exact_knn_join);
+    # the oracle hash pins the composition.
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 50 != 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    )
+    qrows = sorted(
+        queries.select("query_id", "qvec").collect(),
+        key=lambda r: r["query_id"],
+    )
+    stats = sq8_stats(corpus, _SQ_DIM)
+    pred, truth = sq8_search(
+        queries, None, stats, corpus, _SQ_DIM, k=10, vectors=corpus,
+        truth_fn=exact_local_topk_kernel(qrows, "l2", 10), truth_k=10,
+        qrows=qrows,
+    )
     return precision_recall(pred, truth)
 
 
