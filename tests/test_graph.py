@@ -59,10 +59,15 @@ def test_impl_parity_random_graph(spark):
     rng = random.Random(21)
     edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(100)]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    star = {r["id"]: r["label"] for r in connected_components(df, impl="star").collect()}
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components(df, impl="star", collect_threshold=None).collect()
+    }
     prop = {
         r["id"]: r["label"]
-        for r in connected_components(df, impl="propagate").collect()
+        for r in connected_components(
+            df, impl="propagate", collect_threshold=None
+        ).collect()
     }
     assert star == prop == _uf_components(edges)
 
@@ -73,13 +78,23 @@ def test_star_long_chain_logarithmic_rounds(spark):
     alternation buys (Kiveris et al., SoCC'14)."""
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    got = {r["id"]: r["label"] for r in connected_components(df, impl="star", max_iter=12).collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            df, impl="star", max_iter=12, collect_threshold=None
+        ).collect()
+    }
     assert got == {i: 0 for i in range(64)}
 
 
 def test_star_self_loop_isolated_node(spark):
     edges = spark.createDataFrame([(7, 7), (1, 2)], "src bigint, dst bigint")
-    got = {r["id"]: r["label"] for r in connected_components(edges, impl="star").collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            edges, impl="star", collect_threshold=None
+        ).collect()
+    }
     assert got == {7: 7, 1: 1, 2: 1}
 
 
@@ -89,4 +104,31 @@ def test_nonconvergence_raises(spark):
         [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, collect_threshold=None)
+
+
+def test_local_fast_path_parity_and_fallback(spark):
+    """r12: the size-guarded driver-side union-find must (1) reach the
+    identical fixpoint as the distributed loop and (2) hand oversized
+    edge lists to the distributed loop untouched."""
+    rng = random.Random(33)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fast = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    dist = {
+        r["id"]: r["label"]
+        for r in connected_components(df, collect_threshold=None).collect()
+    }
+    assert fast == dist == _uf_components(edges)
+    # threshold smaller than the edge list -> distributed loop (same
+    # answer; exercised end-to-end because max_iter must now matter)
+    over = {
+        r["id"]: r["label"]
+        for r in connected_components(df, collect_threshold=10).collect()
+    }
+    assert over == fast
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, collect_threshold=3)

@@ -50,6 +50,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     impl: str = "propagate",
+    collect_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -57,7 +58,25 @@ def connected_components(
     edge; `label` is the minimum node id in the node's component.
     Deterministic: the fixpoint is unique. Raises if `max_iter` rounds
     don't converge rather than silently returning partial labels.
-    """
+
+    ``collect_threshold`` (r12, guide §8.4 "decide with small rows"):
+    dup-pair edge lists are DECISION-sized — a few ids per duplicate
+    cluster, orders of magnitude smaller than the corpus they came
+    from. When the edge list fits under the threshold (one
+    limit-bounded collect probes it — the same size-estimate gamble
+    Spark's own broadcast-join threshold takes), the transitive closure
+    runs as a driver-side union-find with min-id representatives: the
+    SAME unique fixpoint, zero iterative Spark rounds, and the labels
+    ship back as a broadcastable local relation. Edge lists that
+    overflow the probe fall through to the distributed loop unchanged
+    (the probe's partial rows are discarded). None disables the fast
+    path. Parity is pinned in tests/test_graph.py."""
+    if collect_threshold is not None:
+        probe = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).limit(collect_threshold + 1).collect()
+        if len(probe) <= collect_threshold:
+            return _cc_local(edges.sparkSession, probe, edges.schema[src].dataType)
     if impl == "star":
         return _cc_star(edges, src, dst, max_iter)
     if impl != "propagate":
@@ -93,6 +112,42 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _cc_local(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-side union-find over a collected edge list: one row per
+    distinct node, label = min node id in its component — the identical
+    fixpoint to the distributed impls (unique by definition), computed
+    without per-round Spark jobs. Path-halving + union-by-min keeps it
+    near-linear; the result is a local relation the consumers can
+    broadcast."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so every root IS its component's minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((x, find(x)) for x in parent)
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("label", id_type, True)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:

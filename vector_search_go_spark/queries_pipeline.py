@@ -2774,6 +2774,19 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "split", _decontam_shingles_col(F.col("w")).alias("shingles")
         )
+        # r12 (guide §8.4, the tfidf/tf lesson): `base` feeds BOTH the
+        # train side (explode -> broadcast hit join) and the eval side
+        # (explode -> distinct -> broadcast build) with different
+        # downstream partitionings, so ReusedExchange can never
+        # deduplicate it and the scan + tokenize + md5 split + shingle
+        # build ran twice per invocation. The lazy localCheckpoint
+        # materializes the shingled table once (plan: 2 parquet scans
+        # -> 1). Scale note: this stores ~n-gram-factor x corpus bytes
+        # on executors for the invocation; at 100 TB prefer recompute
+        # (drop the checkpoint) or shingle hashes if storage is the
+        # binding constraint — the crossover is documented in
+        # OPTIMIZATION_r12.md.
+        .localCheckpoint(eager=False)
     )
     train = base.filter(F.col("split") == "train").select("doc_id", "shingles")
     ev = base.filter(F.col("split") != "train").select("doc_id", "shingles")

@@ -670,6 +670,15 @@ def dedup_global_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
+        # r12 (guide §8.4, the tfidf/tf lesson): `g` feeds the df
+        # aggregation (keyed on gram) AND the positions join (probe
+        # side) — different partitionings, so ReusedExchange never
+        # deduplicated the scan + tokenize + 5-gram build and it ran
+        # twice per invocation (plan: 2 parquet scans + 2 Generates ->
+        # 1). The lazy localCheckpoint materializes the exploded gram
+        # positions once; scale note as at decontaminate_train_split —
+        # at 100 TB weigh executor storage vs recompute.
+        .localCheckpoint(eager=False)
     )
     dfreq = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
     dup = (F.col("df") >= 2).cast("bigint")
