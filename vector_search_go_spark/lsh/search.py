@@ -102,8 +102,15 @@ def lsh_search(
     threshold: float | None = None,
     broadcast_queries: bool = True,
     impl: str = "fanin",
+    qrows: list | None = None,
 ) -> DataFrame:
     """queries(query_id, qvec) -> (query_id, id, dist, rn).
+
+    ``qrows``: a pre-collected (query_id, qvec) row list — callers that
+    already materialized the query batch (the lsh_recall entries share
+    one collect between this search and their exact-truth chain) pass
+    it to skip the per-invocation collect job. Must hold exactly the
+    rows ``queries`` would produce; only used when broadcast_queries.
 
     ``impl='fanin'`` (default) groups candidate pairs per corpus id and
     scores them in one mapInPandas pass with the query matrix in the
@@ -142,7 +149,11 @@ def lsh_search(
             StructType,
         )
 
-        q_rows = queries.select("query_id", "qvec").collect()
+        q_rows = (
+            qrows
+            if qrows is not None
+            else queries.select("query_id", "qvec").collect()
+        )
         if q_rows:
             Q = np.array([list(r["qvec"]) for r in q_rows], dtype=np.float64)
             hashes = index.forest.hash_batch(Q)

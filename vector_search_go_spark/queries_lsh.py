@@ -161,8 +161,11 @@ def lsh_recall_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epsilon=0.05 distance-based precision/recall of LSH vs the exact
     oracle (reference DistanceBasedPrecisionRecall, annbench.go:165-187)."""
     idx, queries, corpus = _index(spark, sf_dir, "l2")
-    pred = lsh_search(idx, queries, metric="l2", k=10)
-    truth = exact_knn_join(queries, corpus, metric="l2", k=10)
+    # one query-batch collect feeds the search's driver-side hashing AND
+    # the exact-truth kernel (r12, guide §8.4 "decide with small rows")
+    qrows = queries.select("query_id", "qvec").collect()
+    pred = lsh_search(idx, queries, metric="l2", k=10, qrows=qrows)
+    truth = exact_knn_join(queries, corpus, metric="l2", k=10, qrows=qrows)
     return distance_based_precision_recall(pred, truth, epsilon=0.05)
 
 
@@ -172,8 +175,9 @@ def lsh_recall_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasets need many trees and still lose recall, README.md:164-167 —
     BASELINE.md band >= 0.85)."""
     idx, queries, corpus = _index(spark, sf_dir, "cosine")
-    pred = lsh_search(idx, queries, metric="cosine", k=10)
-    truth = exact_knn_join(queries, corpus, metric="cosine", k=10)
+    qrows = queries.select("query_id", "qvec").collect()
+    pred = lsh_search(idx, queries, metric="cosine", k=10, qrows=qrows)
+    truth = exact_knn_join(queries, corpus, metric="cosine", k=10, qrows=qrows)
     return distance_based_precision_recall(pred, truth, epsilon=0.05)
 
 
@@ -513,8 +517,10 @@ def _recall_band(
     (BASELINE.md: >=0.93 Euclidean, >=0.85 angular; measured here:
     1.0/1.0 at sf0.01, 0.995/0.995 at sf0.1 on both metrics)."""
     idx, queries, corpus = _index(spark, sf_dir, metric)
-    pred = lsh_search(idx, queries, metric=metric, k=10)
-    truth = exact_knn_join(queries, corpus, metric=metric, k=10)
+    # shared query-batch collect (r12) — see lsh_recall_l2
+    qrows = queries.select("query_id", "qvec").collect()
+    pred = lsh_search(idx, queries, metric=metric, k=10, qrows=qrows)
+    truth = exact_knn_join(queries, corpus, metric=metric, k=10, qrows=qrows)
     pr = distance_based_precision_recall(pred, truth, epsilon=0.05)
     return pr.agg(
         F.count(F.lit(1)).alias("n_queries"),

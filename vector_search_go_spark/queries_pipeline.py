@@ -2774,18 +2774,21 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "split", _decontam_shingles_col(F.col("w")).alias("shingles")
         )
-        # r12 (guide §8.4, the tfidf/tf lesson): `base` feeds BOTH the
-        # train side (explode -> broadcast hit join) and the eval side
-        # (explode -> distinct -> broadcast build) with different
-        # downstream partitionings, so ReusedExchange can never
-        # deduplicate it and the scan + tokenize + md5 split + shingle
-        # build ran twice per invocation. The lazy localCheckpoint
-        # materializes the shingled table once (plan: 2 parquet scans
-        # -> 1). Scale note: this stores ~n-gram-factor x corpus bytes
-        # on executors for the invocation; at 100 TB prefer recompute
-        # (drop the checkpoint) or shingle hashes if storage is the
-        # binding constraint — the crossover is documented in
-        # OPTIMIZATION_r12.md.
+        # r12 (guide §8.4): `base` feeds BOTH the train side (explode ->
+        # broadcast hit join) and the eval side (explode -> distinct ->
+        # broadcast build) with different downstream partitionings, so
+        # ReusedExchange can never deduplicate it and the scan +
+        # tokenize + md5 hash_split + 8-gram shingle build ran twice
+        # per invocation. The lazy localCheckpoint materializes the
+        # shingled table once (plan: 2 parquet scans -> 1); measured on
+        # a calibrated box: 1.14 s vs 2.52 s recompute warm medians at
+        # sf0.1/local[32]. It wins here — unlike tfidf/global_ngrams,
+        # whose measured crossovers went the other way — because the
+        # checkpointed relation is ONE unexploded row per doc and the
+        # duplicated subtree carries the md5 split + concat-heavy
+        # shingle build. At 100 TB the stored bytes are ~n-gram-factor
+        # x corpus text; if executor storage binds, drop the checkpoint
+        # and re-measure (tools/profile_queries.py).
         .localCheckpoint(eager=False)
     )
     train = base.filter(F.col("split") == "train").select("doc_id", "shingles")

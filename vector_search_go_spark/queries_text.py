@@ -670,15 +670,18 @@ def dedup_global_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        # r12 (guide §8.4, the tfidf/tf lesson): `g` feeds the df
-        # aggregation (keyed on gram) AND the positions join (probe
-        # side) — different partitionings, so ReusedExchange never
-        # deduplicated the scan + tokenize + 5-gram build and it ran
-        # twice per invocation (plan: 2 parquet scans + 2 Generates ->
-        # 1). The lazy localCheckpoint materializes the exploded gram
-        # positions once; scale note as at decontaminate_train_split —
-        # at 100 TB weigh executor storage vs recompute.
-        .localCheckpoint(eager=False)
+        # `g` feeds the df aggregation (keyed on gram) AND the positions
+        # join (probe side) — different partitionings, so ReusedExchange
+        # never deduplicates the scan + tokenize + 5-gram build and it
+        # runs twice per invocation. r12 measured the localCheckpoint
+        # alternative on a calibrated box: materializing the EXPLODED
+        # gram positions (~n x corpus string bytes) costs more than the
+        # recompute — ckpt 2.00 s vs recompute 1.36 s warm medians at
+        # sf0.1/local[32] — so recompute stays. CROSSOVER: checkpoint
+        # only pays when scan+tokenize is I/O-bound and gram strings are
+        # small relative to text; measure before flipping
+        # (contrast decontaminate_train_split, whose checkpointed
+        # relation is one UNexploded row per doc and wins 2x).
     )
     dfreq = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
     dup = (F.col("df") >= 2).cast("bigint")
@@ -735,11 +738,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id", F.explode("w").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # materialize once: tf feeds BOTH the idf aggregation (exchange
-        # on tok) and the scored join (exchange on doc_id) — different
-        # partitionings, so ReusedExchange cannot deduplicate them and
-        # the tokenize + explode + agg subtree would run twice
-        .localCheckpoint(eager=False)
+        # tf feeds BOTH the idf aggregation (exchange on tok) and the
+        # scored join (exchange on doc_id) — different partitionings,
+        # so ReusedExchange cannot deduplicate the tokenize + explode +
+        # agg subtree and it runs twice. r11 materialized tf here with
+        # a lazy localCheckpoint (Exchange 24 -> 18); r12 re-measured
+        # the trade on a calibrated-quiet box (VERDICT r11 item 7):
+        # recompute 1.52 s vs checkpoint 1.65 s warm medians at sf0.1 /
+        # local[32] — the tf-table write+read constant exceeds the
+        # saved subtree at this scale, so recompute stays. CROSSOVER:
+        # re-enable the checkpoint when the tokenize+agg subtree's cost
+        # clearly exceeds materializing |tf| rows to executor storage —
+        # i.e. corpus scans are I/O-bound (remote storage) or tokens/doc
+        # is large — measure, don't guess (tools/profile_queries.py).
     )
     idf = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
